@@ -28,6 +28,17 @@ def get_spark(
     master = master or f"local[{cpus}]"
     n_shuffle = shuffle_partitions or cpus
 
+    # Executor Python workers must import this package regardless of the
+    # driver's cwd.  On a real cluster spark-submit --py-files ships the
+    # package (north_rule mechanics); in local mode the forked workers
+    # inherit PYTHONPATH, so export the repo root before the JVM starts.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -1,0 +1,142 @@
+"""Deterministic synthetic transcript source (FIXTURES.md §1).
+
+Input table shape per BASELINE.json input_hint:
+    transcripts(conv_id string, turn_idx int, role string,
+                text string, tool string, ts timestamp)
+
+Generation is fully distributed and closed-form deterministic (seed mixes
+into xxhash64; no RNG, no clock): a small conversation-dimension frame
+(one row per conversation — thousands, not billions) is exploded into
+turns, so the same code generates 10^3 or 10^12 turns without any
+driver-side loop over turns.
+
+Skew by construction: conversation 0 is a "mega conversation" holding
+~mega_frac of all turns (north_rule salting test target); the rest have
+sizes varying 10..70.  Rows are written in hash-shuffled order so stable
+(conv_id, turn_idx) ordering logic is actually exercised (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .golden import DIRTY_WRAPPERS, GOLDEN_TEXTS, html_wrap
+
+EPOCH_2026 = 1767225600  # 2026-01-01T00:00:00Z — fixed, never datetime.now()
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), False),
+])
+
+
+def build_templates() -> List[Tuple[int, str]]:
+    """~26 payload templates: golden texts plain/dirty/html-wrapped plus
+    guard-rule edge cases (empty, whitespace, <10 chars, long)."""
+    templates: List[str] = []
+    for i, (_, text) in enumerate(sorted(GOLDEN_TEXTS.items())):
+        templates.append(text)
+        pre, post = DIRTY_WRAPPERS[i % len(DIRTY_WRAPPERS)]
+        templates.append(pre + text + post)
+        templates.append(html_wrap(text, key=f"t{i}"))
+    # guard-rule edges (language_detector.py:38-43, text_preprocessing.py:72-73)
+    templates.append("")
+    templates.append("   \n\t  ")
+    templates.append("ok then")
+    templates.append("sim")
+    # long text (> 2500 chars → multi-chunk, W1 offsets)
+    long_text = ("\n\n".join([GOLDEN_TEXTS["multiple_products"]] * 4)
+                 + "\n\n" + GOLDEN_TEXTS["portuguese_report"])
+    templates.append(long_text)
+    # tool-ish output (markup-free JSON-like payload)
+    templates.append('{"status": "ok", "results": [1, 2, 3], "query": "açaí exports"}')
+    return list(enumerate(templates))
+
+
+def synthesize_transcripts(
+    spark: SparkSession,
+    n_convs: int = 500,
+    seed: int = 42,
+    mega_frac: float = 0.10,
+) -> DataFrame:
+    """Build the deterministic transcripts DataFrame.
+
+    Average non-mega conversation size is 40 turns; total turns ≈
+    n_convs * 40 / (1 - mega_frac).
+    """
+    base_turns = n_convs * 40
+    mega_turns = int(base_turns * mega_frac / (1.0 - mega_frac))
+
+    conv = spark.range(n_convs).withColumnRenamed("id", "conv_num")
+    # sizes: conv 0 = mega; others 10..70 by closed form (avg 40)
+    conv = conv.withColumn(
+        "size",
+        F.when(F.col("conv_num") == 0, F.lit(max(mega_turns, 1)))
+        .otherwise((F.lit(10) + F.pmod(F.col("conv_num") * 7919, F.lit(61))).cast("long")),
+    )
+    # start offsets: prefix sum over the (small) conversation dimension
+    from pyspark.sql import Window
+    w = Window.orderBy("conv_num").rowsBetween(Window.unboundedPreceding, -1)
+    conv = conv.withColumn("start", F.coalesce(F.sum("size").over(w), F.lit(0)))
+    conv = conv.withColumn(
+        "conv_id", F.format_string("conv-%06d", F.col("conv_num").cast("int"))
+    )
+
+    turns = conv.select(
+        "conv_id", "conv_num", "start",
+        F.explode(F.sequence(F.lit(0), (F.col("size") - 1).cast("int"))).alias("turn_idx"),
+    )
+    turns = turns.withColumn("global_seq", F.col("start") + F.col("turn_idx"))
+
+    templates = build_templates()
+    tpl_df = spark.createDataFrame(
+        [(i, t) for i, t in templates], "tpl_id int, body string"
+    )
+
+    h = F.xxhash64(F.lit(seed), F.col("conv_id"), F.col("turn_idx"))
+    turns = turns.withColumn(
+        "tpl_id", F.pmod(h, F.lit(len(templates))).cast("int")
+    )
+    turns = turns.join(F.broadcast(tpl_df), "tpl_id", "left")
+
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    tools = F.array(F.lit("search"), F.lit("browser"), F.lit("python"))
+    out = turns.select(
+        F.col("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.element_at(roles, F.pmod(F.col("turn_idx"), F.lit(3)).cast("int") + 1).alias("role"),
+        # ~50% of turns get a unique suffix so payloads are not all repeats
+        F.concat(
+            F.col("body"),
+            F.when(
+                F.pmod(F.xxhash64(F.lit(seed + 1), F.col("conv_id"), F.col("turn_idx")), F.lit(2)) == 0,
+                F.format_string("\n\nref %s:%d", F.col("conv_id"), F.col("turn_idx")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        F.when(
+            F.pmod(F.col("turn_idx"), F.lit(3)) == 2,
+            F.element_at(tools, F.pmod(F.xxhash64(F.col("conv_id")), F.lit(3)).cast("int") + 1),
+        ).alias("tool"),
+        F.timestamp_seconds(F.lit(EPOCH_2026) + F.col("global_seq") * 7).alias("ts"),
+    )
+    return out
+
+
+def write_transcripts(df: DataFrame, path: str, shuffled: bool = True) -> None:
+    """Persist, in hash-shuffled row order (FIXTURES.md: rows written
+    shuffled so stable-ordering logic is exercised)."""
+    if shuffled:
+        df = df.orderBy(F.xxhash64("conv_id", "turn_idx"))
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
