@@ -1,38 +1,76 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction query on /root/testdata/sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+the training-data-pipeline extensions: dedup, ANN, text analysis).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for every
+SQL-expressible query; UDF-pipeline queries are rows-only by design
+(their byte-exactness is covered by tests/test_extraction_equality.py's
+pandas oracle).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E402
+    dedup,
+    relational,
+    similarity,
+    textstats,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's end-to-end flow (SURVEY §3.1) over the
+    sf0.001 documents table mapped to the transcript shape — clean →
+    language → relevance → span tagging → per-language rollup."""
+    from text_extractor_for_bioeconomic_products_spark.operators.extract import (
+        extract_turns,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id")).alias("ts"),
+    )
+    turns = extract_turns(transcripts)
+    return (
+        turns.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("relevance"), 4).alias("avg_relevance"),
+            F.sum("n_spans").alias("total_spans"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(relational.QUERIES)
+    q.update(textstats.QUERIES)
+    q.update(dedup.QUERIES)
+    q.update(similarity.QUERIES)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o.update(relational.ORACLE_SQL)
+    o.update(textstats.ORACLE_SQL)
+    o.update(dedup.ORACLE_SQL)
+    o.update(similarity.ORACLE_SQL)
+    return o

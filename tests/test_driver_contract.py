@@ -1,0 +1,96 @@
+"""Mirror of the driver's correctness gate: every queries() entry runs at
+sf0.01 and, where an oracle exists, matches DuckDB on row count, column
+names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck(sf01_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf01_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    """Sort columns by name, normalize value types, sort rows."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+            elif hasattr(v, "isoformat"):
+                v = v.isoformat()
+            elif isinstance(v, (list, tuple)):
+                v = tuple(v)
+            else:
+                try:
+                    import decimal
+                    if isinstance(v, decimal.Decimal):
+                        v = round(float(v), 6)
+                except Exception:
+                    pass
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
+    assert len(rows) > 0  # documents exist → at least one language group
+
+
+ALL_QUERIES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_against_oracle(spark, duck, sf01_dir, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, sf01_dir)
+    spark_rows = df.collect()
+    spark_cols = df.columns
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+    res = duck.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} value mismatches; first: "
+        f"{ns[mismatches[0]]} vs {nd[mismatches[0]]}"
+    )

@@ -1,0 +1,259 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline dedup family (graft requirement): exact hash,
+MinHash+LSH, SimHash, n-gram Jaccard.  All are pure DataFrame/SQL —
+JVM-side, whole-stage-codegen'd, no Python in the hot path.
+
+Scale design: every variant reduces to (signature → shuffle on signature
+→ within-bucket work).  At 100 TB the signature shuffle is the only
+all-to-all movement; candidate verification (Jaccard) runs only within
+LSH buckets, never as a global cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy (the baseline)
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5-of-normalized-text groups; map-side partial count then shuffle
+    on the 32-hex key — uniform by construction (no skew)."""
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    return (
+        docs.select(F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        exact_duplicate_groups(docs)
+        .select(
+            F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(0)).alias("duplicate_docs"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("duplicate_groups"),
+            F.count("*").alias("distinct_texts"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+    SELECT sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS duplicate_docs,
+           sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS duplicate_groups,
+           count(*) AS distinct_texts
+    FROM (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY content_hash
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+# Signature: for seed i, sig_i(doc) = min over word shingles of
+# md5(i || shingle) — lexicographic min of hex digests is an order-
+# isomorphic stand-in for min over a hash permutation, identical in Spark
+# and DuckDB (both emit lowercase hex).  Banding: one band per seed pair.
+
+N_MINHASH = 4
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n_hashes: int = N_MINHASH) -> DataFrame:
+    """One row per doc: sig_0..sig_{n-1} (word-level shingles).
+
+    explode(words) → groupBy(doc) with n min-aggregates: a single shuffle
+    keyed by doc id; partial min combine makes the map side cheap.
+    """
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    exploded = docs.select(F.col(id_col), F.explode(words).alias("w"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("w")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket census: band key = (sig_0[:8], sig_1[:8]); buckets
+    holding >1 doc are near-dup candidates."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    band = F.concat(
+        F.substring("sig_0", 1, 8), F.lit("|"), F.substring("sig_1", 1, 8)
+    )
+    return (
+        sigs.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "band")
+    )
+
+
+def _minhash_sql_duckdb(n_hashes: int = N_MINHASH) -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}' || w)) AS sig_{i}" for i in range(n_hashes)
+    )
+    return f"""
+        SELECT doc_id, {sig_cols}
+        FROM (
+            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+            FROM documents
+        )
+        GROUP BY doc_id
+    """
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+    SELECT band, count(*) AS n_docs
+    FROM (
+        SELECT substr(sig_0, 1, 8) || '|' || substr(sig_1, 1, 8) AS band
+        FROM ({_minhash_sql_duckdb()})
+    )
+    GROUP BY band
+    HAVING count(*) > 1
+    ORDER BY n_docs DESC, band
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-derived word hashes — dialect-portable)
+# ---------------------------------------------------------------------------
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash: word hash = first 15 hex of md5 → bigint; bit b of
+    the signature is 1 iff Σ_words (±1 per word-bit) > 0.  Pure column
+    math (explode → conditional sums → bit pack), no UDF."""
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    exploded = docs.select(F.col(id_col), F.explode(words).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    exploded = exploded.select(id_col, h.alias("h"))
+    bit_sums = exploded.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)
+    ])
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select(id_col, sig.alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash16(docs).orderBy("doc_id")
+
+
+def _simhash_sql_duckdb() -> str:
+    bit_sum_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+        SELECT doc_id, {sig} AS simhash
+        FROM (
+            SELECT doc_id, {bit_sum_cols}
+            FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+                FROM (
+                    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+                    FROM documents
+                )
+            )
+            GROUP BY doc_id
+        )
+        ORDER BY doc_id
+    """
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_sql_duckdb()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard for candidate pairs that share an LSH band.
+
+    The self-join runs on the band key (bucket-local), never all-pairs;
+    at scale the band shuffle is the only data movement and bucket sizes
+    are bounded by the band width.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    band = F.concat(F.substring("sig_0", 1, 8), F.lit("|"), F.substring("sig_1", 1, 8))
+    banded = sigs.select("doc_id", band.alias("band"))
+    words = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))).alias("words"),
+    )
+    banded = banded.join(words, "doc_id")
+    a = banded.select(
+        F.col("band"), F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b")
+    )
+    pairs = a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("words_a", "words_b"))
+    union = F.size(F.array_union("words_a", "words_b"))
+    return (
+        pairs.select(
+            "doc_a", "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_DEDUP_JACCARD = f"""
+    WITH sigs AS ({_minhash_sql_duckdb()}),
+    banded AS (
+        SELECT s.doc_id,
+               substr(s.sig_0, 1, 8) || '|' || substr(s.sig_1, 1, 8) AS band,
+               list_sort(list_distinct(string_split(lower(d.text), ' '))) AS words
+        FROM sigs s JOIN documents d USING (doc_id)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.words, b.words))::DOUBLE
+                 / greatest(len(list_distinct(list_concat(a.words, b.words))), 1), 4) AS jaccard
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard_candidates": q_dedup_jaccard_candidates,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_jaccard_candidates": ORACLE_DEDUP_JACCARD,
+}

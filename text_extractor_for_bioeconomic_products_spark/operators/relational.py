@@ -1,0 +1,313 @@
+"""Relational operator surface (SURVEY §2.2-2.7) over the testdata tables.
+
+Each ``q_*`` takes (spark, sf_dir) → DataFrame and has a matching ANSI-SQL
+oracle in ORACLE_SQL (runnable by DuckDB on the same parquet views).
+Column aliases match exactly between both sides (driver hashes by sorted
+column name).  Floats are rounded to 4 decimals on both sides.
+
+Plan notes per query document the physical strategy we expect at scale
+(broadcast vs shuffle, pushdown, TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+
+# --- O1 / F5: dynamic-predicate top-k search (database.py:290-342) --------
+
+def q_topk_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + range predicate + ORDER BY ... LIMIT → TakeOrderedAndProject;
+    both predicates push into the parquet scan."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders
+        .filter(F.col("o_orderpriority").like("1-URGENT%") & (F.col("o_totalprice") >= 100000))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --- O2: recent-first limit (database.py:445-449) -------------------------
+
+def q_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+# --- A1/A6: hash aggregate with partial combine (pdf_processor.py:124-171)
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate — partial (map-side) agg + single
+    shuffle on the 6-value group key; whole-stage codegen end-to-end."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- A6: conditional-count buckets (database.py:503-515) -------------------
+
+def q_order_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.sum(F.when(F.col("o_totalprice") < 50000, 1).otherwise(0)).alias("bucket_low"),
+        F.sum(F.when((F.col("o_totalprice") >= 50000) & (F.col("o_totalprice") < 150000), 1).otherwise(0)).alias("bucket_mid"),
+        F.sum(F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0)).alias("bucket_high"),
+        F.count("*").alias("total"),
+    )
+
+
+# --- J1 (broadcast dim join) + A2 (database.py:473-501) --------------------
+
+def q_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation is a 25-row dim → broadcast hash join, zero shuffle for the
+    join; the groupBy shuffles on n_name only."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- J1 (fact-fact join) + A7 ----------------------------------------------
+
+def q_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem on orderkey — the one genuinely big shuffle join;
+    AQE handles skew/coalescing.  At 100 TB both sides would be bucketed on
+    orderkey to make this co-located (sources/sinks write bucketed)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- J4: gazetteer membership as broadcast semi join (validation.py:176-178)
+
+def q_american_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    amer_nations = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+                     nation.n_regionkey == region.r_regionkey, "left_semi")
+    )
+    return (
+        supplier.join(F.broadcast(amer_nations),
+                       supplier.s_nationkey == amer_nations.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- U1/U2: union + distinct (direct_batch_process.py:133-137) -------------
+
+def q_active_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+# --- A8/O5: order-stable distinct collection (extraction_result.py:104-109)
+
+def q_region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_array(collect_set(...)) — the determinism rule for collected
+    sets (SURVEY §7.4); emitted as a joined string for oracle comparison."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+# --- W2: stable ordering window (the core ordering contract) ---------------
+
+def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+# --- W2: lag() cross-row feature -------------------------------------------
+
+def q_event_value_increases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("value") > F.col("prev_value"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_increases"))
+        .orderBy("event_type")
+    )
+
+
+# --- A2/A3: per-type stats with distinct count ------------------------------
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SQL = {
+    "topk_urgent_orders": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderpriority LIKE '1-URGENT%' AND o_totalprice >= 100000
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+    "recent_orders": """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey ASC
+        LIMIT 50
+    """,
+    "lineitem_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "order_price_buckets": """
+        SELECT sum(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS bucket_low,
+               sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS bucket_mid,
+               sum(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS bucket_high,
+               count(*) AS total
+        FROM orders
+    """,
+    "customers_per_nation": """
+        SELECT n_name,
+               count(*) AS n_customers,
+               round(avg(c_acctbal), 4) AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    "revenue_by_priority": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_orderkey) AS n_orders,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "american_suppliers": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (
+            SELECT n_nationkey FROM nation
+            WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'AMERICA')
+        )
+        ORDER BY s_suppkey
+    """,
+    "active_nation_keys": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "region_nation_list": """
+        SELECT r_name,
+               array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    "first_event_per_user": """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+        ORDER BY user_id
+    """,
+    "event_value_increases": """
+        SELECT event_type, count(*) AS n_increases FROM (
+            SELECT event_type, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+            FROM events
+        ) WHERE value > prev_value
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "event_type_stats": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}
+
+QUERIES = {
+    "topk_urgent_orders": q_topk_urgent_orders,
+    "recent_orders": q_recent_orders,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "order_price_buckets": q_order_price_buckets,
+    "customers_per_nation": q_customers_per_nation,
+    "revenue_by_priority": q_revenue_by_priority,
+    "american_suppliers": q_american_suppliers,
+    "active_nation_keys": q_active_nation_keys,
+    "region_nation_list": q_region_nation_list,
+    "first_event_per_user": q_first_event_per_user,
+    "event_value_increases": q_event_value_increases,
+    "event_type_stats": q_event_type_stats,
+}

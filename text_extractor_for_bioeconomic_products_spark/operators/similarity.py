@@ -1,0 +1,250 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths (graft requirement):
+* brute-force cosine top-k — the exact baseline; JVM-side zip_with /
+  aggregate lambda math, no Python.
+* LSH-bucketed ANN — deterministic random-hyperplane signatures; at scale
+  the bucket key is the shuffle key and candidate scoring is bucket-local.
+
+Dot products run in double with left-to-right array order in both Spark
+and the DuckDB oracle, then round(4), so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+DIM = 64
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force top-k (exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
+                      k: int = TOP_K) -> DataFrame:
+    """Top-k cosine neighbors of one query vector.
+
+    The single query row is crossed (broadcast — one row) against the
+    corpus; TakeOrderedAndProject keeps only k rows per partition before
+    the final merge, so the full similarity column never materializes.
+    """
+    q = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_embedding"))
+    )
+    scored = embeddings.filter(F.col("vec_id") != query_vec_id).crossJoin(
+        F.broadcast(q)
+    )
+    return (
+        scored.select(
+            "vec_id", "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(load(spark, sf_dir, "embeddings"))
+
+
+_DUCK_DOT = (
+    "list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),"
+    " x -> x[1] * x[2]))"
+)
+_DUCK_NORM_E = "sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))"
+_DUCK_NORM_Q = "sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)))"
+
+ORACLE_ANN_BRUTE_FORCE = f"""
+    SELECT e.vec_id, e.label,
+           round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes, deterministic)
+# ---------------------------------------------------------------------------
+
+# 4 planes → 16 buckets: coarse enough that buckets hold real candidate
+# sets at sf0.01 (8 planes left ~1 candidate per bucket); widen on larger
+# corpora — bucket count scales 2^planes.
+N_PLANES = 4
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> List[List[float]]:
+    """±1 hyperplane components derived from md5(plane, dim) parity —
+    deterministic across processes/executors, no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            digest = hashlib.md5(f"plane:{p}:{d}".encode()).digest()
+            row.append(1.0 if digest[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_column(emb: Column, n_planes: int = N_PLANES) -> Column:
+    """Signature bit p = sign(dot(v, plane_p)); packed into an int key."""
+    planes = _hyperplanes(n_planes)
+    sig = F.lit(0)
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(emb, plane_col) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
+                  k: int = TOP_K) -> DataFrame:
+    """ANN: score only vectors sharing the query's hyperplane bucket.
+
+    At 100 TB: bucket assignment is a narrow map; candidates shuffle on
+    the bucket key (2^N_PLANES buckets — widen planes for finer buckets);
+    per-bucket top-k then a cheap global merge.
+    """
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_column(F.col("embedding")))
+    q = (
+        bucketed.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket"))
+    )
+    cands = bucketed.join(
+        F.broadcast(q), bucketed.bucket == F.col("q_bucket")
+    ).filter(F.col("vec_id") != query_vec_id)
+    return (
+        cands.select(
+            "vec_id", "label", "bucket",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _lsh_sql_duckdb() -> str:
+    planes = _hyperplanes()
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding::DOUBLE[], {arr}::DOUBLE[]),"
+            " x -> x[1] * x[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+ORACLE_ANN_LSH = f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding, {_lsh_sql_duckdb()} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT embedding, bucket FROM bucketed WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label, e.bucket,
+           round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) AS cos_sim
+    FROM bucketed e, q
+    WHERE e.bucket = q.bucket AND e.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: cosine > threshold within LSH buckets (dedup family)
+# ---------------------------------------------------------------------------
+
+# synthetic embeddings are near-orthogonal (max same-label cosine ≈ 0.47,
+# p99 ≈ 0.30); 0.28 marks the "suspiciously close" tail for this corpus
+NEAR_DUP_THRESHOLD = 0.28
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", lsh_bucket_column(F.col("embedding")))
+    a = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4)
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") > NEAR_DUP_THRESHOLD)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_DUCK_PAIR_DOT = (
+    "list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),"
+    " x -> x[1] * x[2]))"
+)
+_DUCK_PAIR_NA = "sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))"
+_DUCK_PAIR_NB = "sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))"
+
+ORACLE_EMBEDDING_NEAR_DUPS = f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_lsh_sql_duckdb()} AS bucket
+        FROM embeddings
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DUCK_PAIR_DOT} / ({_DUCK_PAIR_NA} * {_DUCK_PAIR_NB}), 4) AS cos_sim
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_DUCK_PAIR_DOT} / ({_DUCK_PAIR_NA} * {_DUCK_PAIR_NB}), 4) > {NEAR_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "ann_brute_force": q_ann_brute_force,
+    "ann_lsh": q_ann_lsh,
+    "embedding_near_dups": q_embedding_near_dups,
+}
+
+ORACLE_SQL = {
+    "ann_brute_force": ORACLE_ANN_BRUTE_FORCE,
+    "ann_lsh": ORACLE_ANN_LSH,
+    "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
+}

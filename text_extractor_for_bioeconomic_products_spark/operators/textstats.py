@@ -1,0 +1,256 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data-pipeline operators: language ID, quality
+scoring, token counting, fingerprinting — each SQL-expressible so the
+DuckDB oracle can check it, plus the faithful-UDF extraction query
+(rows-only check; its byte-exactness is covered by the pytest oracle).
+
+The SQL-expressible language detector is generated programmatically from
+rules.LANGUAGE_PATTERNS in BOTH dialects, so Spark and DuckDB evaluate
+the identical formula.  (The Python-regex UDF version in functions/udfs.py
+remains the engine's faithful default; on the ASCII documents corpus the
+two are equivalent.)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import rules
+from ..functions.udfs import extract_turn_features
+from ..sources.tables import load
+
+# ---------------------------------------------------------------------------
+# T1 clean — native regexp chain (JVM/codegen path; ASCII-safe subset)
+# ---------------------------------------------------------------------------
+
+_CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x84\x86-\x9f]"
+
+
+def q_doc_clean_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace("text", r"\s+", " "), _CONTROL_CLASS, "")
+    )
+    return (
+        docs.select("doc_id", cleaned.alias("clean_text"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_CLEAN = f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '{_CONTROL_CLASS}', '', 'g')) AS clean_text
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T7 token counting + corpus stats per language
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.floor(F.length("text") / 4)).alias("est_tokens"),
+            F.sum(F.size(F.split("text", " "))).alias("n_words"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DOC_TOKEN_STATS = """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CAST(floor(length(text) / 4) AS BIGINT)) AS est_tokens,
+           sum(len(string_split(text, ' '))) AS n_words,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# M5 language detection — dual-dialect generated SQL
+# ---------------------------------------------------------------------------
+
+def _lang_score_sql(lang: str, dialect: str) -> str:
+    """Score = Σ whole-word keyword counts + 2·Σ indicator char counts."""
+    pat = rules.LANGUAGE_PATTERNS[lang]
+    kw_alt = "|".join(re.escape(k) for k in pat["keywords"])
+    # identical RE2/Java-compatible pattern in both dialects; Spark SQL
+    # string literals process backslash escapes, DuckDB's do not
+    regex = rf"\b(?:{kw_alt})\b"
+    if dialect == "spark":
+        kw = f"size(regexp_extract_all(lower(text), '{regex.replace(chr(92), chr(92) * 2)}', 0))"
+    else:
+        kw = f"len(regexp_extract_all(lower(text), '{regex}'))"
+    parts = [kw]
+    for ind in pat["indicators"]:
+        parts.append(
+            f"2 * (length(lower(text)) - length(replace(lower(text), '{ind}', '')))"
+        )
+    return " + ".join(parts)
+
+
+def lang_detect_sql(table: str, id_col: str, dialect: str) -> str:
+    """Generate the full argmax query (declaration-order tie-break)."""
+    s = {lang: _lang_score_sql(lang, dialect) for lang in rules.LANGUAGE_ORDER}
+    return f"""
+        SELECT {id_col},
+               CASE
+                 WHEN length(text) < 20 THEN 'unknown'
+                 WHEN s_es = 0 AND s_pt = 0 AND s_en = 0 AND s_fr = 0 THEN 'unknown'
+                 WHEN s_es >= s_pt AND s_es >= s_en AND s_es >= s_fr THEN 'spanish'
+                 WHEN s_pt >= s_en AND s_pt >= s_fr THEN 'portuguese'
+                 WHEN s_en >= s_fr THEN 'english'
+                 ELSE 'french'
+               END AS lang_detected
+        FROM (
+            SELECT {id_col}, text,
+                   {s['spanish']} AS s_es,
+                   {s['portuguese']} AS s_pt,
+                   {s['english']} AS s_en,
+                   {s['french']} AS s_fr
+            FROM {table}
+        )
+        ORDER BY {id_col}
+    """
+
+
+def q_doc_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_lang_src")
+    return spark.sql(lang_detect_sql("documents_lang_src", "doc_id", "spark"))
+
+
+ORACLE_DOC_LANG_DETECT = lang_detect_sql("documents", "doc_id", "duckdb")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+_STOP_RE = r"\b(?:" + "|".join(_STOPWORDS) + r")\b"
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality: word count, mean word length, stopword
+    ratio, alpha ratio — the heuristics a pretraining filter applies."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_STOP_RE), 0))
+    alpha_chars = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    quality = F.round(
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+        + (n_stop / F.greatest(n_words, F.lit(1))) * 0.3
+        + (alpha_chars / F.greatest(F.length("text"), F.lit(1))) * 0.3,
+        4,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_stop.alias("n_stopwords"),
+            F.round(alpha_chars / F.greatest(F.length("text"), F.lit(1)), 4).alias("alpha_ratio"),
+            quality.alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_QUALITY = f"""
+    SELECT doc_id,
+           n_words,
+           n_stopwords,
+           round(alpha_chars / greatest(length(text), 1), 4) AS alpha_ratio,
+           round(least(n_words / 100.0, 1.0) * 0.4
+                 + (n_stopwords / greatest(n_words, 1)) * 0.3
+                 + (alpha_chars / greatest(length(text), 1)) * 0.3, 4) AS quality
+    FROM (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_words,
+               len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stopwords,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha_chars
+        FROM documents
+    )
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (md5 whole-text + prefix band)
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(norm).alias("fingerprint"),
+            F.substring(F.md5(norm), 1, 8).alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8) AS band
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full faithful extraction over documents (rows-only driver check; byte
+# exactness covered by the pytest pandas-oracle suite)
+# ---------------------------------------------------------------------------
+
+def q_doc_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feat = F.col("_feat")
+    return (
+        docs.withColumn("_feat", extract_turn_features(F.col("text")))
+        .select(
+            "doc_id",
+            feat["clean_text"].alias("clean_text"),
+            feat["lang"].alias("lang_detected"),
+            F.round(feat["relevance"], 4).alias("relevance"),
+            feat["n_tokens"].alias("n_tokens"),
+            F.size(feat["spans"]).alias("n_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "doc_clean_basic": q_doc_clean_basic,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_lang_detect": q_doc_lang_detect,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_extract_full": q_doc_extract_full,
+}
+
+ORACLE_SQL = {
+    "doc_clean_basic": ORACLE_DOC_CLEAN,
+    "doc_token_stats": ORACLE_DOC_TOKEN_STATS,
+    "doc_lang_detect": ORACLE_DOC_LANG_DETECT,
+    "doc_quality": ORACLE_DOC_QUALITY,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    # doc_extract_full: intentionally no oracle (UDF pipeline; rows-only)
+}
