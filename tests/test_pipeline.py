@@ -1,0 +1,153 @@
+"""Checkpoint/resume, lineage, sinks, streaming, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from text_extractor_for_bioeconomic_products_spark.operators.extract import (
+    explode_spans,
+    extract_turns,
+)
+from text_extractor_for_bioeconomic_products_spark.plans.pipeline import (
+    run_extraction,
+)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def test_run_extraction_full_and_resume(spark, transcripts_df, out_dir):
+    r1 = run_extraction(spark, transcripts_df, out_dir, run_id="r1", n_buckets=8)
+    assert r1.buckets_processed > 0
+    assert r1.n_turns == transcripts_df.count()
+    turns = spark.read.parquet(os.path.join(out_dir, "turns_extracted"))
+    assert turns.count() == r1.n_turns
+    spans = spark.read.parquet(os.path.join(out_dir, "product_spans"))
+    assert spans.count() == r1.n_spans > 0
+
+    # resume: everything already processed → nothing recomputed
+    r2 = run_extraction(spark, transcripts_df, out_dir, run_id="r2", n_buckets=8)
+    assert r2.buckets_processed == 0
+    assert r2.buckets_skipped == r1.buckets_processed
+    assert spark.read.parquet(os.path.join(out_dir, "turns_extracted")).count() == r1.n_turns
+
+
+def test_run_extraction_partial_resume(spark, transcripts_df, out_dir):
+    """Simulate a crash after half the buckets: preload a partial manifest;
+    the rerun must process exactly the missing buckets, idempotently."""
+    from pyspark.sql import functions as F
+
+    full = run_extraction(spark, transcripts_df, out_dir + "_ref", run_id="ref", n_buckets=8)
+
+    # process only buckets 0..3 first (filter the input to simulate)
+    part_df = transcripts_df.filter(
+        F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int") < 4
+    )
+    r1 = run_extraction(spark, part_df, out_dir, run_id="r1", n_buckets=8)
+    # now run over the full input — only the remaining buckets execute
+    r2 = run_extraction(spark, transcripts_df, out_dir, run_id="r2", n_buckets=8)
+    assert r1.buckets_processed + r2.buckets_processed == full.buckets_processed
+    total = spark.read.parquet(os.path.join(out_dir, "turns_extracted")).count()
+    assert total == full.n_turns
+
+
+def test_lineage_counters(spark, transcripts_df, out_dir):
+    r = run_extraction(spark, transcripts_df, out_dir, run_id="lin", n_buckets=8)
+    lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    rows = lineage.collect()
+    assert {row["run_id"] for row in rows} == {"lin"}
+    assert sum(row["n_turns"] for row in rows) == r.n_turns
+    assert sum(row["n_spans"] for row in rows) == r.n_spans
+    assert all(row["n_errors"] == 0 for row in rows)
+
+
+def test_csv_sink_explode_outer_semantics(spark, transcripts_df, tmp_path):
+    """S9: a span with empty tipos_uso still emits one CSV row
+    (batch_process.py:162-171 explode_outer contract)."""
+    from text_extractor_for_bioeconomic_products_spark.sources.sinks import (
+        write_spans_csv,
+    )
+    spans = explode_spans(extract_turns(transcripts_df))
+    n_spans = spans.count()
+    from pyspark.sql import functions as F
+    n_uses = spans.select(F.sum(F.greatest(F.size("tipos_uso"), F.lit(1)))).collect()[0][0]
+    path = str(tmp_path / "csv")
+    write_spans_csv(spans, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == n_uses >= n_spans
+
+
+def test_json_sink(spark, transcripts_df, tmp_path):
+    from text_extractor_for_bioeconomic_products_spark.sources.sinks import (
+        write_spans_json,
+    )
+    spans = explode_spans(extract_turns(transcripts_df))
+    path = str(tmp_path / "json")
+    write_spans_json(spans, path)
+    back = spark.read.json(path)
+    assert back.count() == spans.count()
+    assert "_meta" in back.columns
+
+
+def test_streaming_matches_batch(spark, transcripts_df, tmp_path):
+    """availableNow stream over the same input == batch output (row counts
+    and span totals)."""
+    from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
+        write_transcripts,
+    )
+    from text_extractor_for_bioeconomic_products_spark.streaming.pipeline import (
+        run_streaming_extraction,
+    )
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "stream_out")
+    write_transcripts(transcripts_df, in_dir)
+    run_streaming_extraction(spark, in_dir, out_dir, timeout_sec=180)
+    got = spark.read.parquet(os.path.join(out_dir, "turns_extracted_stream"))
+    batch = extract_turns(transcripts_df).drop("spans")
+    assert got.count() == batch.count()
+    from pyspark.sql import functions as F
+    assert (
+        got.agg(F.sum("n_spans")).collect()[0][0]
+        == batch.agg(F.sum("n_spans")).collect()[0][0]
+    )
+
+
+def test_multimodal_plumbing(spark):
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        extract_media_features,
+        frame_sample_stub,
+        resize_stub,
+        synthesize_media,
+    )
+    media = synthesize_media(spark, n=60)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 60
+    assert all(f["valid"] for f in feats)
+    assert all(f["width"] >= 16 and f["height"] >= 16 for f in feats)
+    # determinism: same synth → same hashes
+    feats2 = extract_media_features(synthesize_media(spark, n=60)).collect()
+    assert sorted(f["sha256"] for f in feats) == sorted(f["sha256"] for f in feats2)
+    # resize clamps dims
+    resized = extract_media_features(resize_stub(media, max_dim=32)).collect()
+    assert all(max(f["width"], f["height"]) <= 32 for f in resized if f["valid"])
+    # frame sampling: only video rows, ≥1 frame each
+    frames = frame_sample_stub(media).collect()
+    video_ids = {f["media_id"] for f in frames}
+    assert video_ids and all(mid % 3 == 2 for mid in video_ids)
+
+
+def test_multimodal_invalid_payload_quarantined(spark):
+    """Non-FAKE payload (the real-codec NotImplementedError path) is
+    flagged valid=false, never fails the job."""
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+    rows = [(0, "image", b"\x89PNG not really", ("s", "image/png"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_media_features(media).collect()
+    assert len(out) == 1 and out[0]["valid"] is False

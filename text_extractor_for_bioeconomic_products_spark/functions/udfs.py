@@ -61,6 +61,17 @@ def _safe_map(s: pd.Series, fn: Callable[[Any], Any], default: Any) -> pd.Series
     return s.map(guarded)
 
 
+def tag_spans_series(clean: pd.Series) -> pd.Series:
+    """Span tagging with a vectorized any-gazetteer-hit prefilter: rows
+    mentioning no product term (the common case at corpus scale) skip the
+    per-row tagger entirely."""
+    spans = pd.Series([[]] * len(clean), index=clean.index, dtype="object")
+    mask = clean.str.contains(rules.PRODUCT_ANY_RE.pattern, case=False, regex=True)
+    if bool(mask.any()):
+        spans.loc[mask] = _safe_map(clean[mask], rules.tag_product_spans, [])
+    return spans
+
+
 # ---------------------------------------------------------------------------
 # Single-pass turn featurizer: one Arrow round trip per batch computes every
 # per-turn derived column (clean text, language, relevance, token count,
@@ -90,7 +101,7 @@ def extract_turn_features(text: pd.Series) -> pd.DataFrame:
     langf = rules.detect_language_frame(clean)
     relevance = rules.relevance_series(clean)
     n_tokens = (clean.str.len() // 4).astype("int32")
-    spans = _safe_map(clean, rules.tag_product_spans, [])
+    spans = tag_spans_series(clean)
 
     return pd.DataFrame({
         "clean_text": clean,
@@ -151,7 +162,7 @@ def relevance_udf(text: pd.Series) -> pd.Series:
 @F.pandas_udf(T.ArrayType(SPAN_TYPE, False))
 def tag_spans_udf(clean_text: pd.Series) -> pd.Series:
     """X1-replacement span tagger over already-cleaned text."""
-    spans = _safe_map(clean_text.fillna(""), rules.tag_product_spans, [])
+    spans = tag_spans_series(clean_text.fillna(""))
     return spans.map(
         lambda sl: [
             (

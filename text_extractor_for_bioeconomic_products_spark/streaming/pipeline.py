@@ -1,0 +1,90 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The reference is strictly batch (SURVEY §2.11); this module is the
+engine's forward-looking stream path: the same stateless extraction
+operators applied via ``readStream`` → ``writeStream``.  Because
+``extract_turns`` is a narrow map, it is streaming-safe with no state
+store; per-conversation aggregation uses a watermark on ``ts``.
+
+``Trigger.AvailableNow`` gives batch-equivalent semantics for backfill —
+the test suite asserts stream output == batch output on the same input.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_turns
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str,
+                            max_files_per_trigger: int = 16) -> DataFrame:
+    """File-source stream over a transcripts parquet directory.
+
+    maxFilesPerTrigger bounds per-micro-batch work (the streaming analog
+    of spark.sql.files.maxPartitionBytes).
+    """
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def run_streaming_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+    timeout_sec: int = 300,
+) -> None:
+    """Stream transcripts → extract → parquet sink, exactly-once via the
+    streaming checkpoint (offset log + file-sink manifest)."""
+    stream = read_transcript_stream(spark, input_dir)
+    turns = extract_turns(stream).drop("spans")
+    writer = (
+        turns.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "turns_extracted_stream"))
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+    else:
+        q = writer.trigger(processingTime="10 seconds").start()
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def streaming_conversation_counts(
+    spark: SparkSession, input_dir: str, out_dir: str, timeout_sec: int = 300
+) -> None:
+    """Watermarked windowed aggregate: spans per conversation per 10-min
+    event-time window, late data beyond 30 min dropped — the stateful-op
+    pattern (watermark + window) on the extraction output."""
+    stream = read_transcript_stream(spark, input_dir)
+    turns = extract_turns(stream)
+    agg = (
+        turns.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes"), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_spans").alias("n_spans"),
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "conv_counts_stream"))
+        .option("checkpointLocation", os.path.join(out_dir, "_agg_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
