@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E402
     dedup,
+    normalize,
     relational,
     similarity,
     textstats,
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textstats.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
+    q.update(normalize.QUERIES)
     return q
 
 
@@ -73,4 +75,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(textstats.ORACLE_SQL)
     o.update(dedup.ORACLE_SQL)
     o.update(similarity.ORACLE_SQL)
+    o.update(normalize.ORACLE_SQL)
     return o

@@ -1,0 +1,278 @@
+"""Normalization & scalar-function operators as oracle-checked queries.
+
+Covers SURVEY §2.8-2.9 pieces that are SQL-expressible: M1 use-type
+synonym map, M2 country correction, T4 scientific-name fix, T7/BPE-ish
+token counting, T9 JSON extraction, plus F1 relevance scoring generated
+in both dialects.  Map-driven normalizations run over inline VALUES built
+from the exact rules-module tables, so the oracle checks the *data* of
+the maps, not just the plumbing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import rules
+from ..sources.tables import load
+
+# ---------------------------------------------------------------------------
+# M1 — use-type normalization over an inline VALUES table
+# ---------------------------------------------------------------------------
+
+# every synonym, every valid type, plus unknowns/case/whitespace probes
+_USE_INPUTS = sorted(
+    set(rules.USE_TYPE_MAP) | set(rules.VALID_USE_TYPES)
+    | {"XYZZY", "  Madeira ", "ALIMENTÍCIO", "", "42"}
+)
+
+
+def _values_clause(items, quote=lambda s: "'" + s.replace("'", "''") + "'"):
+    return ", ".join(f"({quote(i)})" for i in items)
+
+
+def q_normalize_use_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map lookup → valid-set check → 'outro' (response_parser.py:321-363)
+    as a broadcast map_lit expression chain."""
+    inputs = spark.createDataFrame([(i,) for i in _USE_INPUTS], "raw string")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rules.USE_TYPE_MAP.items() for x in kv]
+    )
+    lowered = F.trim(F.lower(F.col("raw")))
+    mapped = F.coalesce(mapping[lowered], lowered)
+    normalized = F.when(
+        mapped.isin(rules.VALID_USE_TYPES), mapped
+    ).otherwise(F.lit("outro"))
+    return inputs.select("raw", normalized.alias("tipo_uso")).orderBy("raw")
+
+
+def _oracle_use_types() -> str:
+    when = "\n".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in rules.USE_TYPE_MAP.items()
+    )
+    valid = ", ".join(f"'{v}'" for v in rules.VALID_USE_TYPES)
+    return f"""
+        SELECT raw,
+               CASE WHEN mapped IN ({valid}) THEN mapped ELSE 'outro' END AS tipo_uso
+        FROM (
+            SELECT raw,
+                   CASE trim(lower(raw)) {when} ELSE trim(lower(raw)) END AS mapped
+            FROM (VALUES {_values_clause(_USE_INPUTS)}) AS t(raw)
+        )
+        ORDER BY raw
+    """
+
+
+# ---------------------------------------------------------------------------
+# M2 + T4 — country correction + scientific-name fix
+# ---------------------------------------------------------------------------
+
+_COUNTRY_INPUTS = sorted(
+    set(rules.COUNTRY_CORRECTIONS) | {"Brasil", "PERÚ", "Guyana", "france", ""}
+)
+_SCI_INPUTS = [
+    "Euterpe oleracea", "euterpe OLERACEA", "UNCARIA tomentosa", "single",
+    "Myrciaria  dubia extra", "lowercase only", "",
+]
+
+
+def q_correct_countries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inputs = spark.createDataFrame([(i,) for i in _COUNTRY_INPUTS], "raw string")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rules.COUNTRY_CORRECTIONS.items() for x in kv]
+    )
+    corrected = F.coalesce(mapping[F.trim(F.lower("raw"))], F.trim("raw"))
+    return inputs.select("raw", corrected.alias("country")).orderBy("raw")
+
+
+def _oracle_countries() -> str:
+    when = "\n".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in rules.COUNTRY_CORRECTIONS.items()
+    )
+    return f"""
+        SELECT raw,
+               CASE trim(lower(raw)) {when} ELSE trim(raw) END AS country
+        FROM (VALUES {_values_clause(_COUNTRY_INPUTS)}) AS t(raw)
+        ORDER BY raw
+    """
+
+
+def q_fix_scientific_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (validation.py:225-245): valid 'Genus species' kept; two-word
+    inputs re-capitalized; everything else null."""
+    inputs = spark.createDataFrame([(i,) for i in _SCI_INPUTS], "raw string")
+    words = F.split(F.trim("raw"), r"\s+")
+    fixed = F.concat(F.initcap(words[0]), F.lit(" "), F.lower(words[1]))
+    pattern = "^[A-Z][a-z]+ [a-z]+$"
+    result = (
+        F.when(F.trim("raw").rlike(pattern), F.trim("raw"))
+        .when((F.size(words) >= 2) & fixed.rlike(pattern), fixed)
+        .otherwise(F.lit(None))
+    )
+    return inputs.select("raw", result.alias("scientific_name")).orderBy("raw")
+
+
+_ORACLE_SCI = f"""
+    SELECT raw,
+           CASE
+             WHEN regexp_matches(trim(raw), '^[A-Z][a-z]+ [a-z]+$') THEN trim(raw)
+             WHEN len(regexp_split_to_array(trim(raw), '\\s+')) >= 2
+                  AND regexp_matches(
+                        concat(upper(substr(regexp_split_to_array(trim(raw), '\\s+')[1], 1, 1)),
+                               lower(substr(regexp_split_to_array(trim(raw), '\\s+')[1], 2)),
+                               ' ',
+                               lower(regexp_split_to_array(trim(raw), '\\s+')[2])),
+                        '^[A-Z][a-z]+ [a-z]+$')
+             THEN concat(upper(substr(regexp_split_to_array(trim(raw), '\\s+')[1], 1, 1)),
+                         lower(substr(regexp_split_to_array(trim(raw), '\\s+')[1], 2)),
+                         ' ',
+                         lower(regexp_split_to_array(trim(raw), '\\s+')[2]))
+             ELSE NULL
+           END AS scientific_name
+    FROM (VALUES {_values_clause(_SCI_INPUTS)}) AS t(raw)
+    ORDER BY raw
+"""
+
+
+# ---------------------------------------------------------------------------
+# T9 — JSON extraction (events.props)
+# ---------------------------------------------------------------------------
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+    )
+
+
+_ORACLE_JSON = """
+    SELECT count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS distinct_k
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (graft requirement: whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"\w+|[^\w\s]"
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-pre-tokenizer-style counting: word runs + isolated punctuation,
+    vs the reference's len/4 heuristic (openai_client.py:190-192)."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    return (
+        docs.select(
+            "doc_id",
+            bpe.alias("bpe_tokens"),
+            F.floor(F.length("text") / 4).cast("long").alias("len4_tokens"),
+            F.size(F.split("text", r"\s+")).alias("ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_BPE = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
+           CAST(floor(length(text) / 4) AS BIGINT) AS len4_tokens,
+           len(regexp_split_to_array(text, '\\s+')) AS ws_tokens
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1 — relevance score, dual-dialect generated (exact, overlap-safe)
+# ---------------------------------------------------------------------------
+
+def _relevance_sql(dialect: str) -> str:
+    def count_re(pattern: str) -> str:
+        if dialect == "spark":
+            esc = pattern.replace("\\", "\\\\")
+            return f"size(regexp_extract_all(text, '{esc}', 0))"
+        return f"len(regexp_extract_all(text, '{pattern}'))"
+
+    cats = []
+    for cat, kws in rules.RELEVANT_KEYWORDS.items():
+        # IGNORECASE via lower(): keywords are lowercase ASCII
+        alt = r"\b(?:" + "|".join(re.escape(k) for k in kws) + r")\b"
+        if dialect == "spark":
+            esc = alt.replace("\\", "\\\\")
+            c = f"size(regexp_extract_all(lower(text), '{esc}', 0))"
+        else:
+            c = f"len(regexp_extract_all(lower(text), '{alt}'))"
+        w = rules._KEYWORD_WEIGHTS[cat]
+        cats.append(f"least({c} / nw * 100, 1.0) * {w}")
+    sci = count_re(r"\b[A-Z][a-z]+ [a-z]+\b")
+    # distinct-country count: one boolean per country group (substring
+    # containment, overlap-safe — matches helpers.py:233-283 exactly)
+    country_terms = []
+    for country, variants in rules.COUNTRY_VARIATIONS.items():
+        disj = " OR ".join(
+            f"contains(lower(text), '{v}')" for v in variants
+        )
+        country_terms.append(f"(CASE WHEN {disj} THEN 1 ELSE 0 END)")
+    for country in sorted(rules.LATAM_COUNTRIES - set(rules.COUNTRY_VARIATIONS)):
+        country_terms.append(
+            f"(CASE WHEN contains(lower(text), '{country}') THEN 1 ELSE 0 END)"
+        )
+    n_countries = " + ".join(country_terms)
+    tok = count_re(r"\S+")
+    return f"""
+        SELECT doc_id,
+               round(least(
+                 {' + '.join(cats)}
+                 + (CASE WHEN {sci} > 0 THEN least({sci} / nw * 50, 0.3) ELSE 0.0 END)
+                 + (CASE WHEN ({n_countries}) > 0 THEN least(({n_countries}) / 10.0, 0.2) ELSE 0.0 END)
+               , 1.0), 4) AS relevance
+        FROM (
+            SELECT doc_id, text,
+                   CAST(greatest({tok}, 1) AS DOUBLE) AS nw,
+                   {tok} AS raw_nw
+            FROM documents
+        )
+        WHERE raw_nw >= 0
+        ORDER BY doc_id
+    """
+
+
+def q_doc_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_rel_src")
+    sql = _relevance_sql("spark").replace("FROM documents", "FROM documents_rel_src")
+    return spark.sql(sql)
+
+
+QUERIES = {
+    "normalize_use_types": q_normalize_use_types,
+    "correct_countries": q_correct_countries,
+    "fix_scientific_names": q_fix_scientific_names,
+    "events_json_extract": q_events_json_extract,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
+    "doc_relevance": q_doc_relevance,
+}
+
+ORACLE_SQL = {
+    "normalize_use_types": _oracle_use_types(),
+    "correct_countries": _oracle_countries(),
+    "fix_scientific_names": _ORACLE_SCI,
+    "events_json_extract": _ORACLE_JSON,
+    "doc_bpe_tokens": _ORACLE_BPE,
+    "doc_relevance": _relevance_sql("duckdb"),
+}
