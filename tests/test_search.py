@@ -1,0 +1,83 @@
+"""Span search/filter operators (F2-F5, O1) + S1 format dispatch."""
+
+from __future__ import annotations
+
+import pytest
+
+from text_extractor_for_bioeconomic_products_spark.operators.extract import (
+    explode_spans,
+    extract_turns,
+)
+from text_extractor_for_bioeconomic_products_spark.operators.search import (
+    filter_by_category,
+    filter_by_confidence,
+    filter_by_country,
+    search_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def spans(transcripts_df):
+    df = explode_spans(extract_turns(transcripts_df))
+    df.cache()
+    df.count()
+    return df
+
+
+def test_filter_by_confidence(spans):
+    hi = filter_by_confidence(spans, 0.9)
+    assert hi.count() > 0
+    assert hi.filter("confianca < 0.9").count() == 0
+
+
+def test_filter_by_country_case_insensitive(spans):
+    got = filter_by_country(spans, ["BRAZIL"])
+    assert got.count() > 0
+    rows = got.limit(50).collect()
+    assert all(any(p.lower() == "brazil" for p in r["paises"]) for r in rows)
+
+
+def test_filter_by_category_exists(spans):
+    med = filter_by_category(spans, "medicinal")
+    assert med.count() > 0
+    assert all("medicinal" in r["tipos_uso"] for r in med.limit(50).collect())
+
+
+def test_search_spans_composed(spans):
+    got = search_spans(
+        spans, name_like="maca", country="Peru", min_confidence=0.5, limit=10
+    ).collect()
+    assert 0 < len(got) <= 10
+    assert all("maca" in r["nome_canonico"] for r in got)
+    # ordered by confidence desc
+    confs = [r["confianca"] for r in got]
+    assert confs == sorted(confs, reverse=True)
+
+
+def test_search_spans_no_filters_topk(spans):
+    got = search_spans(spans, limit=5).collect()
+    assert len(got) == 5
+
+
+def test_format_dispatch_roundtrip(spark, transcripts_df, tmp_path):
+    """S1: json and csv transcript scans produce the same rows as parquet."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
+        read_transcripts,
+    )
+
+    sample = transcripts_df.limit(200).cache()
+    n = sample.count()
+    pq, js = str(tmp_path / "pq"), str(tmp_path / "js")
+    sample.write.parquet(pq)
+    sample.write.json(js)
+    assert read_transcripts(spark, pq, "parquet").count() == n
+    back = read_transcripts(spark, js, "json")
+    assert back.count() == n
+    # value fidelity on the key + text columns
+    a = sample.select(F.sum(F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)"))).collect()
+    b = back.select(F.sum(F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)"))).collect()
+    assert a == b
+    with pytest.raises(ValueError, match="unsupported"):
+        read_transcripts(spark, pq, "xml")

@@ -237,8 +237,49 @@ def q_doc_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# W1 — overlapping chunk offsets (rows-only; loop semantics not in SQL)
+# ---------------------------------------------------------------------------
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_text offsets (helpers.py:103-150; 2500/150 settings defaults
+    config/settings.py:114-124) — UDTF shape via posexplode of the chunk
+    array; offsets are exact (SURVEY §7.4 documents the deliberate fix of
+    the reference's overlap drift)."""
+    from ..functions.udfs import CHUNK_TYPE
+
+    # 200/20 here (vs the 2500/150 production defaults) so the short-doc
+    # corpus actually produces multi-chunk output with overlaps
+    # (annotation-free: the decorator's returnType + SCALAR default apply)
+    def _chunk_small(text):
+        return text.fillna("").map(
+            lambda t: [
+                (c["chunk_id"], c["begin"], c["end"])
+                for c in rules.chunk_text(t, chunk_size=200, overlap=20)
+            ]
+        )
+
+    chunk_small = F.pandas_udf(_chunk_small, CHUNK_TYPE)
+
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("chunk")
+    return (
+        docs.select(
+            "doc_id", F.explode(chunk_small(F.col("text"))).alias("chunk")
+        )
+        .select(
+            "doc_id",
+            c["chunk_id"].alias("chunk_id"),
+            c["begin"].alias("begin"),
+            c["end"].alias("end"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 QUERIES = {
     "doc_clean_basic": q_doc_clean_basic,
+    "doc_chunks": q_doc_chunks,
     "doc_token_stats": q_doc_token_stats,
     "doc_lang_detect": q_doc_lang_detect,
     "doc_quality": q_doc_quality,

@@ -138,5 +138,20 @@ def write_transcripts(df: DataFrame, path: str, shuffled: bool = True) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """S1 format-dispatch scan (text_extractor.py:28-48 analog): route by
+    format with the explicit schema — never inferSchema (SURVEY §1.3).
+    Unsupported format ⇒ error, matching the reference's dispatch."""
+    if fmt == "parquet":
+        return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    if fmt == "json":
+        return spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
+    if fmt == "csv":
+        return (
+            spark.read.schema(TRANSCRIPT_SCHEMA)
+            .option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .csv(path)
+        )
+    raise ValueError(f"unsupported transcript format: {fmt}")
