@@ -237,14 +237,118 @@ ORACLE_EMBEDDING_NEAR_DUPS = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer (centroid per cluster) → probe nearest
+# centroids → exact search within probed cells
+# ---------------------------------------------------------------------------
+
+N_PROBE = 2
+
+
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """Coarse quantizer: per-cluster centroid via element-wise mean.
+
+    Clusters come from the ``label`` column (at 100 TB these would be
+    k-means assignments computed once offline); the centroid reduce is a
+    single groupBy over posexploded components — one shuffle keyed
+    (label, dim), bounded by n_clusters × dim rows.
+    """
+    comp = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    means = comp.groupBy("label", "dim").agg(F.avg("v").alias("m"))
+    return (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            "label",
+            F.transform("dm", lambda x: x["m"]).alias("centroid"),
+        )
+    )
+
+
+def ann_ivf_topk(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
+                  k: int = TOP_K, n_probe: int = N_PROBE) -> DataFrame:
+    """IVF search: score the query against every centroid (tiny, broadcast),
+    keep the n_probe nearest cells, exact-search only rows in those cells."""
+    cents = ivf_centroids(embeddings)
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            cosine(F.col("centroid"), F.col("q_embedding")).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("label"))
+        .limit(n_probe)
+        .select("label")
+    )
+    cands = embeddings.join(F.broadcast(probed), "label").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+_DUCK_CENT_DOT = (
+    "list_sum(list_transform(list_zip(c.centroid, q.embedding::DOUBLE[]),"
+    " x -> x[1] * x[2]))"
+)
+_DUCK_CENT_NORM = "sqrt(list_sum(list_transform(c.centroid, x -> x*x)))"
+
+ORACLE_ANN_IVF = f"""
+    WITH cents AS (
+        SELECT label, list(m ORDER BY dim) AS centroid
+        FROM (
+            SELECT label, dim, avg(v) AS m
+            FROM (
+                SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            )
+            GROUP BY label, dim
+        )
+        GROUP BY label
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    probed AS (
+        SELECT c.label
+        FROM cents c, q
+        ORDER BY {_DUCK_CENT_DOT} / ({_DUCK_CENT_NORM} * {_DUCK_NORM_Q}) DESC, c.label ASC
+        LIMIT {N_PROBE}
+    )
+    SELECT e.vec_id, e.label,
+           round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) AS cos_sim
+    FROM embeddings e JOIN probed USING (label), q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
 ORACLE_SQL = {
     "ann_brute_force": ORACLE_ANN_BRUTE_FORCE,
     "ann_lsh": ORACLE_ANN_LSH,
+    "ann_ivf": ORACLE_ANN_IVF,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
 }

@@ -82,10 +82,15 @@ def synthesize_transcripts(
         F.when(F.col("conv_num") == 0, F.lit(max(mega_turns, 1)))
         .otherwise((F.lit(10) + F.pmod(F.col("conv_num") * 7919, F.lit(61))).cast("long")),
     )
-    # start offsets: prefix sum over the (small) conversation dimension
-    from pyspark.sql import Window
-    w = Window.orderBy("conv_num").rowsBetween(Window.unboundedPreceding, -1)
-    conv = conv.withColumn("start", F.coalesce(F.sum("size").over(w), F.lit(0)))
+    # start offsets by closed-form stride (max non-mega size is 70 < 71):
+    # no global window / prefix sum — a 10^10-conversation dimension would
+    # otherwise funnel through one partition.  Offsets only feed ts; they
+    # are unique globally and monotone within each conversation.
+    conv = conv.withColumn(
+        "start",
+        F.when(F.col("conv_num") == 0, F.lit(0))
+        .otherwise(F.lit(max(mega_turns, 1)) + (F.col("conv_num") - 1) * 71),
+    )
     conv = conv.withColumn(
         "conv_id", F.format_string("conv-%06d", F.col("conv_num").cast("int"))
     )

@@ -61,6 +61,68 @@ def run_streaming_extraction(
         q.stop()
 
 
+def run_stateful_conversation_tracker(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    running per-conversation totals (turns seen, spans seen, last
+    turn_idx) maintained across micro-batches in the state store — the
+    arbitrary-stateful-processing surface the graft requires."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_transcript_stream(spark, input_dir)
+    turns = extract_turns(stream).select("conv_id", "turn_idx", "n_spans")
+
+    out_schema = (
+        "conv_id string, turns_seen long, spans_seen long, max_turn_idx int"
+    )
+    state_schema = "turns_seen long, spans_seen long, max_turn_idx int"
+
+    def track(key, pdfs, state: GroupState):
+        turns_seen, spans_seen, max_idx = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        for pdf in pdfs:
+            turns_seen += len(pdf)
+            spans_seen += int(pdf["n_spans"].sum())
+            if len(pdf):
+                max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((turns_seen, spans_seen, max_idx))
+        yield pd.DataFrame({
+            "conv_id": [key[0]],
+            "turns_seen": [turns_seen],
+            "spans_seen": [spans_seen],
+            "max_turn_idx": [max_idx],
+        })
+
+    tracked = turns.groupBy("conv_id").applyInPandasWithState(
+        track, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    # update-mode state op needs an update-mode sink; the parquet file
+    # sink is append-only, so route through foreachBatch (the standard
+    # pattern for update-mode stateful output to files)
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(
+            os.path.join(out_dir, "conv_tracker_stream")
+        )
+
+    q = (
+        tracked.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_tracker_checkpoint"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
 def streaming_conversation_counts(
     spark: SparkSession, input_dir: str, out_dir: str, timeout_sec: int = 300
 ) -> None:
