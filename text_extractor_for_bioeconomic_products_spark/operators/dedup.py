@@ -244,8 +244,43 @@ ORACLE_DEDUP_JACCARD = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Keep-first canonical selection (the dedup output a pipeline consumes)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical row per near-dup group: group key = (lang, simhash);
+    the kept doc is the lowest doc_id (deterministic) — window rank over
+    the group, the standard 'representative per duplicate cluster' shape."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sh = simhash16(docs)
+    joined = docs.join(sh, "doc_id").select("doc_id", "lang", "simhash")
+    w = Window.partitionBy("lang", "simhash").orderBy("doc_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "simhash")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_KEEP_FIRST = f"""
+    WITH sh AS ({_simhash_sql_duckdb()})
+    SELECT doc_id, lang, simhash FROM (
+        SELECT d.doc_id, d.lang, sh.simhash,
+               row_number() OVER (PARTITION BY d.lang, sh.simhash ORDER BY d.doc_id) AS rk
+        FROM documents d JOIN sh USING (doc_id)
+    ) WHERE rk = 1
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_first": q_dedup_keep_first,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard_candidates": q_dedup_jaccard_candidates,
@@ -253,6 +288,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_keep_first": ORACLE_DEDUP_KEEP_FIRST,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_jaccard_candidates": ORACLE_DEDUP_JACCARD,

@@ -199,7 +199,95 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Sessionization: gap-based session ids (lag + conditional cumsum) ------
+
+SESSION_GAP_MIN = 30
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign session ids per user (new session when the gap to the
+    previous event exceeds SESSION_GAP_MIN minutes), then aggregate —
+    the classic two-window composition (lag → cumsum) with a single
+    user_id-partitioned shuffle."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; epoch seconds via
+    # unix_timestamp (session tz fixed to UTC in session.py)
+    epoch = F.unix_timestamp("ts")
+    gapped = events.withColumn(
+        "new_session",
+        F.when(
+            epoch - F.lag(epoch).over(w) > SESSION_GAP_MIN * 60, 1
+        ).otherwise(0),
+    )
+    sessioned = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --- Pivot-style conditional aggregation (A6 histogram shape) ---------------
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts per event_type as columns per user bucket — conditional-agg
+    pivot (DB statistics shape, database.py:503-515), expressed so both
+    engines compute the identical formula."""
+    events = load(spark, sf_dir, "events")
+    bucket = F.pmod(F.col("user_id"), F.lit(10)).alias("user_bucket")
+    types = ["click", "purchase", "view", "signup", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in types
+    ]
+    return (
+        events.groupBy(bucket).agg(*aggs).orderBy("user_bucket")
+    )
+
+
 ORACLE_SQL = {
+    "user_sessions": f"""
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               round(sum(value), 4) AS session_value,
+               min(event_id) AS first_event_id
+        FROM (
+            SELECT user_id, event_id, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM (
+                SELECT *,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > {SESSION_GAP_MIN * 60}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    "event_type_pivot": """
+        SELECT user_id % 10 AS user_bucket,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        FROM events
+        GROUP BY user_bucket
+        ORDER BY user_bucket
+    """,
     "topk_urgent_orders": """
         SELECT o_orderkey, o_totalprice, o_orderpriority
         FROM orders
@@ -298,6 +386,8 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "user_sessions": q_user_sessions,
+    "event_type_pivot": q_event_type_pivot,
     "topk_urgent_orders": q_topk_urgent_orders,
     "recent_orders": q_recent_orders,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,

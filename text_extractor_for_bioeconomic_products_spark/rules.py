@@ -335,6 +335,8 @@ def extract_countries(text: str) -> List[str]:
     sorted whole-set matches — deduplicated, order-preserving.
     """
     lower = text.lower()
+    if not _ANY_COUNTRY_RE.search(lower):
+        return []
     found: List[str] = []
     for country, variants in COUNTRY_VARIATIONS.items():
         for v in variants:
