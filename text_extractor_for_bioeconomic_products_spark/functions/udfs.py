@@ -61,12 +61,19 @@ def _safe_map(s: pd.Series, fn: Callable[[Any], Any], default: Any) -> pd.Series
     return s.map(guarded)
 
 
-def tag_spans_series(clean: pd.Series) -> pd.Series:
+def tag_spans_series(clean: pd.Series, lower: Optional[pd.Series] = None) -> pd.Series:
     """Span tagging with a vectorized any-gazetteer-hit prefilter: rows
     mentioning no product term (the common case at corpus scale) skip the
     per-row tagger entirely."""
+    if lower is None:
+        lower = clean.str.lower()
     spans = pd.Series([[]] * len(clean), index=clean.index, dtype="object")
-    mask = clean.str.contains(rules.PRODUCT_ANY_RE.pattern, case=False, regex=True)
+    # lowered prefilter (plain scan, non-capturing pattern); rows where
+    # lowercasing changes length bypass it — the tagger handles those with
+    # its IGNORECASE fallback, so no false negatives
+    mask = lower.str.contains(rules.PRODUCT_ANY_RE.pattern, regex=True) | (
+        lower.str.len() != clean.str.len()
+    )
     if bool(mask.any()):
         spans.loc[mask] = _safe_map(clean[mask], rules.tag_product_spans, [])
     return spans
@@ -98,10 +105,11 @@ def extract_turn_features(text: pd.Series) -> pd.DataFrame:
             stripped = stripped.where(~failed, text)
 
     clean = rules.clean_series_rich(stripped)
-    langf = rules.detect_language_frame(clean)
-    relevance = rules.relevance_series(clean)
+    clean_lower = clean.str.lower()  # one lowercase pass, shared by stages
+    langf = rules.detect_language_frame(clean, lower=clean_lower)
+    relevance = rules.relevance_series(clean, lower=clean_lower)
     n_tokens = (clean.str.len() // 4).astype("int32")
-    spans = tag_spans_series(clean)
+    spans = tag_spans_series(clean, lower=clean_lower)
 
     return pd.DataFrame({
         "clean_text": clean,

@@ -233,10 +233,13 @@ def detect_language(text: Optional[str]) -> Tuple[str, float]:
     return best, conf
 
 
-def detect_language_frame(s: pd.Series) -> pd.DataFrame:
-    """Vectorized language detection → DataFrame(lang, lang_conf)."""
+def detect_language_frame(s: pd.Series, lower: Optional[pd.Series] = None) -> pd.DataFrame:
+    """Vectorized language detection → DataFrame(lang, lang_conf).
+
+    ``lower`` lets callers share one lowercase pass across stages."""
     s = s.fillna("")
-    lower = s.str.lower()
+    if lower is None:
+        lower = s.str.lower()
     score_cols = {}
     for lang in LANGUAGE_ORDER:
         total = lower.str.count(_LANG_ALT_RES[lang].pattern)
@@ -371,10 +374,11 @@ def relevance_score(text: Optional[str]) -> float:
     return min(score, 1.0)
 
 
-def relevance_series(s: pd.Series) -> pd.Series:
+def relevance_series(s: pd.Series, lower: Optional[pd.Series] = None) -> pd.Series:
     """Vectorized :func:`relevance_score`."""
     s = s.fillna("")
-    lower = s.str.lower()
+    if lower is None:
+        lower = s.str.lower()
     total_words = s.str.count(_TOKEN_RE.pattern).astype("float64")
     nz = total_words.where(total_words > 0, 1.0)
     score = pd.Series(0.0, index=s.index)
