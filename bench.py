@@ -67,12 +67,23 @@ def _sf_value() -> float:
 
 
 def phase_generate(input_dir: str) -> int:
-    """Synthesize + persist bench transcripts once (excluded from timing)."""
+    """Synthesize + persist bench transcripts once (excluded from timing).
+
+    The corpus is deterministic (seed 42), so an existing directory with
+    the expected conversation count is reused as-is."""
     from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
         synthesize_transcripts, write_transcripts,
     )
     spark = _get_spark(CPUS)
     n_convs = SF_CONVS.get(_sf_label(), 500)
+    try:
+        existing = spark.read.parquet(input_dir)
+        if existing.select("conv_id").distinct().count() == n_convs:
+            n = existing.count()
+            spark.stop()
+            return n
+    except Exception:
+        pass
     df = synthesize_transcripts(spark, n_convs=n_convs, seed=42)
     write_transcripts(df, input_dir)
     n = spark.read.parquet(input_dir).count()
