@@ -235,6 +235,46 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Tumbling-window time aggregation (batch twin of the streaming agg) ----
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per hour bucket per type — F.window tumbling aggregation;
+    the batch twin of streaming_conversation_counts' windowed agg."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type", "n_events", "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# --- NTILE decile bucketing (rank-family window) ----------------------------
+
+def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile boundaries of order value — ntile window + per-decile agg."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("decile")
+    )
+
+
 # --- Pivot-style conditional aggregation (A6 histogram shape) ---------------
 
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +316,28 @@ ORACLE_SQL = {
         )
         GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """,
+    "events_hourly": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events
+        GROUP BY hour_start, event_type
+        ORDER BY hour_start, event_type
+    """,
+    "order_price_deciles": """
+        SELECT decile,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 4) AS min_price,
+               round(max(o_totalprice), 4) AS max_price
+        FROM (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+            FROM orders
+        )
+        GROUP BY decile
+        ORDER BY decile
     """,
     "event_type_pivot": """
         SELECT user_id % 10 AS user_bucket,
@@ -388,6 +450,8 @@ ORACLE_SQL = {
 QUERIES = {
     "user_sessions": q_user_sessions,
     "event_type_pivot": q_event_type_pivot,
+    "events_hourly": q_events_hourly,
+    "order_price_deciles": q_order_price_deciles,
     "topk_urgent_orders": q_topk_urgent_orders,
     "recent_orders": q_recent_orders,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
