@@ -12,8 +12,6 @@ LSH buckets, never as a global cross join.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -278,9 +276,88 @@ ORACLE_DEDUP_KEEP_FIRST = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed curation pipeline — the end-to-end training-data use case:
+# quality filter → language filter → dedup keep-first → per-language census
+# ---------------------------------------------------------------------------
+
+MIN_WORDS = 20
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (≥MIN_WORDS words) → keep-first per (lang, simhash) →
+    per-language counts + token totals.  One scan, one signature shuffle,
+    one window, one final agg — the whole curation pass in a single plan
+    Catalyst can pipeline."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= MIN_WORDS
+    )
+    sh = simhash16(docs)
+    joined = docs.join(sh, "doc_id")
+    w = Window.partitionBy("lang", "simhash").orderBy("doc_id")
+    kept = (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.floor(F.length("text") / 4)).alias("est_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _curation_sql_duckdb() -> str:
+    bit_sum_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+        WITH filtered AS (
+            SELECT * FROM documents
+            WHERE len(string_split(text, ' ')) >= {MIN_WORDS}
+        ),
+        sh AS (
+            SELECT doc_id, {sig} AS simhash
+            FROM (
+                SELECT doc_id, {bit_sum_cols}
+                FROM (
+                    SELECT doc_id,
+                           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+                    FROM (
+                        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+                        FROM filtered
+                    )
+                )
+                GROUP BY doc_id
+            )
+        ),
+        kept AS (
+            SELECT d.lang, d.text FROM (
+                SELECT d.doc_id,
+                       row_number() OVER (PARTITION BY d.lang, sh.simhash ORDER BY d.doc_id) AS rk
+                FROM filtered d JOIN sh USING (doc_id)
+            ) r JOIN filtered d ON r.doc_id = d.doc_id
+            WHERE r.rk = 1
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(CAST(floor(length(text) / 4) AS BIGINT)) AS est_tokens
+        FROM kept
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
+    "curation_pipeline": q_curation_pipeline,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard_candidates": q_dedup_jaccard_candidates,
@@ -289,6 +366,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_keep_first": ORACLE_DEDUP_KEEP_FIRST,
+    "curation_pipeline": _curation_sql_duckdb(),
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_jaccard_candidates": ORACLE_DEDUP_JACCARD,

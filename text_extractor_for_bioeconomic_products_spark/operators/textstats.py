@@ -15,7 +15,6 @@ two are equivalent.)
 from __future__ import annotations
 
 import re
-from typing import Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
