@@ -151,3 +151,19 @@ def test_multimodal_invalid_payload_quarantined(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = extract_media_features(media).collect()
     assert len(out) == 1 and out[0]["valid"] is False
+
+
+def test_lineage_no_duplicates_after_crash_resume(spark, transcripts_df, out_dir):
+    """Crash-after-data-before-manifest: rerun must overwrite the bucket's
+    lineage row, not append a duplicate."""
+    import shutil
+
+    r1 = run_extraction(spark, transcripts_df, out_dir, run_id="c1", n_buckets=8)
+    # simulate the crash window: drop the manifest (data + lineage durable)
+    shutil.rmtree(os.path.join(out_dir, "manifest"))
+    r2 = run_extraction(spark, transcripts_df, out_dir, run_id="c2", n_buckets=8)
+    assert r2.buckets_processed == r1.buckets_processed  # full rerun
+    lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    per_bucket = lineage.groupBy("bucket").count().filter("count > 1").count()
+    assert per_bucket == 0  # one lineage row per bucket, last attempt wins
+    assert sum(r["n_turns"] for r in lineage.collect()) == r1.n_turns

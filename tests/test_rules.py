@@ -364,3 +364,33 @@ def test_oracle_frames_shape():
     spans = rules.oracle_extract_spans(pdf)
     assert len(spans) == 3
     assert set(spans.columns) >= {"conv_id", "turn_idx", "begin", "end", "confianca"}
+
+
+# ---------------------------------------------------------------------------
+# Review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_spans_survive_unicode_casefold_mismatch():
+    """IGNORECASE can match 'ACAİ' (dotted capital I) whose .lower() is not
+    a gazetteer key — must skip that surface, keep the clean mentions."""
+    spans = rules.tag_product_spans("Our ACAİ stock: acai and MACA supplies food")
+    names = [s["nome_canonico"] for s in spans]
+    assert names == ["acai", "maca"]
+
+
+def test_use_types_not_consumed_by_overlapping_keywords():
+    """'treat' must not swallow the 'eat' inside 'treatment' (per-type
+    searches, not one combined alternation)."""
+    spans = rules.tag_product_spans("acai treatment plan")
+    assert spans[0]["tipos_uso"] == ["alimentar", "medicinal"]
+
+
+def test_chunk_offsets_never_negative_and_progress():
+    chunks = rules.chunk_text("Hi. " + "x" * 400, chunk_size=200, overlap=20)
+    assert all(0 <= c["begin"] < c["end"] <= 404 for c in chunks)
+    for a, b in zip(chunks, chunks[1:]):
+        assert b["begin"] > a["begin"]
+    assert chunks[-1]["end"] == 404
+    with pytest.raises(ValueError):
+        rules.chunk_text("x" * 500, chunk_size=100, overlap=100)

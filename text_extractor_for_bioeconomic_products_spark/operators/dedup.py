@@ -50,7 +50,7 @@ ORACLE_DEDUP_EXACT = """
            sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS duplicate_groups,
            count(*) AS distinct_texts
     FROM (
-        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+        SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS content_hash,
                count(*) AS n_docs
         FROM documents
         GROUP BY content_hash

@@ -122,7 +122,9 @@ def resize_stub(media: DataFrame, max_dim: int = 64) -> DataFrame:
                     return b
                 scale = max(w, h) / max_dim if max(w, h) > max_dim else 1.0
                 nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
-                return _MAGIC + struct.pack(">BII", 0, nw, nh) + b[13:]
+                # preserve the original kind byte — resize must not
+                # relabel audio/video payloads as image
+                return _MAGIC + struct.pack(">BII", b[4], nw, nh) + b[13:]
             pdf = pdf.assign(payload=pdf["payload"].map(shrink))
             yield pdf
 

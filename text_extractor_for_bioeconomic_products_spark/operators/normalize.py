@@ -187,11 +187,14 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RE2 twin of _BPE_RE with \s pinned to the Java-equivalent class
+_BPE_RE_DUCK = r"\w+|[^\w \t\n\x0b\f\r]"
+
 _ORACLE_BPE = f"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE_DUCK}')) AS bpe_tokens,
            CAST(floor(length(text) / 4) AS BIGINT) AS len4_tokens,
-           len(regexp_split_to_array(text, '\\s+')) AS ws_tokens
+           len(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) AS ws_tokens
     FROM documents
     ORDER BY doc_id
 """
@@ -206,6 +209,10 @@ def _relevance_sql(dialect: str) -> str:
         if dialect == "spark":
             esc = pattern.replace("\\", "\\\\")
             return f"size(regexp_extract_all(text, '{esc}', 0))"
+        # RE2's \s lacks \x0B (Java's includes it) — pin the explicit class
+        pattern = pattern.replace(
+            "\\S", "[^ \\t\\n\\x0b\\f\\r]"
+        ).replace("\\s", "[ \\t\\n\\x0b\\f\\r]")
         return f"len(regexp_extract_all(text, '{pattern}'))"
 
     cats = []

@@ -43,7 +43,7 @@ def q_doc_clean_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOC_CLEAN = f"""
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '{_CONTROL_CLASS}', '', 'g')) AS clean_text
+           trim(regexp_replace(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), '{_CONTROL_CLASS}', '', 'g')) AS clean_text
     FROM documents
     ORDER BY doc_id
 """
@@ -207,8 +207,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOC_FINGERPRINT = """
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
-           substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8) AS band
+           md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS fingerprint,
+           substr(md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))), 1, 8) AS band
     FROM documents
     ORDER BY doc_id
 """

@@ -91,16 +91,21 @@ def run_extraction(
     if done:
         df = df.filter(~F.col("bucket").isin(done))
 
-    all_buckets = df.select("bucket").distinct().collect()
-    todo = sorted(r["bucket"] for r in all_buckets)
-    if not todo:
-        return RunResult(run_id, n_buckets, 0, len(done), 0, 0,
-                          round(time.monotonic() - t0, 3))
-
     turns = extract_turns(df).withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
     )
     turns.persist()
+
+    # todo buckets come from the persisted extraction output — one cheap
+    # pass over cached data, NOT an extra full scan of the input (which
+    # would double I/O at 100 TB just to enumerate a known codomain)
+    todo = sorted(
+        r["bucket"] for r in turns.select("bucket").distinct().collect()
+    )
+    if not todo:
+        turns.unpersist()
+        return RunResult(run_id, n_buckets, 0, len(done), 0, 0,
+                          round(time.monotonic() - t0, 3))
 
     (
         turns.drop("spans")
@@ -114,7 +119,10 @@ def run_extraction(
     )
     spans.write.mode("overwrite").partitionBy("bucket").parquet(spans_dir)
 
-    # per-bucket lineage counters (A7 generalization)
+    # per-bucket lineage counters (A7 generalization); partitioned dynamic
+    # overwrite, NOT append — a crash-and-resume rerun of a bucket replaces
+    # its lineage row instead of duplicating it ("one row per bucket, from
+    # the attempt that durably wrote it")
     lineage = (
         turns.groupBy("bucket")
         .agg(
@@ -126,7 +134,7 @@ def run_extraction(
         )
         .withColumn("run_id", F.lit(run_id))
     )
-    lineage.write.mode("append").parquet(lineage_dir)
+    lineage.write.mode("overwrite").partitionBy("bucket").parquet(lineage_dir)
 
     totals = turns.select(
         F.count("*").alias("n_turns"), F.sum("n_spans").alias("n_spans")

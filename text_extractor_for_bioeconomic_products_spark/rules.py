@@ -665,20 +665,14 @@ USE_CONTEXT_KEYWORDS: Dict[str, List[str]] = {
                 "espiritual", "spiritual", "religios"],
 }
 
-_USE_CONTEXT_RES = {
-    use: re.compile("|".join(re.escape(k) for k in kws), re.IGNORECASE)
+# Per-type patterns over lowered text (keywords are lowercase substrings).
+# NOTE: these must stay per-type — a single combined alternation would
+# consume overlapping matches (e.g. 'treat' swallowing the 'eat' inside
+# 'treatment') and under-report use types.
+_USE_CONTEXT_LOWER_RES = {
+    use: re.compile("|".join(re.escape(k) for k in kws))
     for use, kws in USE_CONTEXT_KEYWORDS.items()
 }
-
-# Fast path: one pass, named group per use type, scanned over lowered text
-# (keywords are lowercase substrings).  Semantics identical to running the
-# 8 per-type IGNORECASE searches.
-_USE_COMBINED_RE = re.compile(
-    "|".join(
-        f"(?P<u{i}>" + "|".join(re.escape(k) for k in USE_CONTEXT_KEYWORDS[u]) + ")"
-        for i, u in enumerate(VALID_USE_TYPES[:-1])
-    )
-)
 
 # ---------------------------------------------------------------------------
 # Categorization (src/models/product.py:279-305, _categorize_use)
@@ -791,21 +785,17 @@ def tag_product_spans(clean_text: Optional[str]) -> List[Dict[str, Any]]:
                 return pi
         return -1
 
-    # one use-type scan per *paragraph*, not per span (memoized); single
-    # combined group-regex over lowered text == 8 per-type searches
+    # one use-type scan per *paragraph*, not per span (memoized); 8
+    # independent per-type searches — overlap-safe (see _USE_CONTEXT_LOWER_RES)
     _uses_cache: Dict[int, List[str]] = {}
 
     def uses_of_paragraph(pi: int) -> List[str]:
         if pi in _uses_cache:
             return _uses_cache[pi]
-        para = paragraphs[pi][2] if pi >= 0 else text
-        found = set()
-        for m in _USE_COMBINED_RE.finditer(para.lower()):
-            found.add(m.lastgroup)
-            if len(found) == len(VALID_USE_TYPES) - 1:
-                break
+        para_lower = (paragraphs[pi][2] if pi >= 0 else text).lower()
         uses = [
-            u for i, u in enumerate(VALID_USE_TYPES[:-1]) if f"u{i}" in found
+            u for u in VALID_USE_TYPES[:-1]
+            if _USE_CONTEXT_LOWER_RES[u].search(para_lower)
         ]
         _uses_cache[pi] = uses
         return uses
@@ -822,7 +812,13 @@ def tag_product_spans(clean_text: Optional[str]) -> List[Dict[str, Any]]:
     seen_canonical = set()
     for m in matches:
         surface = text[m.start(1):m.end(1)]
-        canonical, gaz_sci = PRODUCT_GAZETTEER[surface.lower()]
+        # IGNORECASE case-folding can match surfaces whose .lower() is not
+        # a gazetteer key (e.g. 'ACAİ' → 'acai̇' with combining dot); skip
+        # rather than crash the whole row
+        entry = PRODUCT_GAZETTEER.get(surface.lower())
+        if entry is None:
+            continue
+        canonical, gaz_sci = entry
         if canonical in seen_canonical:
             continue
         seen_canonical.add(canonical)
@@ -1023,6 +1019,8 @@ def chunk_text(text: str, chunk_size: int = 2500, overlap: int = 150,
     that we deliberately fix the reference's offset drift rather than
     reproduce it.
     """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
     n = len(text)
     if n <= chunk_size:
         return [{"chunk_id": 0, "begin": 0, "end": n}] if n else []
@@ -1038,7 +1036,10 @@ def chunk_text(text: str, chunk_size: int = 2500, overlap: int = 150,
             last = None
             for m in re.finditer(r"[.!?]\s+", text[search_start:end]):
                 last = search_start + m.end()
-            if last is not None:
+            # accept a sentence break only if the next start (end-overlap)
+            # still advances — otherwise a break near the window start
+            # would drag offsets backwards / below zero
+            if last is not None and last - overlap > start:
                 end = last
         chunks.append({"chunk_id": len(chunks), "begin": start, "end": end})
         start = end - overlap
