@@ -276,7 +276,35 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Flagship transcript extraction as a driver-checked query (rows-only —
+# the transcripts table has no DuckDB view; byte-exactness is covered by
+# the pytest pandas-oracle suite at two scale tiers)
+# ---------------------------------------------------------------------------
+
+def q_transcript_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the deterministic transcript corpus (seed 42, 50 convs)
+    and run the full per-turn pipeline — per-language rollup of the
+    extraction output, the engine's flagship end-to-end flow."""
+    from ..operators.extract import extract_turns
+    from ..sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=50, seed=42)
+    turns = extract_turns(t)
+    return (
+        turns.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("relevance"), 4).alias("avg_relevance"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "transcript_extraction": q_transcript_extraction,
     "doc_clean_basic": q_doc_clean_basic,
     "doc_chunks": q_doc_chunks,
     "doc_token_stats": q_doc_token_stats,
