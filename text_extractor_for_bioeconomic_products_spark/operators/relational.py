@@ -49,13 +49,16 @@ def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped grouped aggregate — partial (map-side) agg + single
     shuffle on the 6-value group key; whole-stage codegen end-to-end."""
     li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(qty), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 4).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (1 - disc)), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.avg(disc), 4).cast("double").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -86,7 +89,7 @@ def q_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(F.avg(F.col("c_acctbal").cast("decimal(12,2)")), 4).cast("double").alias("avg_acctbal"),
         )
         .orderBy("n_name")
     )
@@ -105,7 +108,9 @@ def q_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(14,2)")
+                          * (1 - F.col("l_discount").cast("decimal(8,2)"))), 4)
+            .cast("double").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -193,9 +198,53 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("avg_value"),
         )
         .orderBy("event_type")
+    )
+
+
+# --- Anti join: customers with no orders ------------------------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti (NOT EXISTS) — the complement of the J4 semi-join shape."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+# --- Set difference: nations with customers but no suppliers ----------------
+
+def q_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+        .exceptAll(supp.select(F.col("s_nationkey").alias("nationkey")).distinct())
+        .orderBy("nationkey")
+    )
+
+
+# --- part-table stats (dimension profiling) ----------------------------------
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    # prices avg'd in DECIMAL: double summation order differs between
+    # engines and can land a .xxxx5 average on opposite rounding sides
+    dec_price = F.col("p_retailprice").cast("decimal(12,2)")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.round(F.avg(dec_price), 4).cast("double").alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
     )
 
 
@@ -228,7 +277,7 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessioned.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("session_value"),
             F.min("event_id").alias("first_event_id"),
         )
         .orderBy("user_id", "session_id")
@@ -247,7 +296,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
@@ -294,10 +343,32 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL = {
+    "customers_without_orders": """
+        SELECT c_custkey, c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "customer_only_nations": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "part_type_stats": """
+        SELECT p_brand,
+               count(*) AS n_parts,
+               count(DISTINCT p_type) AS n_types,
+               CAST(round(avg(p_retailprice::DECIMAL(12,2)), 4) AS DOUBLE) AS avg_price,
+               max(p_size) AS max_size
+        FROM part
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
     "user_sessions": f"""
         SELECT user_id, session_id,
                count(*) AS n_events,
-               round(sum(value), 4) AS session_value,
+               CAST(round(sum(value::DECIMAL(18,6)), 4) AS DOUBLE) AS session_value,
                min(event_id) AS first_event_id
         FROM (
             SELECT user_id, event_id, value,
@@ -321,7 +392,7 @@ ORACLE_SQL = {
         SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
                event_type,
                count(*) AS n_events,
-               round(sum(value), 4) AS total_value
+               CAST(round(sum(value::DECIMAL(18,6)), 4) AS DOUBLE) AS total_value
         FROM events
         GROUP BY hour_start, event_type
         ORDER BY hour_start, event_type
@@ -365,10 +436,10 @@ ORACLE_SQL = {
     """,
     "lineitem_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 4) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(round(sum(l_quantity::DECIMAL(12,2)), 4) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(l_extendedprice::DECIMAL(14,2)), 4) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))), 4) AS DOUBLE) AS sum_disc_price,
+               CAST(round(avg(l_discount::DECIMAL(8,2)), 4) AS DOUBLE) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -384,7 +455,7 @@ ORACLE_SQL = {
     "customers_per_nation": """
         SELECT n_name,
                count(*) AS n_customers,
-               round(avg(c_acctbal), 4) AS avg_acctbal
+               CAST(round(avg(c_acctbal::DECIMAL(12,2)), 4) AS DOUBLE) AS avg_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY n_name
@@ -392,7 +463,7 @@ ORACLE_SQL = {
     "revenue_by_priority": """
         SELECT o_orderpriority,
                count(DISTINCT o_orderkey) AS n_orders,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+               CAST(round(sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))), 4) AS DOUBLE) AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -440,7 +511,7 @@ ORACLE_SQL = {
         SELECT event_type,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               round(avg(value), 4) AS avg_value
+               CAST(round(avg(value::DECIMAL(18,6)), 4) AS DOUBLE) AS avg_value
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -448,6 +519,9 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "customers_without_orders": q_customers_without_orders,
+    "customer_only_nations": q_customer_only_nations,
+    "part_type_stats": q_part_type_stats,
     "user_sessions": q_user_sessions,
     "event_type_pivot": q_event_type_pivot,
     "events_hourly": q_events_hourly,
