@@ -76,3 +76,34 @@ def test_salted_agg_two_stages(spark, transcripts_df):
     )
     # partial agg on (conv_id, salt) then final on conv_id
     assert p.count("HashAggregate") >= 4
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The 100 TB layout claim made real: orders+lineitem written bucketed
+    on the join key co-locate — the join plans with NO shuffle exchange
+    (SCALE.md §2; sinks bucket analogously on conv_id)."""
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    # warehouse dir is a static conf — the session default (gitignored
+    # ./spark-warehouse) is used; tables are dropped in finally
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckdemo")
+    try:
+        (load(spark, SF, "orders").write.mode("overwrite")
+         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable("buckdemo.orders_b"))
+        (load(spark, SF, "lineitem").write.mode("overwrite")
+         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable("buckdemo.lineitem_b"))
+        o = spark.table("buckdemo.orders_b")
+        li = spark.table("buckdemo.lineitem_b")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            "o_orderkey", "o_orderpriority", "l_extendedprice"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == load(spark, SF, "lineitem").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS buckdemo")
