@@ -167,3 +167,57 @@ def test_lineage_no_duplicates_after_crash_resume(spark, transcripts_df, out_dir
     per_bucket = lineage.groupBy("bucket").count().filter("count > 1").count()
     assert per_bucket == 0  # one lineage row per bucket, last attempt wins
     assert sum(r["n_turns"] for r in lineage.collect()) == r1.n_turns
+
+
+def test_watermarked_streaming_agg(spark, transcripts_df, tmp_path):
+    """streaming_conversation_counts: watermark + event-time window agg over
+    the stream; availableNow totals == batch windowed totals."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
+        write_transcripts,
+    )
+    from text_extractor_for_bioeconomic_products_spark.streaming.pipeline import (
+        streaming_conversation_counts,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_transcripts(transcripts_df, in_dir)
+    streaming_conversation_counts(spark, in_dir, out_dir, timeout_sec=180)
+    got = spark.read.parquet(os.path.join(out_dir, "conv_counts_stream"))
+    batch = (
+        extract_turns(transcripts_df)
+        .groupBy(F.window("ts", "10 minutes"), F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"), F.sum("n_spans").alias("n_spans"))
+    )
+    # append mode emits only windows closed by the watermark; every emitted
+    # row must match its batch twin exactly
+    got_rows = {
+        (r["window"]["start"], r["conv_id"]): (r["n_turns"], r["n_spans"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r["window"]["start"], r["conv_id"]): (r["n_turns"], r["n_spans"])
+        for r in batch.collect()
+    }
+    assert len(got_rows) > 0
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
+
+
+def test_quality_observations_strings(spark, transcripts_df):
+    """A4 observations (response_parser.py:429-437): threshold strings."""
+    from text_extractor_for_bioeconomic_products_spark.operators.extract import (
+        quality_metrics,
+    )
+    qm = quality_metrics(explode_spans(extract_turns(transcripts_df))).collect()
+    assert len(qm) > 0
+    for r in qm:
+        if r["confianca_media"] >= 0.8:
+            assert "Boa qualidade geral dos dados" in r["observacoes"]
+        for o in r["observacoes"]:
+            assert o in {
+                "Muitos produtos com baixa confiança",
+                "Poucos nomes científicos identificados",
+                "Boa qualidade geral dos dados",
+            }

@@ -146,7 +146,7 @@ def quality_metrics(spans: DataFrame) -> DataFrame:
     # completeness weights per response_parser.py:418-424 (the
     # trecho_justificativo term has no analog for tagged spans; its 0.2
     # weight goes to span presence = 1.0, keeping the scale comparable)
-    return per_conv.withColumn(
+    scored = per_conv.withColumn(
         "qualidade_geral",
         F.round(
             F.col("produtos_com_nome_cientifico") / n * 0.2
@@ -157,6 +157,23 @@ def quality_metrics(spans: DataFrame) -> DataFrame:
             2,
         ),
     )
+    # rule-driven observations (response_parser.py:429-437), same
+    # thresholds and strings, as a deterministic array column
+    obs = F.array_compact(F.array(
+        F.when(
+            F.col("produtos_baixa_confianca") > n * 0.3,
+            F.lit("Muitos produtos com baixa confiança"),
+        ),
+        F.when(
+            F.col("produtos_com_nome_cientifico") < n * 0.5,
+            F.lit("Poucos nomes científicos identificados"),
+        ),
+        F.when(
+            F.col("confianca_media") >= 0.8,
+            F.lit("Boa qualidade geral dos dados"),
+        ),
+    ))
+    return scored.withColumn("observacoes", obs)
 
 
 def stable_turn_order(turns: DataFrame) -> DataFrame:
