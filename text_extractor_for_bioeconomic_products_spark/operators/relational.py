@@ -342,7 +342,209 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q3 shape: selective 3-way join + top-k by computed aggregate ----------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: segment-filtered customer ⋈ orders ⋈ lineitem with
+    date predicates on both fact sides, top-10 orders by revenue.  The
+    customer side shrinks ~5× before the join (filter pushed to scan);
+    orders⋈lineitem is the big shuffle join, AQE-coalesced; final top-k is
+    TakeOrderedAndProject — no global sort materialization."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (1 - F.col("l_discount").cast("decimal(8,2)"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("rev_exact"))
+        .orderBy(F.desc("rev_exact"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey", "o_orderdate",
+            F.round("rev_exact", 4).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --- Q5 shape: 6-table join with region-local supplier constraint ----------
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: region ⋈ nation ⋈ (customer ⋈ orders ⋈ lineitem ⋈
+    supplier) where supplier and customer share a nation.  region/nation/
+    supplier/customer all broadcast at dim scale; the only big shuffle is
+    orders⋈lineitem.  Catalyst reorders the dim joins below it."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (1 - F.col("l_discount").cast("decimal(8,2)"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("rev_exact"))
+        .orderBy(F.desc("rev_exact"), F.asc("n_name"))
+        .select("n_name", F.round("rev_exact", 4).cast("double").alias("revenue"))
+    )
+
+
+# --- rank-per-group: top supplier by revenue within each nation -------------
+
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate lineitem by suppkey first (shrinks the fact side to one
+    row per supplier BEFORE any join — partial agg does the heavy
+    lifting), then broadcast-join dims and take rank 1 per nation."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (1 - F.col("l_discount").cast("decimal(8,2)"))
+    supp_rev = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_exact"))
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("rev_exact"), F.asc("s_suppkey"))
+    return (
+        supp_rev.join(F.broadcast(supp), supp_rev.l_suppkey == supp.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            "n_name", "s_suppkey", "s_name",
+            F.round("rev_exact", 4).cast("double").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- Q14 shape: conditional-aggregate ratio over a fact⋈dim join ------------
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-type revenue share in 1996 — lineitem ⋈ part (part broadcasts
+    at dim scale; at 100 TB part is bucketed on p_partkey instead), then a
+    single-row conditional aggregate; exact decimal sums, one double
+    division at the end."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (1 - F.col("l_discount").cast("decimal(8,2)"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(14,2)"))).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_share"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# --- Q13 shape: outer join + two-level aggregation (distribution) -----------
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-customer histogram — left outer join (customers with no
+    orders count 0), groupBy custkey, then groupBy the count itself.
+    Two shuffles by design; the second input is one row per customer."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 ORACLE_SQL = {
+    "shipping_priority": """
+        SELECT o_orderkey, o_orderdate,
+               CAST(round(rev_exact, 4) AS DOUBLE) AS revenue
+        FROM (
+            SELECT o_orderkey, o_orderdate,
+                   sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))) AS rev_exact
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderdate
+        )
+        ORDER BY rev_exact DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "local_supplier_volume": """
+        SELECT n_name, CAST(round(rev_exact, 4) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n_name,
+                   sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))) AS rev_exact
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        )
+        ORDER BY rev_exact DESC, n_name ASC
+    """,
+    "top_supplier_per_nation": """
+        SELECT n_name, s_suppkey, s_name,
+               CAST(round(rev_exact, 4) AS DOUBLE) AS revenue
+        FROM (
+            SELECT s_nationkey, s_suppkey, s_name, rev_exact,
+                   row_number() OVER (
+                       PARTITION BY s_nationkey
+                       ORDER BY rev_exact DESC, s_suppkey ASC
+                   ) AS rn
+            FROM (
+                SELECT l_suppkey,
+                       sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))) AS rev_exact
+                FROM lineitem GROUP BY l_suppkey
+            )
+            JOIN supplier ON l_suppkey = s_suppkey
+        )
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE rn = 1
+        ORDER BY n_name
+    """,
+    "promo_revenue_share": """
+        SELECT round(
+                   100.0
+                   * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))
+                              ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+                   / CAST(sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))) AS DOUBLE),
+                   4) AS promo_share,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    "customer_order_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
     "customers_without_orders": """
         SELECT c_custkey, c_nationkey
         FROM customer
@@ -519,6 +721,11 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "top_supplier_per_nation": q_top_supplier_per_nation,
+    "promo_revenue_share": q_promo_revenue_share,
+    "customer_order_distribution": q_customer_order_distribution,
     "customers_without_orders": q_customers_without_orders,
     "customer_only_nations": q_customer_only_nations,
     "part_type_stats": q_part_type_stats,
