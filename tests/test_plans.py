@@ -107,3 +107,29 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
         spark.sql("DROP DATABASE IF EXISTS buckdemo")
+
+
+def test_q3_shape_topk_and_date_pushdown(spark):
+    p = plan_of(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    # segment + date predicates reach the scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate," in p
+
+
+def test_q5_dims_broadcast_one_big_shuffle(spark):
+    p = plan_of(spark, "local_supplier_volume")
+    # nation/region/supplier/customer broadcast; only orders⋈lineitem (+agg)
+    # shuffles
+    assert p.count("BroadcastHashJoin") >= 3
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_agg_before_join_shrinks_fact_side(spark):
+    p = plan_of(spark, "top_supplier_per_nation")
+    # map-side partial agg shrinks lineitem to one row per supplier before
+    # the broadcast join, and rank-1 plans as WindowGroupLimit (per-group
+    # top-k, no full per-partition sort materialization)
+    assert "partial_sum" in p
+    assert "WindowGroupLimit" in p
+    assert "ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>" in p
