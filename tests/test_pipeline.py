@@ -221,3 +221,17 @@ def test_quality_observations_strings(spark, transcripts_df):
                 "Poucos nomes científicos identificados",
                 "Boa qualidade geral dos dados",
             }
+
+
+def test_cap_chunks_explicit_truncation(spark):
+    from text_extractor_for_bioeconomic_products_spark.operators.extract import (
+        cap_chunks,
+    )
+    df = spark.createDataFrame(
+        [(1, list("abcdefg")), (2, list("ab")), (3, [])],
+        "id int, chunks array<string>",
+    )
+    rows = {r["id"]: r for r in cap_chunks(df, max_chunks=5).collect()}
+    assert rows[1]["chunks"] == list("abcde") and rows[1]["n_chunks_dropped"] == 2
+    assert rows[2]["chunks"] == list("ab") and rows[2]["n_chunks_dropped"] == 0
+    assert rows[3]["chunks"] == [] and rows[3]["n_chunks_dropped"] == 0

@@ -84,6 +84,20 @@ def explode_spans(turns: DataFrame) -> DataFrame:
     )
 
 
+def cap_chunks(df: DataFrame, col: str = "chunks", max_chunks: int = 5) -> DataFrame:
+    """O4 — first-N-chunks cost cap (batch_process.py:93-96), explicit not
+    silent: ``n_chunks_dropped`` records the truncation per row so the
+    lineage/metrics layer can surface it (SURVEY §2.6 O4)."""
+    return (
+        df
+        .withColumn(
+            "n_chunks_dropped",
+            F.greatest(F.size(F.col(col)) - F.lit(max_chunks), F.lit(0)),
+        )
+        .withColumn(col, F.slice(F.col(col), 1, max_chunks))
+    )
+
+
 def conversation_stats(turns: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """A1/A2-analog per-conversation aggregate with two-stage salted combine.
 
