@@ -419,3 +419,30 @@ def test_parse_duration_and_size_format():
     assert rules.format_file_size(0) == "0.0 B"
     assert rules.format_file_size(1536) == "1.5 KB"
     assert rules.format_file_size(1024 ** 5 * 2) == "2.0 PB"
+
+
+_kw_salt = st.sampled_from(
+    ["el", "de", "produtos", "the", "plant", "amazon", "use", "et", "país", ""]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_text_strategy, _kw_salt, _kw_salt)
+def test_keyword_counts_frame_equals_boundary_regexes(text, a, b):
+    """Tokenize-once counting == per-keyword \\b regex counts, including
+    texts salted with real keywords at random positions."""
+    import re as _re
+
+    lower = (a + " " + text + b).lower()
+    kw = rules.keyword_counts_frame(pd.Series([lower]))
+    for lang, pat in rules.LANGUAGE_PATTERNS.items():
+        expect = sum(
+            len(_re.findall(r"\b" + _re.escape(k) + r"\b", lower))
+            for k in pat["keywords"]
+        )
+        assert kw["lang:" + lang].iloc[0] == expect, lang
+    for cat, kws in rules.RELEVANT_KEYWORDS.items():
+        expect = sum(
+            len(_re.findall(r"\b" + _re.escape(k) + r"\b", lower)) for k in kws
+        )
+        assert kw["rel:" + cat].iloc[0] == expect, cat

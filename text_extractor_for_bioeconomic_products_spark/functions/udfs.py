@@ -106,8 +106,9 @@ def extract_turn_features(text: pd.Series) -> pd.DataFrame:
 
     clean = rules.clean_series_rich(stripped)
     clean_lower = clean.str.lower()  # one lowercase pass, shared by stages
-    langf = rules.detect_language_frame(clean, lower=clean_lower)
-    relevance = rules.relevance_series(clean, lower=clean_lower)
+    kw = rules.keyword_counts_frame(clean_lower)  # one tokenize pass, ditto
+    langf = rules.detect_language_frame(clean, lower=clean_lower, kw_counts=kw)
+    relevance = rules.relevance_series(clean, lower=clean_lower, kw_counts=kw)
     n_tokens = (clean.str.len() // 4).astype("int32")
     spans = tag_spans_series(clean, lower=clean_lower)
 
