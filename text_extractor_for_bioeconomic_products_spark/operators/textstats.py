@@ -303,7 +303,88 @@ def q_transcript_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token histogram, top 50 — the vocab-induction shape.
+    Hot tokens ('the', 'de') are the skewed keys; the explode feeds a
+    partial (map-side) count so each task pre-reduces its own hot-token
+    mass before the single shuffle — the same salting-free skew answer
+    Spark's partial aggregation gives for free on high-cardinality-ish
+    group keys.  TakeOrderedAndProject caps the result."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+        ).alias("token")
+    ).filter(F.length("token") > 0)
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+# deterministic per-language sampling rates (percent) — the curation
+# knob: oversample scarce languages, downsample the dominant one
+_SAMPLE_PCT = {"en": 10, "es": 40, "pt": 40, "fr": 40, "unknown": 100}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data curation:
+    keep doc iff doc_id % 100 < rate(lang) — reproducible across runs,
+    engines, and cluster sizes (no RNG, no shuffle; the filter pushes
+    into the scan).  Output: per-language kept/total census."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _SAMPLE_PCT.items()],
+        F.lit(0),
+    )
+    return (
+        docs.withColumn("kept", (F.pmod(F.col("doc_id"), F.lit(100)) < rate).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOP_TOKENS = """
+    SELECT token, count(*) AS n
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+        FROM documents
+    )
+    WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+"""
+
+ORACLE_STRATIFIED_SAMPLE = """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(kept) AS n_kept,
+           round(sum(kept) / count(*), 4) AS kept_frac
+    FROM (
+        SELECT lang,
+               CASE WHEN doc_id % 100 <
+                    CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 40
+                              WHEN 'pt' THEN 40 WHEN 'fr' THEN 40
+                              WHEN 'unknown' THEN 100 ELSE 0 END
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents
+    )
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
 QUERIES = {
+    "top_tokens": q_top_tokens,
+    "stratified_sample": q_stratified_sample,
     "transcript_extraction": q_transcript_extraction,
     "doc_clean_basic": q_doc_clean_basic,
     "doc_chunks": q_doc_chunks,
@@ -315,6 +396,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "top_tokens": ORACLE_TOP_TOKENS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "doc_clean_basic": ORACLE_DOC_CLEAN,
     "doc_token_stats": ORACLE_DOC_TOKEN_STATS,
     "doc_lang_detect": ORACLE_DOC_LANG_DETECT,
