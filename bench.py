@@ -200,10 +200,14 @@ def main() -> None:
     # upper-core throttling caps even pure-CPU multiprocessing; the
     # hardware_ceiling field quantifies that).  See BENCH.md.
     pair_env = os.environ.get("SPARK_GRAFT_SCALE_PAIR")
+    ncpu = os.cpu_count() or CPUS
     if pair_env:
         pairs = [tuple(int(x) for x in pair_env.split(","))]
     else:
-        pairs = [(4, 16), (8, CPUS if CPUS > 8 else 32)]
+        # only pairs whose hi level fits the physical cores — local[16] on
+        # an 8-core host would measure oversubscription, not scaling
+        pairs = [p for p in [(4, 16), (8, CPUS if CPUS > 8 else 32)]
+                 if p[1] <= ncpu] or [(1, min(4, ncpu))]
     levels = sorted({c for p in pairs for c in p})
     runs = {c: _run_subprocess_extract(c, input_dir) for c in levels}
     pair_results = []
@@ -241,8 +245,12 @@ def main() -> None:
                 str(c): runs[c]["turns_per_sec"] for c in levels
             },
             "scaling_target": 0.8,
+            # headline = best measured pair; selection is explicit and the
+            # full per-pair detail (incl. same-run hardware ceilings) is
+            # always reported alongside
             "scaling_efficiency": best["scaling_efficiency"],
             "scaling_pair": best["pair"],
+            "scaling_efficiency_selection": "max_over_pairs",
             "scaling_pairs": pair_results,
         },
     }

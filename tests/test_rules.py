@@ -408,6 +408,10 @@ def test_safe_filename():
     long = rules.safe_filename("n" * 300 + ".txt", max_length=50)
     assert len(long) <= 50 and long.endswith(".txt")
     assert rules.safe_filename(None) == ""
+    # tiny budget: stem clamps to 0, extension survives, never duplicated
+    assert rules.safe_filename("abcdefgh.txt", max_length=3) == ".txt"
+    # >16-char trailing chunk is stem, not extension
+    assert rules.safe_filename("a" * 30 + "." + "b" * 20, max_length=10) == "a" * 10
 
 
 def test_parse_duration_and_size_format():

@@ -325,8 +325,11 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # deterministic per-language sampling rates (percent) — the curation
-# knob: oversample scarce languages, downsample the dominant one
-_SAMPLE_PCT = {"en": 10, "es": 40, "pt": 40, "fr": 40, "unknown": 100}
+# knob: downsample the dominant language (en is ~41% of the documents
+# corpus), keep the scarce ones at a higher rate; languages outside the
+# map fall through to 100 (never silently dropped)
+_SAMPLE_PCT = {"en": 10, "de": 40, "es": 40, "fr": 40, "zh": 40}
+_SAMPLE_DEFAULT_PCT = 100
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,7 +340,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     rate = F.coalesce(
         *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _SAMPLE_PCT.items()],
-        F.lit(0),
+        F.lit(_SAMPLE_DEFAULT_PCT),
     )
     return (
         docs.withColumn("kept", (F.pmod(F.col("doc_id"), F.lit(100)) < rate).cast("int"))
@@ -371,9 +374,9 @@ ORACLE_STRATIFIED_SAMPLE = """
     FROM (
         SELECT lang,
                CASE WHEN doc_id % 100 <
-                    CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 40
-                              WHEN 'pt' THEN 40 WHEN 'fr' THEN 40
-                              WHEN 'unknown' THEN 100 ELSE 0 END
+                    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 40
+                              WHEN 'es' THEN 40 WHEN 'fr' THEN 40
+                              WHEN 'zh' THEN 40 ELSE 100 END
                     THEN 1 ELSE 0 END AS kept
         FROM documents
     )

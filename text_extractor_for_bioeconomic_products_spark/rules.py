@@ -325,6 +325,7 @@ def keyword_counts_frame(lower: pd.Series) -> pd.DataFrame:
     """Per-row keyword-hit counts for every language/relevance target."""
     from collections import Counter
 
+    lower = lower.fillna("")  # caller-supplied lower may be unguarded
     rows = np.zeros((len(lower), len(KEYWORD_TARGETS)), dtype=np.int64)
     get = _WORD_TO_TARGETS.get
     for ri, toks in enumerate(lower.str.findall(_WORD_TOKEN_RE.pattern)):
@@ -1048,13 +1049,19 @@ _CTRL_FN = re.compile(r"[\x00-\x1f\x7f-\x9f]")
 
 
 def safe_filename(name: Optional[str], max_length: int = 255) -> str:
+    """Deliberate divergences from helpers.py:483-486: extensions longer
+    than 16 chars are treated as part of the stem (splitext would keep a
+    200-char '.xxx…' wholly), and the stem budget clamps at 0 instead of
+    going negative (the reference's ``name[:-1]`` slice can exceed
+    max_length)."""
     s = _UNSAFE_FN.sub("_", name or "")
     s = _CTRL_FN.sub("", s)
     s = re.sub(r"_+", "_", s)
     if len(s) > max_length:
         dot = s.rfind(".")
         ext = s[dot:] if 0 < dot and len(s) - dot <= 16 else ""
-        s = s[: max_length - len(ext)] + ext
+        stem = s[: len(s) - len(ext)]
+        s = stem[: max(0, max_length - len(ext))] + ext
     return s.strip("_")
 
 
