@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E402
+    curation,
     dedup,
     normalize,
     relational,
@@ -62,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
+    q.update(curation.QUERIES)
     q.update(textstats.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
@@ -72,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(relational.ORACLE_SQL)
+    o.update(curation.ORACLE_SQL)
     o.update(textstats.ORACLE_SQL)
     o.update(dedup.ORACLE_SQL)
     o.update(similarity.ORACLE_SQL)

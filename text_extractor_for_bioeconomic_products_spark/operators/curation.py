@@ -1,0 +1,227 @@
+"""Training-data curation operators (graft extension beyond SURVEY §2).
+
+The ops a 100 TB pretraining pipeline runs after extraction/dedup:
+sequence packing (context-window binning), PII scrubbing (regex
+redaction — native regexp_replace, JVM codegen, no Python), and
+benchmark-contamination detection (sentence-hash semi-join against an
+eval set).  Each is SQL-expressible, so the DuckDB oracle checks it
+end-to-end at sf0.01.
+
+Scale notes:
+* ``sequence_packing`` — one window per ``source`` group (the natural
+  shard key); cumulative sums are a single shuffle on source.  At 100 TB
+  the same window runs per input shard and bins never cross shards.
+* ``doc_pii_scrub`` — narrow map, three regexp_replace passes fused into
+  one whole-stage-codegen projection; no Python workers at all.
+* ``benchmark_contamination`` — the benchmark side is tiny (an eval
+  suite), so the hash join broadcasts; the corpus side explodes to
+  sentences but aggregates back per doc before any shuffle-heavy work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+CTX_TOKENS = 512  # context-window size for packing (tokens, len//4 estimate)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-boundary sequence packing: docs ordered by doc_id within each
+    source are laid head-to-tail; a doc's bin is its cumulative start
+    offset // CTX_TOKENS.  Deterministic (no greedy state), one window
+    shuffle, reproducible across cluster sizes.  Output: per-(source,
+    bin) census with fill ratio."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = (F.length("text") / F.lit(4)).cast("bigint")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    binned = (
+        docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "cum_start",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("bin", (F.col("cum_start") / F.lit(CTX_TOKENS)).cast("bigint"))
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("bin_tokens") / F.lit(CTX_TOKENS), 4),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+# PII patterns valid in both Java regex (Spark) and RE2 (DuckDB): no
+# backrefs, no lookaround.  Replacement order matters (emails contain
+# digits a phone pattern could nibble) — email first on both sides.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction — emails/phones/IPv4 → typed placeholder
+    tokens.  Entirely native regexp_replace (whole-stage codegen; the
+    UDF path is never needed for redaction).  The corpus is synthetic and
+    PII-free, so every 10th doc gets a deterministic seeded email/phone
+    appended BEFORE scrubbing — the oracle then proves real redactions,
+    not just pass-through.  Output: doc_id, md5 of scrubbed text,
+    per-type redaction counts."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user-"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 host 10.0.0.1"),
+        ),
+    ).otherwise(F.col("text"))
+    n_email = F.size(F.regexp_extract_all(seeded, F.lit(_PII_EMAIL), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(seeded, F.lit(_PII_PHONE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(seeded, F.lit(_PII_IPV4), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_IPV4, "<IP>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(scrubbed).alias("scrubbed_md5"),
+            n_email.alias("n_email"),
+            n_phone.alias("n_phone"),
+            n_ip.alias("n_ip"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# contamination: sentence-level exact-hash overlap with an "eval set"
+# (docs 0-19 stand in for a benchmark suite); sentences under 20 chars
+# are too generic to count
+_SENT_SPLIT = r"[.!?]"
+_MIN_SENT_CHARS = 20
+_BENCH_MAX_DOC_ID = 20
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: a corpus doc is contaminated iff it shares
+    ≥1 normalized sentence (md5, ≥20 chars) with the benchmark set.  The
+    benchmark sentence-hash side is tiny → broadcast left-semi join;
+    corpus sentences aggregate back to doc granularity before the final
+    per-source census."""
+    docs = load(spark, sf_dir, "documents")
+    sent = F.explode(F.split(F.col("text"), _SENT_SPLIT)).alias("sent")
+
+    def sentences(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", "source", sent)
+            .select(
+                "doc_id", "source",
+                F.md5(F.lower(F.trim(F.col("sent")))).alias("sent_md5"),
+                F.length(F.trim(F.col("sent"))).alias("sent_len"),
+            )
+            .filter(F.col("sent_len") >= _MIN_SENT_CHARS)
+        )
+
+    bench = sentences(docs.filter(F.col("doc_id") < _BENCH_MAX_DOC_ID)) \
+        .select("sent_md5").distinct()
+    corpus = sentences(docs.filter(F.col("doc_id") >= _BENCH_MAX_DOC_ID))
+    contaminated = (
+        corpus.join(F.broadcast(bench), "sent_md5", "left_semi")
+        .select("doc_id", "source").distinct()
+    )
+    return (
+        contaminated.groupBy("source")
+        .agg(F.count("*").alias("n_contaminated_docs"))
+        .orderBy("source")
+    )
+
+
+ORACLE_SQL = {
+    "sequence_packing": f"""
+        SELECT source, bin,
+               count(*) AS n_docs,
+               sum(n_tokens) AS bin_tokens,
+               round(sum(n_tokens) / {CTX_TOKENS}, 4) AS fill_ratio
+        FROM (
+            SELECT source, doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {CTX_TOKENS} AS bin
+            FROM (
+                -- // floors like Spark's cast-from-double truncation
+                -- (CAST(double AS BIGINT) would ROUND in DuckDB)
+                SELECT source, doc_id, length(text) // 4 AS n_tokens
+                FROM documents
+            )
+        )
+        GROUP BY source, bin
+        ORDER BY source, bin
+    """,
+    "doc_pii_scrub": f"""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(seeded,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g')) AS scrubbed_md5,
+               len(regexp_extract_all(seeded, '{_PII_EMAIL}')) AS n_email,
+               len(regexp_extract_all(seeded, '{_PII_PHONE}')) AS n_phone,
+               len(regexp_extract_all(seeded, '{_PII_IPV4}')) AS n_ip
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN text || ' contact user-' || CAST(doc_id AS VARCHAR)
+                             || '@example.com or 555-867-5309 host 10.0.0.1'
+                        ELSE text END AS seeded
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    "benchmark_contamination": f"""
+        WITH sent AS (
+            SELECT doc_id, source,
+                   md5(lower(trim(s))) AS sent_md5,
+                   length(trim(s)) AS sent_len
+            FROM (
+                SELECT doc_id, source,
+                       unnest(regexp_split_to_array(text, '{_SENT_SPLIT}')) AS s
+                FROM documents
+            )
+            WHERE length(trim(s)) >= {_MIN_SENT_CHARS}
+        ),
+        bench AS (
+            SELECT DISTINCT sent_md5 FROM sent WHERE doc_id < {_BENCH_MAX_DOC_ID}
+        )
+        SELECT source, count(*) AS n_contaminated_docs
+        FROM (
+            SELECT DISTINCT doc_id, source
+            FROM sent
+            WHERE doc_id >= {_BENCH_MAX_DOC_ID}
+              AND sent_md5 IN (SELECT sent_md5 FROM bench)
+        )
+        GROUP BY source
+        ORDER BY source
+    """,
+}
+
+QUERIES = {
+    "sequence_packing": q_sequence_packing,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "benchmark_contamination": q_benchmark_contamination,
+}
