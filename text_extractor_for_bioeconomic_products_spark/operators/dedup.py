@@ -226,7 +226,7 @@ def q_dedup_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_JACCARD = f"""
+_JACCARD_BODY_SQL = f"""
     WITH sigs AS ({_minhash_sql_duckdb()}),
     banded AS (
         SELECT s.doc_id,
@@ -238,7 +238,108 @@ ORACLE_DEDUP_JACCARD = f"""
            round(len(list_intersect(a.words, b.words))::DOUBLE
                  / greatest(len(list_distinct(list_concat(a.words, b.words))), 1), 4) AS jaccard
     FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-    ORDER BY doc_a, doc_b
+"""
+
+ORACLE_DEDUP_JACCARD = _JACCARD_BODY_SQL + " ORDER BY doc_a, doc_b"
+
+
+# ---------------------------------------------------------------------------
+# Connected-components duplicate clustering (iterative min-label
+# propagation) — the graph step after candidate generation: near-dup
+# pairs form edges; a cluster keeps one canonical doc.
+# ---------------------------------------------------------------------------
+
+DUP_EDGE_THRESHOLD = 0.5
+_MAX_CC_ITERS = 20
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters as connected components over jaccard-candidate
+    edges (≥ DUP_EDGE_THRESHOLD), via iterative min-label propagation:
+    label(v) ← min(label(v), min label of neighbors) until fixpoint.
+
+    Deterministic (min is order-free), converges in ≤ graph-diameter
+    rounds (near-dup clusters are near-cliques → 2-3).  At 100 TB the
+    same loop runs with the alternating large-star/small-star contraction
+    (Kiveris et al.) to bound per-round shuffle; each iteration here is
+    one join + one groupBy-min — all keyed on node id.  Output: one row
+    per component with its canonical (minimum) doc_id and sorted members.
+    """
+    pairs = q_dedup_jaccard_candidates(spark, sf_dir) \
+        .filter(F.col("jaccard") >= DUP_EDGE_THRESHOLD) \
+        .select("doc_a", "doc_b")
+    bidir = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        bidir.select(F.col("doc_a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(_MAX_CC_ITERS):
+        neigh = bidir.join(labels, bidir.doc_a == labels.node).select(
+            F.col("doc_b").alias("node"), "label"
+        )
+        merged = (
+            labels.select("node", "label").union(neigh)
+            .groupBy("node").agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            merged.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") < F.col("old")).count()
+        )
+        labels.unpersist()
+        labels = merged
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge")
+    out = (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("component")
+    )
+    result = out.localCheckpoint(eager=True)  # sever the iterative lineage
+    bidir.unpersist()
+    labels.unpersist()
+    return result
+
+
+ORACLE_DUP_COMPONENTS = f"""
+    WITH RECURSIVE cand AS (
+        SELECT doc_a, doc_b FROM ({_JACCARD_BODY_SQL})
+        WHERE jaccard >= {DUP_EDGE_THRESHOLD}
+    ),
+    bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+    ),
+    lab AS (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT component,
+           count(*) AS n_docs,
+           array_to_string(list_sort(list(node)), ',') AS members
+    FROM lab
+    GROUP BY component
+    ORDER BY component
 """
 
 
@@ -361,6 +462,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard_candidates": q_dedup_jaccard_candidates,
+    "dup_components": q_dup_components,
 }
 
 ORACLE_SQL = {
@@ -370,4 +472,5 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_jaccard_candidates": ORACLE_DEDUP_JACCARD,
+    "dup_components": ORACLE_DUP_COMPONENTS,
 }
