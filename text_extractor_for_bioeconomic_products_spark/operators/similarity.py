@@ -98,6 +98,63 @@ ORACLE_ANN_BRUTE_FORCE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Batch-query top-k (the production shape: many queries at once)
+# ---------------------------------------------------------------------------
+
+N_BATCH_QUERIES = 5
+BATCH_TOP_K = 3
+
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors for a BATCH of queries in one plan: broadcast the
+    query block (vec_id < N), score corpus × queries, rank per query with
+    a window — Spark plans WindowGroupLimit, so only k rows per query
+    survive each partition before the shuffle.  At 100 TB the query block
+    stays broadcast-sized (thousands of rows) while the corpus streams."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BATCH_TOP_K)
+        .select("query_id", "rk", "vec_id", "label", "cos_sim")
+        .orderBy("query_id", "rk")
+    )
+
+
+ORACLE_ANN_BATCH_TOPK = f"""
+    SELECT query_id, rk, vec_id, label, cos_sim
+    FROM (
+        SELECT q.vec_id AS query_id, e.vec_id, e.label,
+               round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) DESC,
+                            e.vec_id ASC
+               ) AS rk
+        FROM embeddings e,
+             (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {N_BATCH_QUERIES}) q
+        WHERE e.vec_id != q.vec_id
+    )
+    WHERE rk <= {BATCH_TOP_K}
+    ORDER BY query_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, deterministic)
 # ---------------------------------------------------------------------------
 
@@ -341,6 +398,7 @@ ORACLE_ANN_IVF = f"""
 
 QUERIES = {
     "ann_brute_force": q_ann_brute_force,
+    "ann_batch_topk": q_ann_batch_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_near_dups": q_embedding_near_dups,
@@ -348,6 +406,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_brute_force": ORACLE_ANN_BRUTE_FORCE,
+    "ann_batch_topk": ORACLE_ANN_BATCH_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
