@@ -205,10 +205,12 @@ def main() -> None:
         pairs = [tuple(int(x) for x in pair_env.split(","))]
     else:
         # only pairs whose hi level fits the physical cores — local[16] on
-        # an 8-core host would measure oversubscription, not scaling
-        pairs = [p for p in [(4, 16), (8, CPUS if CPUS > 8 else 32)]
-                 if p[1] <= ncpu] or [(1, min(4, ncpu))]
-    levels = sorted({c for p in pairs for c in p})
+        # an 8-core host would measure oversubscription, not scaling; the
+        # 4× candidates descend so small hosts still get a true N→4N pair
+        pairs = [p for p in [(4, 16), (8, CPUS if CPUS > 8 else 32),
+                             (2, 8), (1, 4)] if p[1] <= ncpu][:2]
+    pairs = [p for p in pairs if p[0] < p[1]]  # never self-compare
+    levels = sorted({c for p in pairs for c in p}) or [min(CPUS, ncpu)]
     runs = {c: _run_subprocess_extract(c, input_dir) for c in levels}
     pair_results = []
     for lo_cpus, hi_cpus in pairs:
@@ -226,7 +228,10 @@ def main() -> None:
             "scaling_efficiency_vs_hardware": round(
                 efficiency / ceiling, 3) if ceiling else None,
         })
-    best = max(pair_results, key=lambda p: p["scaling_efficiency"])
+    best = (
+        max(pair_results, key=lambda p: p["scaling_efficiency"])
+        if pair_results else {"scaling_efficiency": None, "pair": None}
+    )
     top = runs[levels[-1]]
 
     queries = run_headline_queries()

@@ -81,3 +81,20 @@ def test_format_dispatch_roundtrip(spark, transcripts_df, tmp_path):
     assert a == b
     with pytest.raises(ValueError, match="unsupported"):
         read_transcripts(spark, pq, "xml")
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-node chain (diameter 59) must converge within the iteration
+    cap — pointer jumping gives O(log d) rounds — and collapse to one
+    component labeled by the minimum node."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        connected_components,
+    )
+    edges = [(i, i + 1) for i in range(59)] + [(100, 101), (103, 101)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rows = {r["component"]: r for r in connected_components(pairs).collect()}
+    assert set(rows) == {0, 100}
+    assert rows[0]["n_docs"] == 60
+    assert rows[0]["members"] == ",".join(str(i) for i in range(60))
+    assert rows[100]["n_docs"] == 3
+    assert rows[100]["members"] == "100,101,103"

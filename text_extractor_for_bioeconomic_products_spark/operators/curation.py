@@ -88,16 +88,15 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@example.com or 555-867-5309 host 10.0.0.1"),
         ),
     ).otherwise(F.col("text"))
+    # counts follow the replacement cascade: each stage counts on the text
+    # the PREVIOUS stage already scrubbed, so a digit run consumed by the
+    # email redaction is never also reported as a phone/IP redaction
+    after_email = F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, _PII_PHONE, "<PHONE>")
+    scrubbed = F.regexp_replace(after_phone, _PII_IPV4, "<IP>")
     n_email = F.size(F.regexp_extract_all(seeded, F.lit(_PII_EMAIL), F.lit(0)))
-    n_phone = F.size(F.regexp_extract_all(seeded, F.lit(_PII_PHONE), F.lit(0)))
-    n_ip = F.size(F.regexp_extract_all(seeded, F.lit(_PII_IPV4), F.lit(0)))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE, "<PHONE>",
-        ),
-        _PII_IPV4, "<IP>",
-    )
+    n_phone = F.size(F.regexp_extract_all(after_email, F.lit(_PII_PHONE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(after_phone, F.lit(_PII_IPV4), F.lit(0)))
     return (
         docs.select(
             "doc_id",
@@ -176,20 +175,26 @@ ORACLE_SQL = {
     """,
     "doc_pii_scrub": f"""
         SELECT doc_id,
-               md5(regexp_replace(regexp_replace(regexp_replace(seeded,
-                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
-                   '{_PII_PHONE}', '<PHONE>', 'g'),
-                   '{_PII_IPV4}', '<IP>', 'g')) AS scrubbed_md5,
-               len(regexp_extract_all(seeded, '{_PII_EMAIL}')) AS n_email,
-               len(regexp_extract_all(seeded, '{_PII_PHONE}')) AS n_phone,
-               len(regexp_extract_all(seeded, '{_PII_IPV4}')) AS n_ip
+               md5(regexp_replace(after_phone, '{_PII_IPV4}', '<IP>', 'g')) AS scrubbed_md5,
+               n_email, n_phone,
+               len(regexp_extract_all(after_phone, '{_PII_IPV4}')) AS n_ip
         FROM (
-            SELECT doc_id,
-                   CASE WHEN doc_id % 10 = 0
-                        THEN text || ' contact user-' || CAST(doc_id AS VARCHAR)
-                             || '@example.com or 555-867-5309 host 10.0.0.1'
-                        ELSE text END AS seeded
-            FROM documents
+            SELECT doc_id, n_email,
+                   regexp_replace(after_email, '{_PII_PHONE}', '<PHONE>', 'g') AS after_phone,
+                   len(regexp_extract_all(after_email, '{_PII_PHONE}')) AS n_phone
+            FROM (
+                SELECT doc_id,
+                       regexp_replace(seeded, '{_PII_EMAIL}', '<EMAIL>', 'g') AS after_email,
+                       len(regexp_extract_all(seeded, '{_PII_EMAIL}')) AS n_email
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 10 = 0
+                                THEN text || ' contact user-' || CAST(doc_id AS VARCHAR)
+                                     || '@example.com or 555-867-5309 host 10.0.0.1'
+                                ELSE text END AS seeded
+                    FROM documents
+                )
+            )
         )
         ORDER BY doc_id
     """,

@@ -253,21 +253,20 @@ DUP_EDGE_THRESHOLD = 0.5
 _MAX_CC_ITERS = 20
 
 
-def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters as connected components over jaccard-candidate
-    edges (≥ DUP_EDGE_THRESHOLD), via iterative min-label propagation:
-    label(v) ← min(label(v), min label of neighbors) until fixpoint.
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation with pointer jumping over undirected edges
+    ``(doc_a, doc_b)`` → one row per component: (component, n_docs,
+    members).
 
-    Deterministic (min is order-free), converges in ≤ graph-diameter
-    rounds (near-dup clusters are near-cliques → 2-3).  At 100 TB the
-    same loop runs with the alternating large-star/small-star contraction
-    (Kiveris et al.) to bound per-round shuffle; each iteration here is
-    one join + one groupBy-min — all keyed on node id.  Output: one row
-    per component with its canonical (minimum) doc_id and sorted members.
+    label(v) ← min(label(v), min label of neighbors, label(label(v)))
+    until fixpoint.  Deterministic (min is order-free); the pointer-jump
+    step (every label value is itself a node) halves path lengths, so
+    convergence takes O(log diameter) rounds — a 2^20-long chain fits in
+    _MAX_CC_ITERS.  At 100 TB the same loop runs with the alternating
+    large-star/small-star contraction (Kiveris et al.) to bound per-round
+    shuffle; each iteration here is two keyed joins + one groupBy-min.
     """
-    pairs = q_dedup_jaccard_candidates(spark, sf_dir) \
-        .filter(F.col("jaccard") >= DUP_EDGE_THRESHOLD) \
-        .select("doc_a", "doc_b")
+    pairs = pairs.persist()
     bidir = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -276,43 +275,72 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(_MAX_CC_ITERS):
-        neigh = bidir.join(labels, bidir.doc_a == labels.node).select(
-            F.col("doc_b").alias("node"), "label"
+    try:
+        for _ in range(_MAX_CC_ITERS):
+            neigh = bidir.join(labels, bidir.doc_a == labels.node).select(
+                F.col("doc_b").alias("node"), "label"
+            )
+            hop = (
+                labels.select("node", "label").union(neigh)
+                .groupBy("node").agg(F.min("label").alias("label"))
+            )
+            jump = hop.select(
+                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+            )
+            merged = (
+                hop.join(jump, hop.label == jump.jnode, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                # sever iterative lineage growth each round; also acts as
+                # the persist point for the next iteration
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                merged.join(labels.withColumnRenamed("label", "old"), "node")
+                .filter(F.col("label") < F.col("old")).count()
+            )
+            labels.unpersist()
+            labels = merged
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("label propagation did not converge")
+        return (
+            labels.groupBy(F.col("label").alias("component"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_set("node")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("members"),
+            )
+            .orderBy("component")
+            .localCheckpoint(eager=True)
         )
-        merged = (
-            labels.select("node", "label").union(neigh)
-            .groupBy("node").agg(F.min("label").alias("label"))
-            .persist()
-        )
-        changed = (
-            merged.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") < F.col("old")).count()
-        )
+    finally:
+        pairs.unpersist()
+        bidir.unpersist()
         labels.unpersist()
-        labels = merged
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("label propagation did not converge")
-    out = (
-        labels.groupBy(F.col("label").alias("component"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_set("node")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("members"),
-        )
-        .orderBy("component")
-    )
-    result = out.localCheckpoint(eager=True)  # sever the iterative lineage
-    bidir.unpersist()
-    labels.unpersist()
-    return result
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters as connected components over jaccard-candidate
+    edges (≥ DUP_EDGE_THRESHOLD) — see :func:`connected_components`.
+    Output: one row per cluster with its canonical (minimum) doc_id and
+    sorted members; checked against a DuckDB recursive-CTE oracle."""
+    # the filter persists inside connected_components, so the LSH
+    # candidate subtree (the costly part) materializes once
+    pairs = q_dedup_jaccard_candidates(spark, sf_dir) \
+        .filter(F.col("jaccard") >= DUP_EDGE_THRESHOLD) \
+        .select("doc_a", "doc_b")
+    return connected_components(pairs)
 
 
 ORACLE_DUP_COMPONENTS = f"""

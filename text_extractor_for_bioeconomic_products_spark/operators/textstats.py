@@ -366,7 +366,13 @@ ORACLE_TOP_TOKENS = """
     LIMIT 50
 """
 
-ORACLE_STRATIFIED_SAMPLE = """
+# generated from _SAMPLE_PCT so the Spark query and the oracle can never
+# diverge when the rate map is edited
+_SAMPLE_CASE_SQL = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_PCT.items()
+)
+
+ORACLE_STRATIFIED_SAMPLE = f"""
     SELECT lang,
            count(*) AS n_docs,
            sum(kept) AS n_kept,
@@ -374,9 +380,7 @@ ORACLE_STRATIFIED_SAMPLE = """
     FROM (
         SELECT lang,
                CASE WHEN doc_id % 100 <
-                    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 40
-                              WHEN 'es' THEN 40 WHEN 'fr' THEN 40
-                              WHEN 'zh' THEN 40 ELSE 100 END
+                    CASE lang {_SAMPLE_CASE_SQL} ELSE {_SAMPLE_DEFAULT_PCT} END
                     THEN 1 ELSE 0 END AS kept
         FROM documents
     )
