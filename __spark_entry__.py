@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E402
     curation,
+    multimodal,
     dedup,
     normalize,
     relational,
@@ -68,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
     q.update(normalize.QUERIES)
+    q.update(multimodal.QUERIES)
     return q
 
 

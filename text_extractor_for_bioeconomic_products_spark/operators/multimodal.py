@@ -153,3 +153,28 @@ def frame_sample_stub(media: DataFrame, every_n: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_hash"])
 
     return media.mapInPandas(op, schema="media_id long, frame_idx int, frame_hash string")
+
+
+def q_multimodal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-surface window into the multimodal plumbing (rows-only —
+    input is the deterministic synthetic media table, not an sf table):
+    synthesize → mapInPandas feature extraction → per-kind census.
+    Byte-level behavior is pinned by tests/test_pipeline.py."""
+    media = synthesize_media(spark, n=300, seed=42)
+    feats = extract_media_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+            F.round(F.avg("height"), 2).alias("avg_height"),
+            F.sum(F.when(F.col("valid"), 0).otherwise(1)).alias("n_invalid"),
+        )
+        .orderBy("kind")
+    )
+
+
+QUERIES = {
+    "multimodal_census": q_multimodal_census,
+}
