@@ -117,13 +117,27 @@ _MIN_SENT_CHARS = 20
 _BENCH_MAX_DOC_ID = 20
 
 
+# leading '.' terminates the host doc's final (punctuation-free) segment
+# so the planted sentence splits out identically everywhere
+_PLANT = ". The planted benchmark sentence used to validate contamination detection."
+
+
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination check: a corpus doc is contaminated iff it shares
     ≥1 normalized sentence (md5, ≥20 chars) with the benchmark set.  The
     benchmark sentence-hash side is tiny → broadcast left-semi join;
     corpus sentences aggregate back to doc granularity before the final
-    per-source census."""
-    docs = load(spark, sf_dir, "documents")
+    per-source census.
+
+    The synthetic corpus has no natural cross-doc sentence overlap, so a
+    known sentence is planted on every 97th doc (doc 0 is in the
+    benchmark split) — the check then proves real detections instead of
+    passing vacuously on two empty sides."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(_PLANT)))
+        .otherwise(F.col("text")),
+    )
     sent = F.explode(F.split(F.col("text"), _SENT_SPLIT)).alias("sent")
 
     def sentences(df: DataFrame) -> DataFrame:
@@ -206,7 +220,13 @@ ORACLE_SQL = {
             FROM (
                 SELECT doc_id, source,
                        unnest(regexp_split_to_array(text, '{_SENT_SPLIT}')) AS s
-                FROM documents
+                FROM (
+                    SELECT doc_id, source,
+                           CASE WHEN doc_id % 97 = 0
+                                THEN text || '{_PLANT}'
+                                ELSE text END AS text
+                    FROM documents
+                )
             )
             WHERE length(trim(s)) >= {_MIN_SENT_CHARS}
         ),

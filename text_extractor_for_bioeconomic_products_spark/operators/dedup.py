@@ -191,17 +191,34 @@ ORACLE_DEDUP_SIMHASH = _simhash_sql_duckdb()
 # ---------------------------------------------------------------------------
 
 
+# A band holding B docs generates B² verification pairs — the classic LSH
+# hot-bucket failure (seen live: one band → 5.2M pairs, 280 s at sf0.1).
+# Bands over this cap skip pairwise verification entirely: sharing a
+# minhash band prefix among dozens+ of docs already implies duplication,
+# so dup_components emits the whole band as one cluster directly.
+MAX_BAND_DOCS = 64
+
+
+def _banded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    band = F.concat(F.substring("sig_0", 1, 8), F.lit("|"), F.substring("sig_1", 1, 8))
+    return sigs.select("doc_id", band.alias("band"))
+
+
 def q_dedup_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set Jaccard for candidate pairs that share an LSH band.
 
     The self-join runs on the band key (bucket-local), never all-pairs;
-    at scale the band shuffle is the only data movement and bucket sizes
-    are bounded by the band width.
+    bands over MAX_BAND_DOCS are excluded (see above) so per-bucket work
+    is bounded by MAX_BAND_DOCS² regardless of corpus skew.
     """
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
-    band = F.concat(F.substring("sig_0", 1, 8), F.lit("|"), F.substring("sig_1", 1, 8))
-    banded = sigs.select("doc_id", band.alias("band"))
+    banded = _banded_docs(spark, sf_dir)
+    band_sizes = banded.groupBy("band").agg(F.count("*").alias("band_n"))
+    banded = banded.join(
+        band_sizes.filter(F.col("band_n") <= MAX_BAND_DOCS), "band", "left_semi"
+    )
     words = docs.select(
         "doc_id",
         F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))).alias("words"),
@@ -228,11 +245,18 @@ def q_dedup_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_BODY_SQL = f"""
     WITH sigs AS ({_minhash_sql_duckdb()}),
-    banded AS (
+    banded_all AS (
         SELECT s.doc_id,
                substr(s.sig_0, 1, 8) || '|' || substr(s.sig_1, 1, 8) AS band,
                list_sort(list_distinct(string_split(lower(d.text), ' '))) AS words
         FROM sigs s JOIN documents d USING (doc_id)
+    ),
+    banded AS (
+        SELECT * FROM banded_all
+        WHERE band IN (
+            SELECT band FROM banded_all GROUP BY band
+            HAVING count(*) <= {MAX_BAND_DOCS}
+        )
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.words, b.words))::DOUBLE
@@ -331,8 +355,11 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
 
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters as connected components over jaccard-candidate
-    edges (≥ DUP_EDGE_THRESHOLD) — see :func:`connected_components`.
+    """Duplicate clusters: connected components over jaccard-candidate
+    edges (≥ DUP_EDGE_THRESHOLD) — see :func:`connected_components` —
+    UNIONed with the over-full LSH bands, each emitted directly as one
+    cluster (their pairwise verification is skipped by design; a doc has
+    exactly one band, so the two cluster sources never overlap).
     Output: one row per cluster with its canonical (minimum) doc_id and
     sorted members; checked against a DuckDB recursive-CTE oracle."""
     # the filter persists inside connected_components, so the LSH
@@ -340,7 +367,25 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_jaccard_candidates(spark, sf_dir) \
         .filter(F.col("jaccard") >= DUP_EDGE_THRESHOLD) \
         .select("doc_a", "doc_b")
-    return connected_components(pairs)
+    cc = connected_components(pairs)
+    mega = (
+        _banded_docs(spark, sf_dir)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("component"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_docs") > MAX_BAND_DOCS)
+        .select("component", "n_docs", "members")
+    )
+    return cc.unionByName(mega).orderBy("component")
 
 
 ORACLE_DUP_COMPONENTS = f"""
@@ -361,12 +406,27 @@ ORACLE_DUP_COMPONENTS = f"""
     lab AS (
         SELECT a AS node, least(a, min(b)) AS component
         FROM reach GROUP BY a
+    ),
+    sigs2 AS ({_minhash_sql_duckdb()}),
+    mega AS (
+        SELECT min(doc_id) AS component,
+               count(*) AS n_docs,
+               array_to_string(list_sort(list(doc_id)), ',') AS members
+        FROM (
+            SELECT doc_id,
+                   substr(sig_0, 1, 8) || '|' || substr(sig_1, 1, 8) AS band
+            FROM sigs2
+        )
+        GROUP BY band
+        HAVING count(*) > {MAX_BAND_DOCS}
     )
     SELECT component,
            count(*) AS n_docs,
            array_to_string(list_sort(list(node)), ',') AS members
     FROM lab
     GROUP BY component
+    UNION ALL
+    SELECT component, n_docs, members FROM mega
     ORDER BY component
 """
 

@@ -151,18 +151,27 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(F.split("text", " "))
     n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_STOP_RE), 0))
     alpha_chars = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    # rounding goes through DECIMAL(18,10): double round() breaks .xxxx5
+    # ties differently across engines (Spark HALF_UP vs DuckDB half-even,
+    # seen live at sf0.1 — quality 0.31375 → 0.3138 vs 0.3137); decimal
+    # rounding is HALF_UP in both
     quality = F.round(
-        F.least(n_words / 100.0, F.lit(1.0)) * 0.4
-        + (n_stop / F.greatest(n_words, F.lit(1))) * 0.3
-        + (alpha_chars / F.greatest(F.length("text"), F.lit(1))) * 0.3,
+        (
+            F.least(n_words / 100.0, F.lit(1.0)) * 0.4
+            + (n_stop / F.greatest(n_words, F.lit(1))) * 0.3
+            + (alpha_chars / F.greatest(F.length("text"), F.lit(1))) * 0.3
+        ).cast("decimal(18,10)"),
         4,
-    )
+    ).cast("double")
+    alpha_ratio = F.round(
+        (alpha_chars / F.greatest(F.length("text"), F.lit(1))).cast("decimal(18,10)"), 4
+    ).cast("double")
     return (
         docs.select(
             "doc_id",
             n_words.alias("n_words"),
             n_stop.alias("n_stopwords"),
-            F.round(alpha_chars / F.greatest(F.length("text"), F.lit(1)), 4).alias("alpha_ratio"),
+            alpha_ratio.alias("alpha_ratio"),
             quality.alias("quality"),
         )
         .orderBy("doc_id")
@@ -173,10 +182,12 @@ ORACLE_DOC_QUALITY = f"""
     SELECT doc_id,
            n_words,
            n_stopwords,
-           round(alpha_chars / greatest(length(text), 1), 4) AS alpha_ratio,
-           round(least(n_words / 100.0, 1.0) * 0.4
+           CAST(round(CAST(alpha_chars / greatest(length(text), 1)
+                      AS DECIMAL(18,10)), 4) AS DOUBLE) AS alpha_ratio,
+           CAST(round(CAST(least(n_words / 100.0, 1.0) * 0.4
                  + (n_stopwords / greatest(n_words, 1)) * 0.3
-                 + (alpha_chars / greatest(length(text), 1)) * 0.3, 4) AS quality
+                 + (alpha_chars / greatest(length(text), 1)) * 0.3
+                 AS DECIMAL(18,10)), 4) AS DOUBLE) AS quality
     FROM (
         SELECT doc_id, text,
                len(string_split(text, ' ')) AS n_words,
