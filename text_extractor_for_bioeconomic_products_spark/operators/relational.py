@@ -466,7 +466,131 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- Q18 shape: groupBy-HAVING on an aggregate + top-k -----------------------
+
+LARGE_ORDER_TOTAL = 400000
+
+
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose summed order value exceeds a threshold (TPC-H Q18
+    family): one shuffle on custkey with map-side partial sums; the HAVING
+    filter runs post-aggregate, then top-k."""
+    orders = load(spark, sf_dir, "orders")
+    total = F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), total.alias("total_exact"))
+        .filter(F.col("total_exact") > LARGE_ORDER_TOTAL)
+        .orderBy(F.desc("total_exact"), F.asc("o_custkey"))
+        .limit(20)
+        .select(
+            "o_custkey", "n_orders",
+            F.round("total_exact", 4).cast("double").alias("total_spent"),
+        )
+    )
+
+
+# --- Q22 shape: scalar-subquery threshold + anti join ------------------------
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and NO orders (TPC-H
+    Q22 family): a broadcast scalar aggregate feeds the filter, then a
+    left-anti join against orders; census per nation."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    # bal > avg ⟺ bal * n > total — exact decimal/integer math on both
+    # engines (DuckDB's avg(DECIMAL) returns DOUBLE, which could flip
+    # boundary rows)
+    stats = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).alias("bal_total"),
+            F.count("*").alias("bal_n"),
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("c_acctbal").cast("decimal(14,2)") * F.col("bal_n") > F.col("bal_total")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 4)
+            .cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --- Funnel: signup → later purchase conversion ------------------------------
+
+def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic product-analytics funnel: users who signed up, and of
+    those, users whose first purchase came at-or-after their first
+    signup.  Two per-user min-aggregates (one shuffle each on user_id,
+    AQE-coalesced) joined and reduced to a single census row."""
+    events = load(spark, sf_dir, "events")
+    first = (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+        )
+    )
+    return first.agg(
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & F.col("first_purchase").isNotNull()
+                & (F.col("first_purchase") >= F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
 ORACLE_SQL = {
+    "big_spenders": f"""
+        SELECT o_custkey, n_orders,
+               CAST(round(total_exact, 4) AS DOUBLE) AS total_spent
+        FROM (
+            SELECT o_custkey, count(*) AS n_orders,
+                   sum(o_totalprice::DECIMAL(14,2)) AS total_exact
+            FROM orders
+            GROUP BY o_custkey
+            HAVING sum(o_totalprice::DECIMAL(14,2)) > {LARGE_ORDER_TOTAL}
+        )
+        ORDER BY total_exact DESC, o_custkey ASC
+        LIMIT 20
+    """,
+    "idle_rich_customers": """
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               CAST(round(sum(c_acctbal::DECIMAL(12,2)), 4) AS DOUBLE) AS total_acctbal
+        FROM customer
+        WHERE c_acctbal::DECIMAL(14,2)
+                  * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+              > (SELECT sum(c_acctbal::DECIMAL(14,2)) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "signup_purchase_funnel": """
+        SELECT sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
+               sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                         AND first_purchase >= first_signup THEN 1 ELSE 0 END) AS n_converted
+        FROM (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events
+            WHERE event_type IN ('signup', 'purchase')
+            GROUP BY user_id
+        )
+    """,
     "shipping_priority": """
         SELECT o_orderkey, o_orderdate,
                CAST(round(rev_exact, 4) AS DOUBLE) AS revenue
@@ -721,6 +845,9 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "big_spenders": q_big_spenders,
+    "idle_rich_customers": q_idle_rich_customers,
+    "signup_purchase_funnel": q_signup_purchase_funnel,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "top_supplier_per_nation": q_top_supplier_per_nation,
