@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E402
+    conversation,
     curation,
     multimodal,
     dedup,
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.QUERIES)
     q.update(normalize.QUERIES)
     q.update(multimodal.QUERIES)
+    q.update(conversation.QUERIES)
     return q
 
 

@@ -79,3 +79,26 @@ def dedup_turns_within_conversation(turns: DataFrame) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def q_conversation_echo_stats(spark, sf_dir: str) -> DataFrame:
+    """Driver-surface window into the applyInPandas cross-turn operators
+    (rows-only — input is the deterministic synthetic transcript corpus):
+    extract → consecutive-turn difflib similarity → corpus-level echo
+    census.  Scalar-oracle equality is pinned by tests/test_conversation."""
+    from .extract import extract_turns
+    from ..sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=40, seed=42)
+    stats = conversation_echo_stats(extract_turns(t))
+    return stats.agg(
+        F.count("*").alias("n_conversations"),
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum("n_echoes").alias("n_echoes"),
+        F.round(F.avg("avg_sim"), 4).alias("mean_avg_sim"),
+    )
+
+
+QUERIES = {
+    "conversation_echo_stats": q_conversation_echo_stats,
+}
