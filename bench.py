@@ -209,6 +209,8 @@ def main() -> None:
         # 4× candidates descend so small hosts still get a true N→4N pair
         pairs = [p for p in [(4, 16), (8, CPUS if CPUS > 8 else 32),
                              (2, 8), (1, 4)] if p[1] <= ncpu][:2]
+        if not pairs and ncpu >= 2:
+            pairs = [(1, ncpu)]  # tiny host: measure what ratio exists
     pairs = [p for p in pairs if p[0] < p[1]]  # never self-compare
     levels = sorted({c for p in pairs for c in p}) or [min(CPUS, ncpu)]
     runs = {c: _run_subprocess_extract(c, input_dir) for c in levels}

@@ -206,41 +206,47 @@ def _banded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", band.alias("band"))
 
 
-def q_dedup_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard for candidate pairs that share an LSH band.
+def _jaccard_pairs_from(docs: DataFrame, banded: DataFrame) -> DataFrame:
+    """Candidate pairs + word-set Jaccard for docs sharing a ≤cap band.
 
     The self-join runs on the band key (bucket-local), never all-pairs;
     bands over MAX_BAND_DOCS are excluded (see above) so per-bucket work
-    is bounded by MAX_BAND_DOCS² regardless of corpus skew.
+    is bounded by MAX_BAND_DOCS² regardless of corpus skew.  The round
+    goes through DECIMAL(18,10) — double round() breaks .xxxx5 ties
+    differently across engines (same hardening as doc_quality), and the
+    rounded value feeds dup_components' edge threshold.
     """
-    docs = load(spark, sf_dir, "documents")
-    banded = _banded_docs(spark, sf_dir)
     band_sizes = banded.groupBy("band").agg(F.count("*").alias("band_n"))
-    banded = banded.join(
+    small = banded.join(
         band_sizes.filter(F.col("band_n") <= MAX_BAND_DOCS), "band", "left_semi"
     )
     words = docs.select(
         "doc_id",
         F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))).alias("words"),
     )
-    banded = banded.join(words, "doc_id")
-    a = banded.select(
+    small = small.join(words, "doc_id")
+    a = small.select(
         F.col("band"), F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a")
     )
-    b = banded.select(
+    b = small.select(
         F.col("band"), F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b")
     )
     pairs = a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b"))
     inter = F.size(F.array_intersect("words_a", "words_b"))
     union = F.size(F.array_union("words_a", "words_b"))
+    jac = F.round(
+        (inter / F.greatest(union, F.lit(1))).cast("decimal(18,10)"), 4
+    ).cast("double")
     return (
-        pairs.select(
-            "doc_a", "doc_b",
-            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
-        )
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def q_dedup_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return _jaccard_pairs_from(docs, _banded_docs(spark, sf_dir))
 
 
 _JACCARD_BODY_SQL = f"""
@@ -259,8 +265,9 @@ _JACCARD_BODY_SQL = f"""
         )
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.words, b.words))::DOUBLE
-                 / greatest(len(list_distinct(list_concat(a.words, b.words))), 1), 4) AS jaccard
+           CAST(round(CAST(len(list_intersect(a.words, b.words))::DOUBLE
+                 / greatest(len(list_distinct(list_concat(a.words, b.words))), 1)
+                 AS DECIMAL(18,10)), 4) AS DOUBLE) AS jaccard
     FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 """
 
@@ -311,6 +318,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             jump = hop.select(
                 F.col("node").alias("jnode"), F.col("label").alias("jlabel")
             )
+            # localCheckpoint each round: the hop self-join doubles the
+            # logical plan per iteration, and without severing it Catalyst
+            # analysis alone blows up (measured 26 s → 147 s at sf0.01
+            # when this was a plain persist).  Cost: checkpoint blocks are
+            # freed by GC rather than the explicit unpersist — bounded at
+            # O(log diameter) small (node,label) snapshots.
             merged = (
                 hop.join(jump, hop.label == jump.jnode, "left")
                 .select(
@@ -319,8 +332,6 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                         F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                     ).alias("label"),
                 )
-                # sever iterative lineage growth each round; also acts as
-                # the persist point for the next iteration
                 .localCheckpoint(eager=True)
             )
             changed = (
@@ -362,14 +373,17 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one band, so the two cluster sources never overlap).
     Output: one row per cluster with its canonical (minimum) doc_id and
     sorted members; checked against a DuckDB recursive-CTE oracle."""
-    # the filter persists inside connected_components, so the LSH
-    # candidate subtree (the costly part) materializes once
-    pairs = q_dedup_jaccard_candidates(spark, sf_dir) \
+    # banding (doc scan + word explode + minhash shuffle — the costly
+    # subtree) materializes ONCE and feeds both the capped candidate
+    # pairs and the mega-band aggregation
+    docs = load(spark, sf_dir, "documents")
+    banded = _banded_docs(spark, sf_dir).persist()
+    pairs = _jaccard_pairs_from(docs, banded) \
         .filter(F.col("jaccard") >= DUP_EDGE_THRESHOLD) \
         .select("doc_a", "doc_b")
     cc = connected_components(pairs)
     mega = (
-        _banded_docs(spark, sf_dir)
+        banded
         .groupBy("band")
         .agg(
             F.count("*").alias("n_docs"),
@@ -385,7 +399,9 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > MAX_BAND_DOCS)
         .select("component", "n_docs", "members")
     )
-    return cc.unionByName(mega).orderBy("component")
+    out = cc.unionByName(mega).orderBy("component").localCheckpoint(eager=True)
+    banded.unpersist()
+    return out
 
 
 ORACLE_DUP_COMPONENTS = f"""

@@ -359,7 +359,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("kept").alias("n_kept"),
-            F.round(F.sum("kept") / F.count("*"), 4).alias("kept_frac"),
+            F.round(
+                (F.sum("kept") / F.count("*")).cast("decimal(18,10)"), 4
+            ).cast("double").alias("kept_frac"),  # decimal-safe tie rounding
         )
         .orderBy("lang")
     )
@@ -387,7 +389,8 @@ ORACLE_STRATIFIED_SAMPLE = f"""
     SELECT lang,
            count(*) AS n_docs,
            sum(kept) AS n_kept,
-           round(sum(kept) / count(*), 4) AS kept_frac
+           CAST(round(CAST(sum(kept) / count(*) AS DECIMAL(18,10)), 4)
+                AS DOUBLE) AS kept_frac
     FROM (
         SELECT lang,
                CASE WHEN doc_id % 100 <
