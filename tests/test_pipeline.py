@@ -235,3 +235,37 @@ def test_cap_chunks_explicit_truncation(spark):
     assert rows[1]["chunks"] == list("abcde") and rows[1]["n_chunks_dropped"] == 2
     assert rows[2]["chunks"] == list("ab") and rows[2]["n_chunks_dropped"] == 0
     assert rows[3]["chunks"] == [] and rows[3]["n_chunks_dropped"] == 0
+
+
+def test_merge_turns_keyed_upsert(spark, transcripts_df, tmp_path):
+    """Row-granular MERGE semantics: updates replace matched keys, inserts
+    add new keys, rows outside the new key set survive, and only buckets
+    holding new keys are rewritten."""
+    from pyspark.sql import functions as F
+    from text_extractor_for_bioeconomic_products_spark.plans.pipeline import (
+        merge_turns,
+    )
+
+    turns_dir = str(tmp_path / "turns")
+    base = extract_turns(transcripts_df).drop("spans")
+    merge_turns(spark, turns_dir, base, n_buckets=8)
+    n_base = spark.read.parquet(turns_dir).count()
+
+    # update 3 existing turns (same keys, new lang value) + insert 2 new
+    upd = (
+        base.orderBy("conv_id", "turn_idx").limit(3)
+        .withColumn("lang", F.lit("MERGED"))
+    )
+    ins = (
+        base.orderBy("conv_id", "turn_idx").limit(2)
+        .withColumn("turn_idx", F.col("turn_idx") + 100000)
+    )
+    stats = merge_turns(spark, turns_dir, upd.unionByName(ins), n_buckets=8)
+
+    after = spark.read.parquet(turns_dir)
+    assert after.count() == n_base + 2
+    assert after.filter(F.col("lang") == "MERGED").count() == 3
+    # key uniqueness preserved
+    assert after.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    # only the buckets holding new keys were rewritten
+    assert 0 < len(stats["buckets_rewritten"]) <= 8

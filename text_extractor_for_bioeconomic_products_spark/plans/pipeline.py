@@ -64,6 +64,49 @@ def _processed_buckets(spark: SparkSession, manifest_dir: str) -> List[int]:
         return []  # no manifest yet — fresh run
 
 
+def merge_turns(
+    spark: SparkSession,
+    turns_dir: str,
+    new_turns: DataFrame,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> dict:
+    """Keyed upsert into the bucketed turns dataset — the parquet analog
+    of Iceberg ``MERGE INTO turns t USING new n ON t.conv_id = n.conv_id
+    AND t.turn_idx = n.turn_idx WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
+    THEN INSERT`` (the north_rule resumability primitive at row
+    granularity; ``run_extraction``'s manifest covers bucket granularity).
+
+    Only buckets containing new keys are read and rewritten: existing rows
+    in those buckets survive via an anti join on the key, everything else
+    on disk is untouched (dynamic partition overwrite).  ``new_turns`` is
+    extraction output (``extract_turns(...).drop("spans")``).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    new_b = _with_bucket(new_turns, n_buckets).persist()
+    affected = sorted(
+        r["bucket"] for r in new_b.select("bucket").distinct().collect()
+    )
+    n_upserted = new_b.count()
+    try:
+        existing = spark.read.parquet(turns_dir).filter(
+            F.col("bucket").isin(affected)
+        )
+    except Exception:
+        existing = None  # first write — plain insert
+    if existing is not None:
+        keys = new_b.select("conv_id", "turn_idx").distinct()
+        kept = existing.join(keys, ["conv_id", "turn_idx"], "left_anti")
+        merged = kept.unionByName(new_b.select(*kept.columns))
+    else:
+        merged = new_b
+    # the merged affected buckets must be fully materialized before the
+    # overwrite deletes their source files
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(turns_dir)
+    new_b.unpersist()
+    return {"buckets_rewritten": affected, "n_upserted": n_upserted}
+
+
 def run_extraction(
     spark: SparkSession,
     transcripts: DataFrame,
