@@ -68,5 +68,6 @@ def test_strip_boilerplate_never_crashes_and_is_deterministic(chunks):
 def test_extract_main_content_total_function(text):
     out = rules.extract_main_content(text)
     assert isinstance(out, str)
-    vec = rules.clean_series_rich(pd.Series([rules.strip_boilerplate(text)])).iloc[0]
+    repaired, _ = rules.parse_pdf_layout(text)
+    vec = rules.clean_series_rich(pd.Series([rules.strip_boilerplate(repaired)])).iloc[0]
     assert vec == out

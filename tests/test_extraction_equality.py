@@ -137,3 +137,20 @@ def test_mega_conversation_skew_exists(transcripts_df):
     counts = transcripts_df.groupBy("conv_id").count().toPandas()
     top = counts["count"].max() / counts["count"].sum()
     assert top > 0.05
+
+
+def test_layout_artifacts_repaired_in_spark_pipeline(spark):
+    """PDF-extraction artifacts (hyphen wraps, form feeds) repaired
+    identically in the Spark featurizer and the scalar oracle, with the
+    page count surfaced."""
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "bio-\neconomic acai products\x0cpage two", None, None),
+         ("c1", 1, "user", "plain turn", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = {r["turn_idx"]: r for r in extract_turns(df).collect()}
+    assert rows[0]["n_pages"] == 2 and rows[1]["n_pages"] == 1
+    assert "bioeconomic" in rows[0]["clean_text"]
+    assert "\x0c" not in rows[0]["clean_text"]
+    exp = rules.extract_main_content("bio-\neconomic acai products\x0cpage two")
+    assert rows[0]["clean_text"] == exp

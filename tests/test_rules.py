@@ -450,3 +450,34 @@ def test_keyword_counts_frame_equals_boundary_regexes(text, a, b):
             len(_re.findall(r"\b" + _re.escape(k) + r"\b", lower)) for k in kws
         )
         assert kw["rel:" + cat].iloc[0] == expect, cat
+
+
+# ---------------------------------------------------------------------------
+# PDF/layout text parsing (north_star slot; text_extractor.py:50-100 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_pdf_layout():
+    t, n = rules.parse_pdf_layout("exam-\nple text\x0cpage two here")
+    assert t == "example text\n\npage two here"
+    assert n == 2
+    # identity on clean text
+    t2, n2 = rules.parse_pdf_layout("plain text, no artifacts")
+    assert t2 == "plain text, no artifacts" and n2 == 1
+    # hyphen before non-word or at line end untouched
+    t3, _ = rules.parse_pdf_layout("well-\n known; range 3-\n4; tail-\n")
+    assert t3 == "well-\n known; range 3-\n4; tail-\n"
+    assert rules.parse_pdf_layout(None) == ("", 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text_strategy)
+def test_layout_series_equals_scalar(text):
+    t, n = rules.layout_series(pd.Series([text]))
+    st, sn = rules.parse_pdf_layout(text)
+    assert t.iloc[0] == st and int(n.iloc[0]) == sn
+
+
+def test_extract_main_content_repairs_layout():
+    got = rules.extract_main_content("bio-\neconomic products\x0cof acai")
+    assert "bioeconomic" in got and "\x0c" not in got

@@ -45,6 +45,7 @@ TURN_FEATURES_TYPE = T.StructType([
     T.StructField("lang_conf", T.DoubleType(), False),
     T.StructField("relevance", T.DoubleType(), False),
     T.StructField("n_tokens", T.IntegerType(), False),
+    T.StructField("n_pages", T.IntegerType(), False),
     T.StructField("is_html", T.BooleanType(), False),
     T.StructField("parse_error", T.BooleanType(), False),
     T.StructField("spans", T.ArrayType(SPAN_TYPE, False), False),
@@ -88,6 +89,9 @@ def tag_spans_series(clean: pd.Series, lower: Optional[pd.Series] = None) -> pd.
 @F.pandas_udf(TURN_FEATURES_TYPE)
 def extract_turn_features(text: pd.Series) -> pd.DataFrame:
     text = text.fillna("")
+    # PDF/layout artifact repair first (dehyphenate wraps, form feeds →
+    # paragraph breaks + page count) — identity on clean text
+    text, n_pages = rules.layout_series(text)
     is_html = text.map(rules.looks_like_html)
     parse_error = pd.Series(False, index=text.index)
 
@@ -118,6 +122,7 @@ def extract_turn_features(text: pd.Series) -> pd.DataFrame:
         "lang_conf": langf["lang_conf"],
         "relevance": relevance,
         "n_tokens": n_tokens,
+        "n_pages": n_pages,
         "is_html": is_html,
         "parse_error": parse_error,
         "spans": spans.map(

@@ -27,7 +27,7 @@ from ..functions.udfs import extract_turn_features
 TURNS_EXTRACTED_COLS = [
     "conv_id", "turn_idx", "role", "tool", "ts",
     "clean_text", "lang", "lang_conf", "relevance",
-    "n_tokens", "is_html", "parse_error", "n_spans",
+    "n_tokens", "n_pages", "is_html", "parse_error", "n_spans",
 ]
 
 
@@ -49,6 +49,7 @@ def extract_turns(transcripts: DataFrame) -> DataFrame:
             feat["lang_conf"].alias("lang_conf"),
             feat["relevance"].alias("relevance"),
             feat["n_tokens"].alias("n_tokens"),
+            feat["n_pages"].alias("n_pages"),
             feat["is_html"].alias("is_html"),
             feat["parse_error"].alias("parse_error"),
             F.size(feat["spans"]).alias("n_spans"),
@@ -137,6 +138,7 @@ def corpus_stats(turns: DataFrame) -> DataFrame:
             F.count("*").alias("n_turns"),
             F.sum(F.length("clean_text")).alias("total_chars"),
             F.avg(F.length("clean_text")).alias("avg_chars"),
+            F.sum("n_pages").alias("total_pages"),
             F.sum("n_spans").alias("total_spans"),
             F.avg("relevance").alias("avg_relevance"),
         )

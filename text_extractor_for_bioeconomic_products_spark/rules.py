@@ -1025,10 +1025,43 @@ def _naive_tag_strip(text: str) -> str:
     return _html.unescape(text).strip()
 
 
+# ---------------------------------------------------------------------------
+# PDF/layout text parsing (north_star: "PDF/layout text parsing") — repair
+# of the artifacts PDF text extraction leaves behind (the analog of the
+# reference's pdfplumber/PyMuPDF/PyPDF2 slot, text_extractor.py:50-100):
+# hyphenated line wraps rejoined, form-feed page breaks → paragraph breaks
+# with a page count (ProcessedDocument.page_count, pdf_processor.py:16-27).
+# ---------------------------------------------------------------------------
+
+# letters only — digit ranges like "3-\n4" must not join
+_HYPHEN_WRAP_RE = re.compile(r"(?<=[^\W\d_])-\n(?=[^\W\d_])")
+_FORMFEED_RE = re.compile(r"[ \t]*\x0c[ \t]*")
+
+
+def parse_pdf_layout(text: Optional[str]) -> Tuple[str, int]:
+    """(repaired_text, n_pages).  Deterministic, identity on clean text."""
+    if not text:
+        return "", 1
+    n_pages = text.count("\x0c") + 1
+    t = _HYPHEN_WRAP_RE.sub("", text)
+    t = _FORMFEED_RE.sub("\n\n", t)
+    return t, n_pages
+
+
+def layout_series(s: pd.Series) -> Tuple[pd.Series, pd.Series]:
+    """Vectorized :func:`parse_pdf_layout` → (repaired, n_pages)."""
+    s = s.fillna("")
+    n_pages = (s.str.count("\x0c") + 1).astype("int32")
+    t = s.str.replace(_HYPHEN_WRAP_RE, "", regex=True)
+    t = t.str.replace(_FORMFEED_RE, "\n\n", regex=True)
+    return t, n_pages
+
+
 def extract_main_content(text: Optional[str]) -> str:
-    """Boilerplate strip (if markup) → rich clean.  The per-turn equality
-    target column ``clean_text`` (FIXTURES.md §2)."""
-    return clean_text_rich(strip_boilerplate(text))
+    """Layout repair → boilerplate strip (if markup) → rich clean.  The
+    per-turn equality target column ``clean_text`` (FIXTURES.md §2)."""
+    repaired, _ = parse_pdf_layout(text)
+    return clean_text_rich(strip_boilerplate(repaired))
 
 
 # ---------------------------------------------------------------------------
@@ -1172,6 +1205,7 @@ def oracle_extract_turns(pdf: pd.DataFrame) -> pd.DataFrame:
     spans = clean.map(tag_product_spans)
     out["n_spans"] = spans.map(len)
     out["n_tokens"] = clean.map(token_estimate)
+    out["n_pages"] = pdf["text"].map(lambda t: parse_pdf_layout(t)[1])
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
