@@ -1049,12 +1049,21 @@ def parse_pdf_layout(text: Optional[str]) -> Tuple[str, int]:
 
 
 def layout_series(s: pd.Series) -> Tuple[pd.Series, pd.Series]:
-    """Vectorized :func:`parse_pdf_layout` → (repaired, n_pages)."""
+    """Vectorized :func:`parse_pdf_layout` → (repaired, n_pages).
+
+    One detection pass gates the repair passes: artifact-free rows (the
+    common case on web text) skip both replaces and the page count."""
     s = s.fillna("")
-    n_pages = (s.str.count("\x0c") + 1).astype("int32")
-    t = s.str.replace(_HYPHEN_WRAP_RE, "", regex=True)
-    t = t.str.replace(_FORMFEED_RE, "\n\n", regex=True)
-    return t, n_pages
+    n_pages = pd.Series(1, index=s.index, dtype="int32")
+    mask = s.str.contains("\x0c|-\n", regex=True)
+    if bool(mask.any()):
+        sub = s[mask]
+        n_pages.loc[mask] = (sub.str.count("\x0c") + 1).astype("int32")
+        t = sub.str.replace(_HYPHEN_WRAP_RE, "", regex=True)
+        t = t.str.replace(_FORMFEED_RE, "\n\n", regex=True)
+        s = s.copy()
+        s.loc[mask] = t
+    return s, n_pages
 
 
 def extract_main_content(text: Optional[str]) -> str:
