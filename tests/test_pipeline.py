@@ -269,3 +269,21 @@ def test_merge_turns_keyed_upsert(spark, transcripts_df, tmp_path):
     assert after.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
     # only the buckets holding new keys were rewritten
     assert 0 < len(stats["buckets_rewritten"]) <= 8
+
+
+def test_streaming_dedup_exactly_once_per_key(spark, transcripts_df, tmp_path):
+    """At-least-once input (every turn delivered twice across two files)
+    → exactly one output row per (conv_id, turn_idx)."""
+    from text_extractor_for_bioeconomic_products_spark.streaming.pipeline import (
+        run_streaming_dedup_extraction,
+    )
+
+    src = transcripts_df.limit(200)
+    in_dir = str(tmp_path / "in")
+    src.write.mode("overwrite").parquet(in_dir)
+    src.write.mode("append").parquet(in_dir)  # duplicate delivery
+    out_dir = str(tmp_path / "out")
+    run_streaming_dedup_extraction(spark, in_dir, out_dir)
+    got = spark.read.parquet(str(tmp_path / "out" / "turns_dedup_stream"))
+    assert got.count() == src.count()
+    assert got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0

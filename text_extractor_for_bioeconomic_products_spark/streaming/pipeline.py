@@ -150,3 +150,33 @@ def streaming_conversation_counts(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def run_streaming_dedup_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Exactly-once per-key output under at-least-once input: stateful
+    streaming dedup on (conv_id, turn_idx) with a 1-hour event-time
+    watermark bounding the dedup state store, then the extraction map.
+    Re-delivered turns (source retries, overlapping backfills) emit one
+    output row; state for keys older than the watermark is evicted."""
+    stream = read_transcript_stream(spark, input_dir)
+    unique = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["conv_id", "turn_idx"])
+    )
+    turns = extract_turns(unique).drop("spans")
+    q = (
+        turns.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "turns_dedup_stream"))
+        .option("checkpointLocation", os.path.join(out_dir, "_dedup_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
