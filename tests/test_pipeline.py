@@ -287,3 +287,21 @@ def test_streaming_dedup_exactly_once_per_key(spark, transcripts_df, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out" / "turns_dedup_stream"))
     assert got.count() == src.count()
     assert got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+
+
+def test_merge_turns_rejects_bad_inputs(spark, transcripts_df, tmp_path):
+    """MERGE contract guards: duplicate source keys error (Iceberg's
+    'multiple matching rows'), and a mismatched bucket modulus errors
+    instead of silently duplicating matched keys."""
+    import pytest as _pytest
+    from text_extractor_for_bioeconomic_products_spark.plans.pipeline import (
+        merge_turns,
+    )
+
+    turns_dir = str(tmp_path / "turns")
+    base = extract_turns(transcripts_df).drop("spans").limit(50)
+    merge_turns(spark, turns_dir, base, n_buckets=8)
+    with _pytest.raises(ValueError, match="duplicate"):
+        merge_turns(spark, turns_dir, base.unionByName(base.limit(1)), n_buckets=8)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        merge_turns(spark, turns_dir, base.limit(1), n_buckets=16)

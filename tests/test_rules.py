@@ -461,6 +461,9 @@ def test_parse_pdf_layout():
     t, n = rules.parse_pdf_layout("exam-\nple text\x0cpage two here")
     assert t == "example text\n\npage two here"
     assert n == 2
+    # pdftotext convention: trailing form feed after the last page
+    assert rules.parse_pdf_layout("p1\x0cp2\x0c")[1] == 2
+    assert rules.parse_pdf_layout("p1\x0cp2\x0c \n")[1] == 2
     # identity on clean text
     t2, n2 = rules.parse_pdf_layout("plain text, no artifacts")
     assert t2 == "plain text, no artifacts" and n2 == 1

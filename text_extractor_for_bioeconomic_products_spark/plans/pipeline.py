@@ -83,15 +83,53 @@ def merge_turns(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     new_b = _with_bucket(new_turns, n_buckets).persist()
+    # MERGE contract: the source must be key-unique (Iceberg raises
+    # "multiple matching rows"; silently keeping both would corrupt the
+    # target's key uniqueness)
+    dup_keys = (
+        new_b.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+    )
+    if dup_keys:
+        new_b.unpersist()
+        raise ValueError(
+            f"merge_turns: {dup_keys} duplicate (conv_id, turn_idx) keys in new_turns"
+        )
     affected = sorted(
         r["bucket"] for r in new_b.select("bucket").distinct().collect()
     )
     n_upserted = new_b.count()
+    # the bucket modulus is part of the dataset layout: merging with a
+    # different n_buckets would hash matched keys into unscanned buckets
+    # and duplicate them silently — validate against the sidecar.  Only
+    # a missing path means "not there"; any other read error (permissions,
+    # corrupt footer) must NOT fall through to a write that would
+    # dynamic-overwrite existing buckets with partial data.
+    def _missing_path(ex: Exception) -> bool:
+        msg = str(ex)
+        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+    meta_dir = turns_dir.rstrip("/") + "_meta"
+    stored = None
+    try:
+        stored = int(spark.read.json(meta_dir).collect()[0]["n_buckets"])
+    except Exception as ex:
+        if not _missing_path(ex):
+            new_b.unpersist()
+            raise
+    if stored is not None and stored != n_buckets:
+        new_b.unpersist()
+        raise ValueError(
+            f"merge_turns: dataset written with n_buckets={stored}, "
+            f"merge called with {n_buckets}"
+        )
     try:
         existing = spark.read.parquet(turns_dir).filter(
             F.col("bucket").isin(affected)
         )
-    except Exception:
+    except Exception as ex:
+        if not _missing_path(ex):
+            new_b.unpersist()
+            raise
         existing = None  # first write — plain insert
     if existing is not None:
         keys = new_b.select("conv_id", "turn_idx").distinct()
@@ -103,6 +141,11 @@ def merge_turns(
     # overwrite deletes their source files
     merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").partitionBy("bucket").parquet(turns_dir)
+    if stored is None:
+        # first write, or adopting a pre-sidecar dataset at the caller's
+        # declared modulus
+        spark.createDataFrame([(n_buckets,)], "n_buckets int") \
+            .coalesce(1).write.mode("overwrite").json(meta_dir)
     new_b.unpersist()
     return {"buckets_rewritten": affected, "n_upserted": n_upserted}
 

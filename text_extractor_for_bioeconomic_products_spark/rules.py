@@ -1039,10 +1039,15 @@ _FORMFEED_RE = re.compile(r"[ \t]*\x0c[ \t]*")
 
 
 def parse_pdf_layout(text: Optional[str]) -> Tuple[str, int]:
-    """(repaired_text, n_pages).  Deterministic, identity on clean text."""
+    """(repaired_text, n_pages).  Deterministic, identity on clean text.
+
+    Page counting follows the pdftotext convention of a form feed AFTER
+    every page including the last: trailing whitespace+\\x0c is ignored
+    (``"p1\\x0cp2\\x0c"`` is 2 pages, not 3), so only separators with
+    content after them start a new page."""
     if not text:
         return "", 1
-    n_pages = text.count("\x0c") + 1
+    n_pages = text.rstrip().count("\x0c") + 1
     t = _HYPHEN_WRAP_RE.sub("", text)
     t = _FORMFEED_RE.sub("\n\n", t)
     return t, n_pages
@@ -1058,7 +1063,9 @@ def layout_series(s: pd.Series) -> Tuple[pd.Series, pd.Series]:
     mask = s.str.contains("\x0c|-\n", regex=True)
     if bool(mask.any()):
         sub = s[mask]
-        n_pages.loc[mask] = (sub.str.count("\x0c") + 1).astype("int32")
+        n_pages.loc[mask] = (
+            sub.str.rstrip().str.count("\x0c") + 1
+        ).astype("int32")
         t = sub.str.replace(_HYPHEN_WRAP_RE, "", regex=True)
         t = t.str.replace(_FORMFEED_RE, "\n\n", regex=True)
         s = s.copy()

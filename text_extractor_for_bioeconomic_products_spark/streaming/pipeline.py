@@ -159,14 +159,19 @@ def run_streaming_dedup_extraction(
     timeout_sec: int = 300,
 ) -> None:
     """Exactly-once per-key output under at-least-once input: stateful
-    streaming dedup on (conv_id, turn_idx) with a 1-hour event-time
-    watermark bounding the dedup state store, then the extraction map.
-    Re-delivered turns (source retries, overlapping backfills) emit one
-    output row; state for keys older than the watermark is evicted."""
+    streaming dedup on (conv_id, turn_idx), then the extraction map.
+
+    ``dropDuplicatesWithinWatermark`` is the correct primitive here: it
+    evicts per-key state once the key's event time falls behind the
+    watermark WITHOUT requiring the event-time column in the key, and —
+    unlike watermark + plain ``dropDuplicates`` — does not discard a
+    never-seen late row outright (plain dropDuplicates with a watermark
+    but no event-time key would filter late rows pre-dedup and never
+    evict state)."""
     stream = read_transcript_stream(spark, input_dir)
     unique = (
         stream.withWatermark("ts", "1 hour")
-        .dropDuplicates(["conv_id", "turn_idx"])
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
     )
     turns = extract_turns(unique).drop("spans")
     q = (
