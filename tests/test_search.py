@@ -98,3 +98,12 @@ def test_connected_components_long_chain(spark):
     assert rows[0]["members"] == ",".join(str(i) for i in range(60))
     assert rows[100]["n_docs"] == 3
     assert rows[100]["members"] == "100,101,103"
+
+
+def test_approx_distinct_tolerance(spark):
+    """HLL++ sketch within its declared 2% rsd (allow 3σ) of exact."""
+    import __spark_entry__ as e
+    rows = e.queries()["approx_distinct_users"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.06 * r["exact_users"])

@@ -552,7 +552,53 @@ def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Exact interpolated percentiles (the scale-analytics quantile op) -------
+
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles of order value — Spark's
+    percentile() (exact, sort-based; the approx_percentile sketch is the
+    ~constant-memory alternative at 100 TB) vs DuckDB quantile_cont.
+    Rounds route through DECIMAL(18,10) for cross-engine tie safety."""
+    orders = load(spark, sf_dir, "orders")
+
+    def p(q, name):
+        return F.round(
+            F.percentile("o_totalprice", q).cast("decimal(18,10)"), 4
+        ).cast("double").alias(name)
+
+    return orders.agg(
+        p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"), p(0.95, "p95"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- Approximate distinct (HLL++) — rows-only: sketches are engine-specific;
+# accuracy is pinned by tests/test_search.py::test_approx_distinct_tolerance
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct per event type (rsd 2%) + exact twin in one
+    pass — at 100 TB the sketch is mergeable/constant-memory where exact
+    countDistinct needs a full shuffle of the key space."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLE_SQL = {
+    "order_price_percentiles": """
+        SELECT CAST(round(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p25,
+               CAST(round(CAST(quantile_cont(o_totalprice, 0.50) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p50,
+               CAST(round(CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p75,
+               CAST(round(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p95,
+               count(*) AS n_orders
+        FROM orders
+    """,
     "big_spenders": f"""
         SELECT o_custkey, n_orders,
                CAST(round(total_exact, 4) AS DOUBLE) AS total_spent
@@ -845,6 +891,8 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "order_price_percentiles": q_order_price_percentiles,
+    "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
     "signup_purchase_funnel": q_signup_purchase_funnel,
