@@ -305,3 +305,31 @@ def test_merge_turns_rejects_bad_inputs(spark, transcripts_df, tmp_path):
         merge_turns(spark, turns_dir, base.unionByName(base.limit(1)), n_buckets=8)
     with _pytest.raises(ValueError, match="n_buckets"):
         merge_turns(spark, turns_dir, base.limit(1), n_buckets=16)
+
+
+def test_xml_html_excel_sinks(spark, transcripts_df, tmp_path):
+    """S10/S11 export surface: XML parses back with matching counts, the
+    HTML report carries the census, Excel raises the documented gate."""
+    import xml.etree.ElementTree as ET
+    from text_extractor_for_bioeconomic_products_spark.sources.sinks import (
+        write_products_excel, write_report_html, write_spans_xml,
+    )
+
+    spans = explode_spans(extract_turns(transcripts_df.limit(300)))
+    n = spans.count()
+    assert n > 0
+
+    xml_path = str(tmp_path / "spans.xml")
+    write_spans_xml(spans, xml_path)
+    root = ET.parse(xml_path).getroot()
+    assert int(root.get("count")) == n and root.get("truncated") == "false"
+    assert len(root.findall("product")) == n
+
+    html_path = str(tmp_path / "report.html")
+    write_report_html(spans, html_path)
+    doc = open(html_path, encoding="utf-8").read()
+    assert f"Total spans: {n}" in doc and "<table" in doc
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="openpyxl"):
+        write_products_excel(spans, str(tmp_path / "x.xlsx"))

@@ -1,9 +1,8 @@
 """Output sinks mirroring the reference's export surface (SURVEY §2.1).
 
 S8 JSON envelope, S9 exploding CSV (explode_outer — a product with no
-uses still emits one row, batch_process.py:162-171), parquet defaults.
-XML/HTML (S11) are presentation-only and intentionally out of scope; the
-JSON sink covers their data contract.
+uses still emits one row, batch_process.py:162-171), parquet defaults,
+S11 XML/HTML presentation exports, S10 Excel (import-gated).
 """
 
 from __future__ import annotations
@@ -55,3 +54,91 @@ def write_turns_parquet(turns: DataFrame, path: str, n_buckets: int = 64) -> Non
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def write_spans_xml(spans: DataFrame, path: str, limit: int = 100000) -> None:
+    """S11 XML sink (export_manager.py:323-402): a single presentation
+    document mirroring the reference's <products><product>... structure.
+    Presentation-scale by contract (the reference builds one in-memory
+    ElementTree too) — rows beyond ``limit`` are cut and the truncation
+    recorded on the root element, never silent."""
+    import xml.etree.ElementTree as ET
+
+    rows = spans.orderBy("conv_id", "turn_idx", "span_seq").limit(limit + 1).collect()
+    truncated = len(rows) > limit
+    rows = rows[:limit]
+    root = ET.Element("products", {
+        "count": str(len(rows)),
+        "truncated": str(truncated).lower(),
+    })
+    for r in rows:
+        p = ET.SubElement(root, "product")
+        ET.SubElement(p, "conv_id").text = str(r["conv_id"])
+        ET.SubElement(p, "turn_idx").text = str(r["turn_idx"])
+        ET.SubElement(p, "nome_popular").text = r["nome_popular"]
+        ET.SubElement(p, "nome_cientifico").text = r["nome_cientifico"] or ""
+        paises = ET.SubElement(p, "paises")
+        for c in r["paises"]:
+            ET.SubElement(paises, "pais").text = c
+        usos = ET.SubElement(p, "usos")
+        for u in r["tipos_uso"]:
+            ET.SubElement(usos, "uso").text = u
+        ET.SubElement(p, "categoria").text = r["categoria"]
+        ET.SubElement(p, "confianca").text = f'{r["confianca"]:.2f}'
+    ET.ElementTree(root).write(path, encoding="unicode", xml_declaration=True)
+
+
+def write_report_html(spans: DataFrame, path: str, top_n: int = 50) -> None:
+    """S11 HTML report (export_manager.py:506-593): category histogram +
+    top spans by confidence.  Aggregations run distributed; only the
+    final small summary is collected."""
+    import html as _html
+
+    cats = spans.groupBy("categoria").count().orderBy(F.desc("count")).collect()
+    top = (
+        spans.orderBy(F.desc("confianca"), "conv_id", "turn_idx", "span_seq")
+        .limit(top_n).collect()
+    )
+    total = sum(r["count"] for r in cats)
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        "<title>Product spans report</title></head><body>",
+        f"<h1>Product spans report</h1><p>Total spans: {total}</p>",
+        "<h2>By category</h2><table border='1'><tr><th>categoria</th><th>n</th></tr>",
+    ]
+    for r in cats:
+        parts.append(
+            f"<tr><td>{_html.escape(str(r['categoria']))}</td><td>{r['count']}</td></tr>"
+        )
+    parts.append("</table><h2>Top spans</h2><table border='1'>"
+                 "<tr><th>conv</th><th>turn</th><th>nome</th><th>conf</th></tr>")
+    for r in top:
+        parts.append(
+            f"<tr><td>{_html.escape(str(r['conv_id']))}</td><td>{r['turn_idx']}</td>"
+            f"<td>{_html.escape(r['nome_popular'])}</td><td>{r['confianca']:.2f}</td></tr>"
+        )
+    parts.append("</table></body></html>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("".join(parts))
+
+
+def write_products_excel(spans: DataFrame, path: str) -> None:
+    """S10 Excel multi-sheet sink (export_manager.py:251-321).  Gated on
+    an Excel writer being installed (this container ships none); the
+    Spark-side frame preparation is real, the workbook write raises
+    NotImplementedError when no engine exists."""
+    pdf = spans.orderBy("conv_id", "turn_idx", "span_seq").toPandas()
+    uses = pdf[["conv_id", "turn_idx", "span_seq", "tipos_uso"]].explode("tipos_uso")
+    summary = pdf.groupby("categoria", as_index=False).size()
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "Excel export requires openpyxl/xlsxwriter (absent here); "
+            "sheets prepared: Products/Uses/Summary"
+        ) from ex
+    import pandas as pd
+    with pd.ExcelWriter(path) as xw:
+        pdf.to_excel(xw, sheet_name="Products", index=False)
+        uses.to_excel(xw, sheet_name="Uses", index=False)
+        summary.to_excel(xw, sheet_name="Summary", index=False)
