@@ -41,6 +41,9 @@ HEADLINE = [
     "topk_urgent_orders",
     "doc_lang_detect",
     "dedup_minhash_lsh",
+    "dup_components",
+    "doc_pii_scrub",
+    "sequence_packing",
     "ann_brute_force",
 ]
 
