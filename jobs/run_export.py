@@ -27,6 +27,12 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    known = {"csv", "json", "xml", "html", "excel"}
+    formats = [f.strip() for f in args.formats.split(",") if f.strip()]
+    bad = [f for f in formats if f not in known]
+    if bad:  # fail fast, before anything is written
+        ap.error(f"unknown format(s): {', '.join(bad)} (known: {sorted(known)})")
+
     from text_extractor_for_bioeconomic_products_spark.session import get_spark
     from text_extractor_for_bioeconomic_products_spark.sources import sinks
 
@@ -34,7 +40,7 @@ def main() -> None:
     spans = spark.read.parquet(args.spans)
     os.makedirs(args.out, exist_ok=True)
     written = {}
-    for fmt in [f.strip() for f in args.formats.split(",") if f.strip()]:
+    for fmt in formats:
         if fmt == "csv":
             p = os.path.join(args.out, "spans_csv")
             sinks.write_spans_csv(spans, p)
@@ -47,11 +53,9 @@ def main() -> None:
         elif fmt == "html":
             p = os.path.join(args.out, "report.html")
             sinks.write_report_html(spans, p)
-        elif fmt == "excel":
+        else:  # excel — the only remaining validated format
             p = os.path.join(args.out, "products.xlsx")
             sinks.write_products_excel(spans, p)
-        else:
-            raise SystemExit(f"unknown format: {fmt}")
         written[fmt] = p
     print(json.dumps({"n_spans": spans.count(), "written": written}))
     spark.stop()

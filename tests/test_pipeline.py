@@ -331,5 +331,5 @@ def test_xml_html_excel_sinks(spark, transcripts_df, tmp_path):
     assert f"Total spans: {n}" in doc and "<table" in doc
 
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="openpyxl"):
+    with _pytest.raises(NotImplementedError, match="Excel"):
         write_products_excel(spans, str(tmp_path / "x.xlsx"))

@@ -100,10 +100,10 @@ def test_connected_components_long_chain(spark):
     assert rows[100]["members"] == "100,101,103"
 
 
-def test_approx_distinct_tolerance(spark):
+def test_approx_distinct_tolerance(spark, sf01_dir):
     """HLL++ sketch within its declared 2% rsd (allow 3σ) of exact."""
     import __spark_entry__ as e
-    rows = e.queries()["approx_distinct_users"](spark, "/root/testdata/sf0.01").collect()
+    rows = e.queries()["approx_distinct_users"](spark, sf01_dir).collect()
     assert rows
     for r in rows:
         assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.06 * r["exact_users"])

@@ -122,23 +122,29 @@ def write_report_html(spans: DataFrame, path: str, top_n: int = 50) -> None:
         f.write("".join(parts))
 
 
-def write_products_excel(spans: DataFrame, path: str) -> None:
+def write_products_excel(spans: DataFrame, path: str, limit: int = 100000) -> None:
     """S10 Excel multi-sheet sink (export_manager.py:251-321).  Gated on
-    an Excel writer being installed (this container ships none); the
-    Spark-side frame preparation is real, the workbook write raises
-    NotImplementedError when no engine exists."""
-    pdf = spans.orderBy("conv_id", "turn_idx", "span_seq").toPandas()
+    an Excel writer engine (this container ships none) — checked FIRST so
+    the gated path costs nothing.  Presentation-scale by contract: rows
+    beyond ``limit`` are cut (Excel itself caps sheets at ~1M rows)."""
+    engine = None
+    for candidate in ("openpyxl", "xlsxwriter"):
+        try:
+            __import__(candidate)
+            engine = candidate
+            break
+        except ImportError:
+            continue
+    if engine is None:
+        raise NotImplementedError(
+            "Excel export requires an engine (openpyxl or xlsxwriter; "
+            "neither is installed); sheets would be Products/Uses/Summary"
+        )
+    import pandas as pd
+    pdf = spans.orderBy("conv_id", "turn_idx", "span_seq").limit(limit).toPandas()
     uses = pdf[["conv_id", "turn_idx", "span_seq", "tipos_uso"]].explode("tipos_uso")
     summary = pdf.groupby("categoria", as_index=False).size()
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as ex:
-        raise NotImplementedError(
-            "Excel export requires openpyxl/xlsxwriter (absent here); "
-            "sheets prepared: Products/Uses/Summary"
-        ) from ex
-    import pandas as pd
-    with pd.ExcelWriter(path) as xw:
+    with pd.ExcelWriter(path, engine=engine) as xw:
         pdf.to_excel(xw, sheet_name="Products", index=False)
         uses.to_excel(xw, sheet_name="Uses", index=False)
         summary.to_excel(xw, sheet_name="Summary", index=False)
