@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""spark-submit entry for the Structured Streaming extraction variants.
+
+    python jobs/run_streaming.py --input <transcripts parquet dir> \
+        --output <dir> --mode extract|dedup|tracker|counts
+
+``extract``  stateless extraction stream (availableNow backfill)
+``dedup``    at-least-once input → exactly-once-per-key output
+``tracker``  applyInPandasWithState running conversation totals
+``counts``   watermarked 10-min windowed span counts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", default="extract",
+                    choices=["extract", "dedup", "tracker", "counts"])
+    ap.add_argument("--timeout-sec", type=int, default=300)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from text_extractor_for_bioeconomic_products_spark.session import get_spark
+    from text_extractor_for_bioeconomic_products_spark.streaming import pipeline as sp
+
+    spark = get_spark(app_name=f"stream_{args.mode}", master=args.master)
+    runner = {
+        "extract": sp.run_streaming_extraction,
+        "dedup": sp.run_streaming_dedup_extraction,
+        "tracker": sp.run_stateful_conversation_tracker,
+        "counts": sp.streaming_conversation_counts,
+    }[args.mode]
+    runner(spark, args.input, args.output, timeout_sec=args.timeout_sec)
+    out_sub = {
+        "extract": "turns_extracted_stream",
+        "dedup": "turns_dedup_stream",
+        "tracker": "conv_tracker_stream",
+        "counts": "conv_counts_stream",
+    }[args.mode]
+    n = spark.read.parquet(os.path.join(args.output, out_sub)).count()
+    print(json.dumps({"mode": args.mode, "output_rows": n}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
