@@ -133,3 +133,41 @@ def test_agg_before_join_shrinks_fact_side(spark):
     assert "partial_sum" in p
     assert "WindowGroupLimit" in p
     assert "ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>" in p
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The SCALE.md skew defence, evidenced: a hot join key lands one
+    partition ~200× its siblings; AQE's runtime re-plan marks the
+    sort-merge join skew=true and splits that partition (thresholds
+    lowered to fire at test scale — the mechanism, not the defaults,
+    is what carries to 100 TB)."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(200000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(5000).select((F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v"))
+        )
+        right = spark.range(51).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 205000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
