@@ -333,3 +333,30 @@ def test_xml_html_excel_sinks(spark, transcripts_df, tmp_path):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="Excel"):
         write_products_excel(spans, str(tmp_path / "x.xlsx"))
+
+
+def test_compact_buckets(spark, transcripts_df, tmp_path):
+    """Fragmented buckets (high write parallelism) compact to one file
+    each with byte-identical content."""
+    import glob
+    from pyspark.sql import functions as F
+    from text_extractor_for_bioeconomic_products_spark.plans.pipeline import (
+        compact_buckets,
+    )
+
+    data_dir = str(tmp_path / "frag")
+    turns = extract_turns(transcripts_df.limit(400)).drop("spans")
+    bucketed = turns.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    )
+    bucketed.repartition(16).write.partitionBy("bucket").parquet(data_dir)
+    before_files = glob.glob(f"{data_dir}/bucket=*/*.parquet")
+    before = {tuple(r) for r in spark.read.parquet(data_dir).collect()}
+    assert len(before_files) > 8  # genuinely fragmented
+
+    stats = compact_buckets(spark, data_dir, target_file_bytes=1 << 30)
+    after_files = glob.glob(f"{data_dir}/bucket=*/*.parquet")
+    after = {tuple(r) for r in spark.read.parquet(data_dir).collect()}
+    assert after == before
+    assert len(after_files) == stats["files_after"] <= 4
+    assert stats["files_before"] == len(before_files)

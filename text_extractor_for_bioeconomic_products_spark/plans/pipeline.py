@@ -244,3 +244,54 @@ def run_extraction(
         n_spans=totals["n_spans"] or 0,
         wall_sec=round(time.monotonic() - t0, 3),
     )
+
+
+def compact_buckets(
+    spark: SparkSession,
+    data_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    buckets: Optional[List[int]] = None,
+) -> dict:
+    """Small-file compaction for a bucket-partitioned dataset: rewrite
+    each selected bucket into ceil(bucket_bytes / target) files.
+
+    Incremental writers (streaming micro-batches, repeated merge_turns)
+    fragment buckets into many small parquet files; at scale that
+    degrades scan planning and shuffle-read efficiency.  Content is
+    byte-preserved (read → coalesce-by-size → dynamic partition
+    overwrite of exactly the selected buckets).
+    """
+    import math as _math
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df = spark.read.parquet(data_dir)
+    if buckets is not None:
+        df = df.filter(F.col("bucket").isin(list(buckets)))
+    # per-bucket byte sizes from the file index (driver-side listing —
+    # cheap; one row per file, not per data row)
+    jvm_files = df.select(F.input_file_name().alias("f")).distinct().collect()
+    sizes: dict = {}
+    n_files_before = 0
+    for r in jvm_files:
+        p = r["f"].replace("file:", "")
+        b = p.split("bucket=")[1].split("/")[0]
+        sizes[int(b)] = sizes.get(int(b), 0) + os.path.getsize(p)
+        n_files_before += 1
+    rewritten = {}
+    for b, nbytes in sorted(sizes.items()):
+        n_out = max(1, _math.ceil(nbytes / target_file_bytes))
+        # materialize BEFORE the overwrite deletes the source files of the
+        # very bucket being read (same read-write-same-path hazard as
+        # merge_turns)
+        sub = (
+            df.filter(F.col("bucket") == b)
+            .repartition(n_out)
+            .localCheckpoint(eager=True)
+        )
+        sub.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+        rewritten[b] = n_out
+    return {
+        "buckets_compacted": sorted(rewritten),
+        "files_before": n_files_before,
+        "files_after": sum(rewritten.values()),
+    }
