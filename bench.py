@@ -120,6 +120,18 @@ def phase_extract(cpus: int, input_dir: str) -> dict:
     t0 = time.monotonic()
     extract_turns(df).write.format("noop").mode("overwrite").save()
     elapsed = time.monotonic() - t0
+    # untimed: order-insensitive content hash of the full extraction
+    # output — identical across parallelism levels ⇒ the per-turn
+    # equality invariant holds under the N→4N scaling run itself
+    from pyspark.sql import functions as F
+    out_hash = (
+        extract_turns(df)
+        .select(
+            F.xxhash64("conv_id", "turn_idx", "clean_text", "lang",
+                        "n_tokens", "n_spans").cast("decimal(38,0)").alias("h")
+        )
+        .agg(F.sum("h").alias("s")).collect()[0]["s"]
+    )
     df.unpersist()
     spark.stop()
     return {
@@ -127,6 +139,7 @@ def phase_extract(cpus: int, input_dir: str) -> dict:
         "n_turns": n_turns,
         "extract_sec": round(elapsed, 3),
         "turns_per_sec": round(n_turns / elapsed, 1),
+        "output_hash": str(out_hash),
     }
 
 
@@ -251,6 +264,12 @@ def main() -> None:
         "extraction": {
             "n_turns": top["n_turns"],
             "turns_per_sec": top["turns_per_sec"],
+            # per-turn equality under the scaling run: every parallelism
+            # level produced the identical output content hash
+            "output_hash_consistent": len(
+                {runs[c]["output_hash"] for c in levels}
+            ) == 1,
+            "output_hash": top["output_hash"],
             "turns_per_sec_by_cpus": {
                 str(c): runs[c]["turns_per_sec"] for c in levels
             },
