@@ -79,6 +79,29 @@ def test_query_against_oracle(spark, duck, sf01_dir, name):
     if oracle is None:
         assert len(spark_rows) >= 0  # rows-only check
         return
+    rel = duck.sql(oracle)
+    # The driver's hash is representation-strict: DuckDB HUGEINT (its
+    # sum(INTEGER/BIGINT) result type) reaches pandas as float/object and
+    # hash-mismatches Spark's BIGINT even when values are equal.  Forbid it
+    # outright, and forbid float oracle columns where Spark is integral.
+    duck_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    huge = [c for c, t in duck_types.items() if "HUGEINT" in t]
+    assert not huge, (
+        f"{name}: oracle emits HUGEINT column(s) {huge} — wrap the aggregate "
+        f"with CAST(... AS BIGINT)"
+    )
+    spark_integral = {
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in ("integer", "long", "short", "byte")
+    }
+    drift = [
+        c for c in spark_integral
+        if c in duck_types and duck_types[c] in ("FLOAT", "DOUBLE")
+    ]
+    assert not drift, (
+        f"{name}: Spark integral column(s) {drift} are FLOAT/DOUBLE in the "
+        f"oracle — align the declared types"
+    )
     res = duck.execute(oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()

@@ -55,8 +55,12 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("bin_tokens"),
         )
         .withColumn(
+            # ratio rounds route through DECIMAL(18,10): double round() breaks
+            # .xxxx5 half-ties differently across engines (seen live at sf0.1)
             "fill_ratio",
-            F.round(F.col("bin_tokens") / F.lit(CTX_TOKENS), 4),
+            F.round(
+                (F.col("bin_tokens") / F.lit(CTX_TOKENS)).cast("decimal(18,10)"), 4
+            ).cast("double"),
         )
         .orderBy("source", "bin")
     )
@@ -167,16 +171,17 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SQL = {
     "sequence_packing": f"""
+        -- CAST(sum AS BIGINT): DuckDB sum(BIGINT) yields HUGEINT; Spark yields BIGINT.
         SELECT source, bin,
                count(*) AS n_docs,
-               sum(n_tokens) AS bin_tokens,
-               round(sum(n_tokens) / {CTX_TOKENS}, 4) AS fill_ratio
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+               CAST(round(CAST(sum(n_tokens) / {CTX_TOKENS} AS DECIMAL(18,10)), 4) AS DOUBLE) AS fill_ratio
         FROM (
             SELECT source, doc_id, n_tokens,
-                   coalesce(sum(n_tokens) OVER (
+                   CAST(coalesce(sum(n_tokens) OVER (
                        PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) // {CTX_TOKENS} AS bin
+                   ), 0) // {CTX_TOKENS} AS BIGINT) AS bin
             FROM (
                 -- // floors like Spark's cast-from-double truncation
                 -- (CAST(double AS BIGINT) would ROUND in DuckDB)

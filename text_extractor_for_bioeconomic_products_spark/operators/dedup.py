@@ -46,8 +46,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_EXACT = """
-    SELECT sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS duplicate_docs,
-           sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS duplicate_groups,
+    -- CAST(sum(..) AS BIGINT): DuckDB sum(INTEGER/BIGINT) yields HUGEINT;
+    -- Spark yields BIGINT.
+    SELECT CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS duplicate_docs,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_groups,
            count(*) AS distinct_texts
     FROM (
         SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS content_hash,
@@ -550,9 +552,11 @@ def _curation_sql_duckdb() -> str:
             ) r JOIN filtered d ON r.doc_id = d.doc_id
             WHERE r.rk = 1
         )
+        -- CAST must wrap the sum: DuckDB sum(BIGINT) yields HUGEINT
+        -- regardless of the input cast; Spark yields BIGINT.
         SELECT lang,
                count(*) AS n_docs,
-               sum(CAST(floor(length(text) / 4) AS BIGINT)) AS est_tokens
+               CAST(sum(floor(length(text) / 4)) AS BIGINT) AS est_tokens
         FROM kept
         GROUP BY lang
         ORDER BY lang

@@ -157,8 +157,9 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_JSON = """
+    -- CAST wraps the sum: DuckDB sum(INT) yields HUGEINT; Spark yields BIGINT.
     SELECT count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS distinct_k
     FROM events
 """

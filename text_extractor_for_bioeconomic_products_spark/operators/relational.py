@@ -625,9 +625,10 @@ ORACLE_SQL = {
         ORDER BY c_nationkey
     """,
     "signup_purchase_funnel": """
-        SELECT sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up,
-               sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
-                         AND first_purchase >= first_signup THEN 1 ELSE 0 END) AS n_converted
+        -- CAST(sum(..) AS BIGINT): DuckDB sum(INTEGER) yields HUGEINT; Spark yields BIGINT.
+        SELECT CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+               CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                         AND first_purchase >= first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         FROM (
             SELECT user_id,
                    min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
@@ -743,14 +744,17 @@ ORACLE_SQL = {
                CAST(round(sum(value::DECIMAL(18,6)), 4) AS DOUBLE) AS session_value,
                min(event_id) AS first_event_id
         FROM (
+            -- CAST to BIGINT: DuckDB window sum(INTEGER) yields HUGEINT; Spark yields BIGINT.
+            -- CAST(epoch AS BIGINT): integer-truncate seconds on both engines (Spark
+            -- unix_timestamp truncates; DuckDB epoch() keeps fractional seconds).
             SELECT user_id, event_id, value,
-                   sum(new_session) OVER (
+                   CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_id
+                   ) AS BIGINT) AS session_id
             FROM (
                 SELECT *,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                       CASE WHEN CAST(epoch(ts) AS BIGINT) - lag(CAST(epoch(ts) AS BIGINT)) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id
                             ) > {SESSION_GAP_MIN * 60}
                             THEN 1 ELSE 0 END AS new_session
@@ -783,12 +787,13 @@ ORACLE_SQL = {
         ORDER BY decile
     """,
     "event_type_pivot": """
+        -- CAST(sum(..) AS BIGINT): DuckDB sum(INTEGER) yields HUGEINT; Spark yields BIGINT.
         SELECT user_id % 10 AS user_bucket,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         FROM events
         GROUP BY user_bucket
         ORDER BY user_bucket
@@ -818,9 +823,10 @@ ORACLE_SQL = {
         ORDER BY l_returnflag, l_linestatus
     """,
     "order_price_buckets": """
-        SELECT sum(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS bucket_low,
-               sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS bucket_mid,
-               sum(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS bucket_high,
+        -- CAST(sum(..) AS BIGINT): DuckDB sum(INTEGER) yields HUGEINT; Spark yields BIGINT.
+        SELECT CAST(sum(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_low,
+               CAST(sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_mid,
+               CAST(sum(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_high,
                count(*) AS total
         FROM orders
     """,

@@ -68,10 +68,12 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DOC_TOKEN_STATS = """
+    -- CAST must wrap the sum: DuckDB sum(BIGINT) yields HUGEINT regardless
+    -- of the input cast; Spark yields BIGINT.
     SELECT lang,
            count(*) AS n_docs,
-           sum(CAST(floor(length(text) / 4) AS BIGINT)) AS est_tokens,
-           sum(len(string_split(text, ' '))) AS n_words,
+           CAST(sum(floor(length(text) / 4)) AS BIGINT) AS est_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
            round(avg(n_chars), 4) AS avg_chars
     FROM documents
     GROUP BY lang
@@ -386,9 +388,10 @@ _SAMPLE_CASE_SQL = " ".join(
 )
 
 ORACLE_STRATIFIED_SAMPLE = f"""
+    -- CAST(sum AS BIGINT): DuckDB sum(INTEGER) yields HUGEINT; Spark yields BIGINT.
     SELECT lang,
            count(*) AS n_docs,
-           sum(kept) AS n_kept,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
            CAST(round(CAST(sum(kept) / count(*) AS DECIMAL(18,10)), 4)
                 AS DOUBLE) AS kept_frac
     FROM (
