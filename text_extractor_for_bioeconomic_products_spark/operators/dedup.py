@@ -75,16 +75,26 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n_hashes: int = N_MINHASH) -> DataFrame:
     """One row per doc: sig_0..sig_{n-1} (word-level shingles).
 
-    explode(words) → groupBy(doc) with n min-aggregates: a single shuffle
-    keyed by doc id; partial min combine makes the map side cheap.
+    Narrow per-row expression: ``array_min(transform(words, w ->
+    md5(i || w)))`` — zero shuffle.  The earlier explode(words) →
+    groupBy(doc) formulation moved every (doc, word) pair through an
+    all-to-all the size of the tokenized corpus; this computes the same
+    lexicographic min entirely inside the scan's projection, so the five
+    dedup queries built on these signatures shuffle nothing before their
+    band key.
     """
     words = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
-    exploded = docs.select(F.col(id_col), F.explode(words).alias("w"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("w")))).alias(f"sig_{i}")
+
+    # factory (not default-arg lambdas): pyspark inspects lambda arity, and a
+    # second parameter would be taken for the optional index argument
+    def _seed_hash(seed: int):
+        return lambda w: F.md5(F.concat(F.lit(str(seed)), w))
+
+    sigs = [
+        F.array_min(F.transform(words, _seed_hash(i))).alias(f"sig_{i}")
         for i in range(n_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return docs.select(F.col(id_col), *sigs)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,23 +147,34 @@ ORACLE_DEDUP_MINHASH_LSH = f"""
 
 def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash: word hash = first 15 hex of md5 → bigint; bit b of
-    the signature is 1 iff Σ_words (±1 per word-bit) > 0.  Pure column
-    math (explode → conditional sums → bit pack), no UDF."""
+    the signature is 1 iff Σ_words (±1 per word-bit) > 0.
+
+    Narrow per-row expression — hash the word array once with
+    ``transform``, then one ``aggregate`` per bit over the in-row array.
+    Zero shuffle (the earlier explode → groupBy moved the whole tokenized
+    corpus through an all-to-all); identical results, same oracle."""
     words = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
-    exploded = docs.select(F.col(id_col), F.explode(words).alias("w"))
-    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-    exploded = exploded.select(id_col, h.alias("h"))
-    bit_sums = exploded.groupBy(id_col).agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+    hs = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    hashed = docs.select(F.col(id_col), hs.alias("hs"))
+    # factory (not default-arg lambdas): pyspark inspects lambda arity and
+    # would reject a 3-parameter merge function
+    def _bit_merge(bit: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = [
+        F.aggregate(F.col("hs"), F.lit(0), _bit_merge(b)).alias(f"b{b}")
         for b in range(16)
-    ])
+    ]
+    with_bits = hashed.select(id_col, *bit_sums)
     sig = None
     for b in range(16):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return bit_sums.select(id_col, sig.alias("simhash"))
+    return with_bits.select(id_col, sig.alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
