@@ -124,11 +124,17 @@ def phase_extract(cpus: int, input_dir: str) -> dict:
     # output — identical across parallelism levels ⇒ the per-turn
     # equality invariant holds under the N→4N scaling run itself
     from pyspark.sql import functions as F
+    from text_extractor_for_bioeconomic_products_spark.operators.extract import (
+        TURNS_EXTRACTED_COLS,
+    )
+    # hash EVERY output column (incl. the float lang_conf/relevance, raw
+    # bits — extraction is a pure per-row function, so any cross-level
+    # drift is a real bug, not noise); decimal(38,0) because ANSI mode
+    # overflows on sum(bigint hashes)
     out_hash = (
         extract_turns(df)
         .select(
-            F.xxhash64("conv_id", "turn_idx", "clean_text", "lang",
-                        "n_tokens", "n_spans").cast("decimal(38,0)").alias("h")
+            F.xxhash64(*TURNS_EXTRACTED_COLS).cast("decimal(38,0)").alias("h")
         )
         .agg(F.sum("h").alias("s")).collect()[0]["s"]
     )

@@ -269,6 +269,13 @@ def test_merge_turns_keyed_upsert(spark, transcripts_df, tmp_path):
     assert after.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
     # only the buckets holding new keys were rewritten
     assert 0 < len(stats["buckets_rewritten"]) <= 8
+    # the dynamic-overwrite conf is scoped to the write, not left on the
+    # shared session (a later plain partitioned overwrite elsewhere would
+    # silently become per-partition)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )
 
 
 def test_streaming_dedup_exactly_once_per_key(spark, transcripts_df, tmp_path):

@@ -435,13 +435,17 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice").cast("decimal(14,2)") * (1 - F.col("l_discount").cast("decimal(8,2)"))
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # the share rounds through DECIMAL(18,10): a plain double round() breaks
+    # shortest-decimal half-ties (.xxxx5) differently across engines
     return joined.agg(
         F.round(
-            F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(14,2)"))).cast("double")
-            / F.sum(rev).cast("double"),
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(14,2)"))).cast("double")
+                / F.sum(rev).cast("double")
+            ).cast("decimal(18,10)"),
             4,
-        ).alias("promo_share"),
+        ).cast("double").alias("promo_share"),
         F.count("*").alias("n_lineitems"),
     )
 
@@ -694,13 +698,13 @@ ORACLE_SQL = {
         ORDER BY n_name
     """,
     "promo_revenue_share": """
-        SELECT round(
+        SELECT CAST(round(CAST(
                    100.0
                    * CAST(sum(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))
                               ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
-                   / CAST(sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))) AS DOUBLE),
-                   4) AS promo_share,
+                   / CAST(sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(8,2))) AS DOUBLE)
+                   AS DECIMAL(18,10)), 4) AS DOUBLE) AS promo_share,
                count(*) AS n_lineitems
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'

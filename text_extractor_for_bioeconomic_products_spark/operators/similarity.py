@@ -164,22 +164,26 @@ ORACLE_ANN_BATCH_TOPK = f"""
 N_PLANES = 4
 
 
-def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> List[List[float]]:
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM,
+                 seed_prefix: str = "plane") -> List[List[float]]:
     """±1 hyperplane components derived from md5(plane, dim) parity —
-    deterministic across processes/executors, no RNG state."""
+    deterministic across processes/executors, no RNG state.  A distinct
+    ``seed_prefix`` yields an independent plane family (used for the
+    second-level re-bucketing of hot buckets)."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            digest = hashlib.md5(f"plane:{p}:{d}".encode()).digest()
+            digest = hashlib.md5(f"{seed_prefix}:{p}:{d}".encode()).digest()
             row.append(1.0 if digest[0] % 2 == 0 else -1.0)
         planes.append(row)
     return planes
 
 
-def lsh_bucket_column(emb: Column, n_planes: int = N_PLANES) -> Column:
+def lsh_bucket_column(emb: Column, n_planes: int = N_PLANES,
+                      seed_prefix: str = "plane") -> Column:
     """Signature bit p = sign(dot(v, plane_p)); packed into an int key."""
-    planes = _hyperplanes(n_planes)
+    planes = _hyperplanes(n_planes, seed_prefix=seed_prefix)
     sig = F.lit(0)
     for p, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(v) for v in plane])
@@ -218,8 +222,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load(spark, sf_dir, "embeddings"))
 
 
-def _lsh_sql_duckdb() -> str:
-    planes = _hyperplanes()
+def _lsh_sql_duckdb(n_planes: int = N_PLANES, seed_prefix: str = "plane") -> str:
+    planes = _hyperplanes(n_planes, seed_prefix=seed_prefix)
     terms = []
     for p, plane in enumerate(planes):
         arr = "[" + ", ".join(str(v) for v in plane) + "]"
@@ -254,14 +258,46 @@ ORACLE_ANN_LSH = f"""
 # p99 ≈ 0.30); 0.28 marks the "suspiciously close" tail for this corpus
 NEAR_DUP_THRESHOLD = 0.28
 
+# Two-level capped bucketing: a coarse bucket holding more than
+# MAX_BUCKET_VECS vectors is re-bucketed with an independent fine plane
+# family, so per-bucket pair work is bounded by cap² for quiet buckets
+# and shrinks ~2^N_PLANES_FINE-fold for hot ones — the same hot-bucket
+# discipline as dedup.MAX_BAND_DOCS.  Without the cap, the fixed
+# 2^N_PLANES buckets make the self-join degrade toward all-pairs/16 as
+# the corpus grows.  At 100 TB: add levels (depth log_{2^fine}(n/cap))
+# or widen N_PLANES; recall lost to fine-bucket splits is the standard
+# LSH trade — multi-band OR-ing is the recall lever, as in the MinHash
+# path.  Cap=40 exercises BOTH paths at sf0.01 (bucket sizes 20-44).
+N_PLANES_FINE = 4
+MAX_BUCKET_VECS = 40
+
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("bucket", lsh_bucket_column(F.col("embedding")))
-    a = bucketed.select(
+    bucketed = emb.select(
+        "vec_id", "embedding",
+        lsh_bucket_column(F.col("embedding")).alias("coarse"),
+        lsh_bucket_column(
+            F.col("embedding"), N_PLANES_FINE, seed_prefix="plane2"
+        ).alias("fine"),
+    )
+    # bucket-size census: ≤2^N_PLANES rows regardless of corpus size →
+    # broadcast back; the refined key space [2^N_PLANES, …) can't collide
+    # with unrefined coarse keys [0, 2^N_PLANES)
+    sizes = bucketed.groupBy("coarse").agg(F.count("*").alias("bucket_n"))
+    n_coarse, n_fine = 1 << N_PLANES, 1 << N_PLANES_FINE
+    final_bucket = F.when(
+        F.col("bucket_n") > MAX_BUCKET_VECS,
+        F.lit(n_coarse) + F.col("coarse") * n_fine + F.col("fine"),
+    ).otherwise(F.col("coarse"))
+    keyed = (
+        bucketed.join(F.broadcast(sizes), "coarse")
+        .select(final_bucket.alias("bucket"), "vec_id", "embedding")
+    )
+    a = keyed.select(
         F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
-    b = bucketed.select(
+    b = keyed.select(
         F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
@@ -283,12 +319,25 @@ _DUCK_PAIR_NB = "sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))
 
 ORACLE_EMBEDDING_NEAR_DUPS = f"""
     WITH bucketed AS (
-        SELECT vec_id, embedding, {_lsh_sql_duckdb()} AS bucket
+        SELECT vec_id, embedding,
+               {_lsh_sql_duckdb()} AS coarse,
+               {_lsh_sql_duckdb(N_PLANES_FINE, seed_prefix='plane2')} AS fine
         FROM embeddings
+    ),
+    sized AS (
+        SELECT bucketed.*, count(*) OVER (PARTITION BY coarse) AS bucket_n
+        FROM bucketed
+    ),
+    keyed AS (
+        SELECT vec_id, embedding,
+               CASE WHEN bucket_n > {MAX_BUCKET_VECS}
+                    THEN {1 << N_PLANES} + coarse * {1 << N_PLANES_FINE} + fine
+                    ELSE coarse END AS bucket
+        FROM sized
     )
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_DUCK_PAIR_DOT} / ({_DUCK_PAIR_NA} * {_DUCK_PAIR_NB}), 4) AS cos_sim
-    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round({_DUCK_PAIR_DOT} / ({_DUCK_PAIR_NA} * {_DUCK_PAIR_NB}), 4) > {NEAR_DUP_THRESHOLD}
     ORDER BY vec_a, vec_b
 """

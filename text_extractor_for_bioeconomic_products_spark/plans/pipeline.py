@@ -26,8 +26,10 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import List, Optional
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +37,24 @@ from pyspark.sql import functions as F
 from ..operators.extract import explode_spans, extract_turns
 
 N_BUCKETS_DEFAULT = 64
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    """Scope partitionOverwriteMode=dynamic to one write job.  Leaving it
+    set on the shared session would silently turn a later plain
+    mode('overwrite').partitionBy(...) elsewhere into a per-partition
+    overwrite that leaves stale partitions behind."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = "static"
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
 
 
 @dataclass
@@ -81,7 +101,6 @@ def merge_turns(
     on disk is untouched (dynamic partition overwrite).  ``new_turns`` is
     extraction output (``extract_turns(...).drop("spans")``).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     new_b = _with_bucket(new_turns, n_buckets).persist()
     # MERGE contract: the source must be key-unique (Iceberg raises
     # "multiple matching rows"; silently keeping both would corrupt the
@@ -140,7 +159,8 @@ def merge_turns(
     # the merged affected buckets must be fully materialized before the
     # overwrite deletes their source files
     merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(turns_dir)
+    with _dynamic_partition_overwrite(spark):
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(turns_dir)
     if stored is None:
         # first write, or adopting a pre-sidecar dataset at the caller's
         # declared modulus
@@ -164,7 +184,6 @@ def run_extraction(
     SURVEY §7.4 rule 4 keeps lineage out of the equality path).
     """
     t0 = time.monotonic()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     turns_dir = os.path.join(out_dir, "turns_extracted")
     spans_dir = os.path.join(out_dir, "product_spans")
@@ -193,17 +212,18 @@ def run_extraction(
         return RunResult(run_id, n_buckets, 0, len(done), 0, 0,
                           round(time.monotonic() - t0, 3))
 
-    (
-        turns.drop("spans")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(turns_dir)
-    )
-    # bucket is a pure function of conv_id — recompute instead of re-joining
-    spans = explode_spans(turns).withColumn(
-        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
-    )
-    spans.write.mode("overwrite").partitionBy("bucket").parquet(spans_dir)
+    with _dynamic_partition_overwrite(spark):
+        (
+            turns.drop("spans")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(turns_dir)
+        )
+        # bucket is a pure function of conv_id — recompute, don't re-join
+        spans = explode_spans(turns).withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+        )
+        spans.write.mode("overwrite").partitionBy("bucket").parquet(spans_dir)
 
     # per-bucket lineage counters (A7 generalization); partitioned dynamic
     # overwrite, NOT append — a crash-and-resume rerun of a bucket replaces
@@ -220,7 +240,8 @@ def run_extraction(
         )
         .withColumn("run_id", F.lit(run_id))
     )
-    lineage.write.mode("overwrite").partitionBy("bucket").parquet(lineage_dir)
+    with _dynamic_partition_overwrite(spark):
+        lineage.write.mode("overwrite").partitionBy("bucket").parquet(lineage_dir)
 
     totals = turns.select(
         F.count("*").alias("n_turns"), F.sum("n_spans").alias("n_spans")
@@ -263,19 +284,28 @@ def compact_buckets(
     """
     import math as _math
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = spark.read.parquet(data_dir)
     if buckets is not None:
         df = df.filter(F.col("bucket").isin(list(buckets)))
-    # per-bucket byte sizes from the file index (driver-side listing —
-    # cheap; one row per file, not per data row)
+    # per-bucket byte sizes via the Hadoop FileSystem API — works on any
+    # scheme (file/hdfs/s3a) and any percent-encoded path, unlike
+    # os.path.getsize over a prefix-stripped URI.  Driver-side listing is
+    # one row per FILE; at extreme file counts swap for a distributed
+    # read of the relation's file index.
     jvm_files = df.select(F.input_file_name().alias("f")).distinct().collect()
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
     sizes: dict = {}
     n_files_before = 0
     for r in jvm_files:
-        p = r["f"].replace("file:", "")
-        b = p.split("bucket=")[1].split("/")[0]
-        sizes[int(b)] = sizes.get(int(b), 0) + os.path.getsize(p)
+        uri = r["f"]
+        # input_file_name() percent-encodes; Path handles the raw URI, but
+        # the bucket id is parsed from the decoded path
+        decoded = unquote(urlparse(uri).path)
+        b = int(decoded.split("bucket=")[1].split("/")[0])
+        hpath = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = hpath.getFileSystem(hconf)
+        sizes[b] = sizes.get(b, 0) + fs.getFileStatus(hpath).getLen()
         n_files_before += 1
     rewritten = {}
     for b, nbytes in sorted(sizes.items()):
@@ -288,7 +318,8 @@ def compact_buckets(
             .repartition(n_out)
             .localCheckpoint(eager=True)
         )
-        sub.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+        with _dynamic_partition_overwrite(spark):
+            sub.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
         rewritten[b] = n_out
     return {
         "buckets_compacted": sorted(rewritten),
