@@ -346,6 +346,43 @@ def test_chunk_text_offsets_exact():
     assert rules.chunk_text("short", 100, 10) == [{"chunk_id": 0, "begin": 0, "end": 5}]
 
 
+def test_chunk_text_paragraph_mode_hand_computed():
+    """Greedy paragraph packing (reference TextChunker respect_paragraphs,
+    text_preprocessing.py:273-310) with exact offsets, verified against
+    hand-computed values."""
+    # paragraphs: "A"*30 @ [0,30), "B"*30 @ [32,62), "C"*30 @ [64,94)
+    text = "A" * 30 + "\n\n" + "B" * 30 + "\n\n" + "C" * 30
+    # chunk_size 70: A+B = 30+30+2 = 62 fits; +C would be 94 > 70 → flush
+    chunks = rules.chunk_text(text, chunk_size=70, overlap=5,
+                              respect_paragraphs=True)
+    assert chunks == [
+        {"chunk_id": 0, "begin": 0, "end": 62},
+        {"chunk_id": 1, "begin": 64, "end": 94},
+    ]
+    # leading/trailing whitespace inside a paragraph is stripped from the
+    # offsets; empty paragraphs are skipped
+    text2 = "  " + "X" * 40 + " \n\n\n\n\t" + "Y" * 40 + "  "
+    chunks2 = rules.chunk_text(text2, chunk_size=41, overlap=5,
+                               respect_paragraphs=True)
+    assert chunks2 == [
+        {"chunk_id": 0, "begin": 2, "end": 42},
+        {"chunk_id": 1, "begin": 48, "end": 88},
+    ]
+    # an oversized single paragraph becomes its own chunk (reference parity)
+    text3 = "P" * 100 + "\n\n" + "Q" * 10
+    chunks3 = rules.chunk_text(text3, chunk_size=50, overlap=5,
+                               respect_paragraphs=True)
+    assert chunks3 == [
+        {"chunk_id": 0, "begin": 0, "end": 100},
+        {"chunk_id": 1, "begin": 102, "end": 112},
+    ]
+    # short text bypasses the mode dispatch entirely
+    assert rules.chunk_text("tiny", chunk_size=100, overlap=10,
+                            respect_paragraphs=True) == [
+        {"chunk_id": 0, "begin": 0, "end": 4}
+    ]
+
+
 def test_span_confidence_bounds():
     assert rules.span_confidence(True, 2, 10, 1) == 1.0
     assert rules.span_confidence(False, 0, 3, 0) == 0.7

@@ -253,40 +253,76 @@ def q_doc_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W1 — overlapping chunk offsets (rows-only; loop semantics not in SQL)
 # ---------------------------------------------------------------------------
 
+# chunk settings for the driver-checked query: 200/20 (vs the 2500/150
+# production defaults, config/settings.py:114-124) so the short-doc
+# corpus actually produces multi-chunk output with overlaps
+_CHUNK_SIZE = 200
+_CHUNK_OVERLAP = 20
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """chunk_text offsets (helpers.py:103-150; 2500/150 settings defaults
-    config/settings.py:114-124) — UDTF shape via posexplode of the chunk
-    array; offsets are exact (SURVEY §7.4 documents the deliberate fix of
-    the reference's overlap drift)."""
+    """chunk_text offsets (helpers.py:103-150; text_preprocessing.py
+    217-390 TextChunker) — UDTF shape via explode of the chunk array;
+    offsets are exact (SURVEY §7.4 documents the deliberate fix of the
+    reference's overlap drift).
+
+    Both chunker modes are exercised: ``sentence`` (size/overlap with
+    sentence-boundary respect) over the raw text, and ``paragraph``
+    (greedy whole-paragraph packing) over a deterministically
+    paragraphized variant — the corpus has no ``\\n\\n``, so sentence
+    breaks are promoted to paragraph breaks first, identically in the
+    DuckDB oracle."""
     from ..functions.udfs import CHUNK_TYPE
 
-    # 200/20 here (vs the 2500/150 production defaults) so the short-doc
-    # corpus actually produces multi-chunk output with overlaps
-    # (annotation-free: the decorator's returnType + SCALAR default apply)
-    def _chunk_small(text):
+    def _chunk_sent(text):
         return text.fillna("").map(
             lambda t: [
                 (c["chunk_id"], c["begin"], c["end"])
-                for c in rules.chunk_text(t, chunk_size=200, overlap=20)
+                for c in rules.chunk_text(
+                    t, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+                )
             ]
         )
 
-    chunk_small = F.pandas_udf(_chunk_small, CHUNK_TYPE)
+    def _chunk_para(text):
+        return text.fillna("").map(
+            lambda t: [
+                (c["chunk_id"], c["begin"], c["end"])
+                for c in rules.chunk_text(
+                    t, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP,
+                    respect_paragraphs=True,
+                )
+            ]
+        )
+
+    chunk_sent = F.pandas_udf(_chunk_sent, CHUNK_TYPE)
+    chunk_para = F.pandas_udf(_chunk_para, CHUNK_TYPE)
 
     docs = load(spark, sf_dir, "documents")
     c = F.col("chunk")
-    return (
-        docs.select(
-            "doc_id", F.explode(chunk_small(F.col("text"))).alias("chunk")
-        )
-        .select(
+
+    def _shape(df, mode_name):
+        return df.select(
             "doc_id",
+            F.lit(mode_name).alias("mode"),
             c["chunk_id"].alias("chunk_id"),
             c["begin"].alias("begin"),
             c["end"].alias("end"),
         )
-        .orderBy("doc_id", "chunk_id")
+
+    sent = _shape(
+        docs.select("doc_id", F.explode(chunk_sent(F.col("text"))).alias("chunk")),
+        "sentence",
     )
+    para_src = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(". "), F.lit(".\n\n")).alias("ptext"),
+    )
+    para = _shape(
+        para_src.select("doc_id", F.explode(chunk_para(F.col("ptext"))).alias("chunk")),
+        "paragraph",
+    )
+    return sent.unionByName(para).orderBy("mode", "doc_id", "chunk_id")
 
 
 # ---------------------------------------------------------------------------
@@ -406,6 +442,125 @@ ORACLE_STRATIFIED_SAMPLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# doc_chunks oracle — both chunker modes as recursive CTEs
+# ---------------------------------------------------------------------------
+
+# explicit ASCII class (real control chars embedded, not escapes — DuckDB
+# string literals don't process backslashes); mirrors rules._ASCII_WS
+_WS_CHARS = " \t\n\x0b\f\r"
+_SENT_BREAK_PAT = f"[.!?][{_WS_CHARS}]+"
+# greedy (.*) pins the capture to the LAST sentence break in the window,
+# so length(group 1) == Python's final m.end() over re.finditer
+_SENT_GREEDY_PAT = f"^(.*[.!?][{_WS_CHARS}]+).*$"
+
+
+def _sent_end_expr(b: str, n: str) -> str:
+    """SQL for the chunk-end rule of rules.chunk_text at 200/20: take the
+    last sentence break in text[b:b+200] iff it advances past the
+    overlap, else hard-cut at b+200; final chunk ends at n."""
+    seg = f"substr(text, {b} + 1, {_CHUNK_SIZE})"
+    last_len = f"length(regexp_replace({seg}, '{_SENT_GREEDY_PAT}', '\\1', 's'))"
+    return f"""
+        CASE WHEN {b} + {_CHUNK_SIZE} >= {n} THEN {n}
+             WHEN regexp_matches({seg}, '{_SENT_BREAK_PAT}')
+                  AND {last_len} > {_CHUNK_OVERLAP}
+             THEN {b} + {last_len}
+             ELSE {b} + {_CHUNK_SIZE} END
+    """
+
+
+_PARA_OVERFLOW = (
+    f"(s.cur_e - s.cur_b) + (p.pe - p.pb) + 2 > {_CHUNK_SIZE}"
+)
+
+ORACLE_DOC_CHUNKS = f"""
+    WITH RECURSIVE sent AS (
+        SELECT doc_id, text, length(text) AS n, 0 AS chunk_id, 0 AS b,
+               CASE WHEN length(text) <= {_CHUNK_SIZE} THEN length(text)
+                    ELSE {_sent_end_expr('0', 'length(text)')} END AS e
+        FROM documents WHERE length(text) > 0
+      UNION ALL
+        SELECT doc_id, text, n, chunk_id + 1, e - {_CHUNK_OVERLAP},
+               {_sent_end_expr(f'(e - {_CHUNK_OVERLAP})', 'n')}
+        FROM sent WHERE e < n
+    ),
+    psrc AS (
+        SELECT doc_id, replace(text, '. ', '.' || chr(10) || chr(10)) AS ptext
+        FROM documents WHERE length(text) > 0
+    ),
+    single_para AS (
+        -- n <= chunk_size short-circuits to one whole-text chunk before
+        -- the paragraph dispatch, as in rules.chunk_text
+        SELECT doc_id, 0 AS chunk_id, 0 AS b, length(ptext) AS e
+        FROM psrc WHERE length(ptext) <= {_CHUNK_SIZE}
+    ),
+    pieces AS (
+        SELECT doc_id,
+               unnest(string_split(ptext, chr(10) || chr(10))) AS piece,
+               generate_subscripts(string_split(ptext, chr(10) || chr(10)), 1) AS idx
+        FROM psrc WHERE length(ptext) > {_CHUNK_SIZE}
+    ),
+    offs AS (
+        SELECT doc_id, idx, piece,
+               CAST(coalesce(sum(length(piece) + 2) OVER (
+                   PARTITION BY doc_id ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS pos
+        FROM pieces
+    ),
+    paras AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn,
+               pos + length(piece) - length(ltrim(piece, '{_WS_CHARS}')) AS pb,
+               pos + length(piece) - length(ltrim(piece, '{_WS_CHARS}'))
+                   + length(trim(piece, '{_WS_CHARS}')) AS pe
+        FROM offs
+        WHERE length(trim(piece, '{_WS_CHARS}')) > 0
+    ),
+    maxrn AS (SELECT doc_id, max(rn) AS mx FROM paras GROUP BY doc_id),
+    pack AS (
+        -- greedy paragraph packing is inherently sequential — one
+        -- recursion step per paragraph; a chunk is emitted when the next
+        -- paragraph would overflow (+2 for the joining blank line)
+        SELECT doc_id, rn, pb AS cur_b, pe AS cur_e,
+               CAST(NULL AS BIGINT) AS emit_b, CAST(NULL AS BIGINT) AS emit_e
+        FROM paras WHERE rn = 1
+      UNION ALL
+        SELECT p.doc_id, p.rn,
+               CASE WHEN {_PARA_OVERFLOW} THEN p.pb ELSE s.cur_b END,
+               p.pe,
+               CASE WHEN {_PARA_OVERFLOW} THEN s.cur_b END,
+               CASE WHEN {_PARA_OVERFLOW} THEN s.cur_e END
+        FROM pack s JOIN paras p ON p.doc_id = s.doc_id AND p.rn = s.rn + 1
+    ),
+    para_chunks_raw AS (
+        SELECT doc_id, emit_b AS b, emit_e AS e FROM pack WHERE emit_b IS NOT NULL
+        UNION ALL
+        SELECT s.doc_id, s.cur_b, s.cur_e
+        FROM pack s JOIN maxrn m ON s.doc_id = m.doc_id AND s.rn = m.mx
+    ),
+    para_chunks AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS chunk_id,
+               b, e
+        FROM para_chunks_raw
+        UNION ALL
+        SELECT doc_id, chunk_id, b, e FROM single_para
+    )
+    SELECT doc_id, mode,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(b AS INT) AS begin,
+           CAST(e AS INT) AS "end"
+    FROM (
+        SELECT doc_id, 'sentence' AS mode, chunk_id, b, e FROM sent
+        UNION ALL
+        SELECT doc_id, 'paragraph' AS mode, chunk_id, b, e FROM para_chunks
+    )
+    ORDER BY mode, doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "top_tokens": q_top_tokens,
     "stratified_sample": q_stratified_sample,
@@ -427,5 +582,6 @@ ORACLE_SQL = {
     "doc_lang_detect": ORACLE_DOC_LANG_DETECT,
     "doc_quality": ORACLE_DOC_QUALITY,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
     # doc_extract_full: intentionally no oracle (UDF pipeline; rows-only)
 }

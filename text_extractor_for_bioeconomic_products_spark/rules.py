@@ -1166,20 +1166,69 @@ def text_similarity(a: Optional[str], b: Optional[str]) -> float:
 # W1 — size-based chunking with sentence respect (helpers.py:103-150)
 # ---------------------------------------------------------------------------
 
+# ASCII whitespace only (not unicode .strip()): paragraph offsets must be
+# computable identically by the DuckDB oracle, whose trim/ltrim take an
+# explicit character set
+_ASCII_WS = " \t\n\x0b\f\r"
+
+
+def paragraph_spans(text: str) -> List[tuple]:
+    """(begin, end) offsets of each non-empty stripped paragraph —
+    paragraphs are ``\\n\\n``-separated, mirroring the reference's
+    ``text.split('\\n\\n')`` (text_preprocessing.py:276)."""
+    spans: List[tuple] = []
+    pos = 0
+    for piece in text.split("\n\n"):
+        stripped = piece.strip(_ASCII_WS)
+        if stripped:
+            lead = len(piece) - len(piece.lstrip(_ASCII_WS))
+            b = pos + lead
+            spans.append((b, b + len(stripped)))
+        pos += len(piece) + 2
+    return spans
+
+
+def _chunk_by_paragraphs(text: str, chunk_size: int) -> List[Dict[str, int]]:
+    """Greedy paragraph packing (text_preprocessing.py:273-310): whole
+    paragraphs accumulate until the next one would overflow
+    ``chunk_size`` (+2 for the joining blank line, as the reference
+    counts it); an oversized single paragraph becomes its own chunk, as
+    in the reference.  Offsets are exact — no overlap-text duplication,
+    per the SURVEY §7.4 offset-drift fix."""
+    chunks: List[Dict[str, int]] = []
+    cur: Optional[List[int]] = None
+    for b, e in paragraph_spans(text):
+        if cur is None:
+            cur = [b, e]
+        elif (cur[1] - cur[0]) + (e - b) + 2 > chunk_size:
+            chunks.append({"chunk_id": len(chunks), "begin": cur[0], "end": cur[1]})
+            cur = [b, e]
+        else:
+            cur[1] = e
+    if cur is not None:
+        chunks.append({"chunk_id": len(chunks), "begin": cur[0], "end": cur[1]})
+    return chunks
+
+
 def chunk_text(text: str, chunk_size: int = 2500, overlap: int = 150,
-               preserve_sentences: bool = True) -> List[Dict[str, int]]:
+               preserve_sentences: bool = True,
+               respect_paragraphs: bool = False) -> List[Dict[str, int]]:
     """Overlapping chunks with clean offset semantics.
 
-    Follows helpers.py:103-150 (size/overlap/sentence-respect) but with
+    Follows helpers.py:103-150 (size/overlap/sentence-respect) and
+    text_preprocessing.py:241-310 (paragraph mode dispatch) but with
     exact ``(begin, end)`` offsets into the input — SURVEY §7.4 documents
     that we deliberately fix the reference's offset drift rather than
-    reproduce it.
+    reproduce it.  Mode precedence matches the reference
+    (text_preprocessing.py:261-266): paragraphs > sentences > size.
     """
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     n = len(text)
     if n <= chunk_size:
         return [{"chunk_id": 0, "begin": 0, "end": n}] if n else []
+    if respect_paragraphs:
+        return _chunk_by_paragraphs(text, chunk_size)
     chunks: List[Dict[str, int]] = []
     start = 0
     while start < n:
