@@ -253,12 +253,18 @@ def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_MIN = 30
 
 
-def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign session ids per user (new session when the gap to the
-    previous event exceeds SESSION_GAP_MIN minutes), then aggregate —
-    the classic two-window composition (lag → cumsum) with a single
-    user_id-partitioned shuffle."""
-    events = load(spark, sf_dir, "events")
+def sessionize(events: DataFrame) -> DataFrame:
+    """Session aggregation over an events frame (new session when the gap
+    to the previous event exceeds SESSION_GAP_MIN minutes) — the classic
+    two-window composition (lag → cumsum) with a single
+    user_id-partitioned shuffle.
+
+    Gap seconds are INTEGER-truncated on purpose: ``unix_timestamp``
+    drops fractional seconds, and the DuckDB oracle pins the same
+    semantics with ``CAST(floor(epoch(ts)) AS BIGINT)`` — sub-second timestamps
+    must split sessions identically in both engines (covered by a
+    sub-second fixture test, not just the whole-second synthetic data).
+    """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # TIMESTAMP_NTZ has no direct long cast in Spark 4; epoch seconds via
     # unix_timestamp (session tz fixed to UTC in session.py)
@@ -282,6 +288,10 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load(spark, sf_dir, "events"))
 
 
 # --- Tumbling-window time aggregation (batch twin of the streaming agg) ----
@@ -749,8 +759,9 @@ ORACLE_SQL = {
                min(event_id) AS first_event_id
         FROM (
             -- CAST to BIGINT: DuckDB window sum(INTEGER) yields HUGEINT; Spark yields BIGINT.
-            -- CAST(epoch AS BIGINT): integer-truncate seconds on both engines (Spark
-            -- unix_timestamp truncates; DuckDB epoch() keeps fractional seconds).
+            -- floor(epoch): integer-truncate seconds like Spark's unix_timestamp —
+            -- DuckDB epoch() keeps fractional seconds and a bare CAST(double AS
+            -- BIGINT) would ROUND, splitting sub-second sessions differently.
             SELECT user_id, event_id, value,
                    CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
@@ -758,7 +769,7 @@ ORACLE_SQL = {
                    ) AS BIGINT) AS session_id
             FROM (
                 SELECT *,
-                       CASE WHEN CAST(epoch(ts) AS BIGINT) - lag(CAST(epoch(ts) AS BIGINT)) OVER (
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id
                             ) > {SESSION_GAP_MIN * 60}
                             THEN 1 ELSE 0 END AS new_session
