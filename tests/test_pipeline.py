@@ -351,7 +351,10 @@ def test_compact_buckets(spark, transcripts_df, tmp_path):
         compact_buckets,
     )
 
-    data_dir = str(tmp_path / "frag")
+    # the directory name contains a space: input_file_name()-style URIs
+    # percent-encode it, which broke the old per-file getsize path — the
+    # _metadata aggregate must be encoding-agnostic
+    data_dir = str(tmp_path / "frag out")
     turns = extract_turns(transcripts_df.limit(400)).drop("spans")
     bucketed = turns.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")

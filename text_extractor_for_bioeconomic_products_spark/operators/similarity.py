@@ -351,25 +351,23 @@ ORACLE_EMBEDDING_NEAR_DUPS = f"""
 N_PROBE = 2
 
 
-def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+def ivf_centroids(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
     """Coarse quantizer: per-cluster centroid via element-wise mean.
 
     Clusters come from the ``label`` column (at 100 TB these would be
-    k-means assignments computed once offline); the centroid reduce is a
-    single groupBy over posexploded components — one shuffle keyed
-    (label, dim), bounded by n_clusters × dim rows.
+    k-means assignments computed once offline).  One per-dimension avg
+    aggregate per component — a single groupBy(label) with map-side
+    partial aggregation over the ORIGINAL n rows.  (The earlier
+    posexplode formulation materialized n×dim rows before the combine
+    and shuffled on (label, dim); this shape touches each row once and
+    shuffles only n_partitions × n_clusters partial states.)
     """
-    comp = embeddings.select(
-        "label", F.posexplode("embedding").alias("dim", "v")
+    means = embeddings.groupBy("label").agg(
+        *[F.avg(F.col("embedding")[i]).alias(f"_m{i}") for i in range(dim)]
     )
-    means = comp.groupBy("label", "dim").agg(F.avg("v").alias("m"))
-    return (
-        means.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select(
-            "label",
-            F.transform("dm", lambda x: x["m"]).alias("centroid"),
-        )
+    return means.select(
+        "label",
+        F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("centroid"),
     )
 
 

@@ -29,8 +29,6 @@ import time
 from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import List, Optional
-from urllib.parse import unquote, urlparse
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -287,26 +285,26 @@ def compact_buckets(
     df = spark.read.parquet(data_dir)
     if buckets is not None:
         df = df.filter(F.col("bucket").isin(list(buckets)))
-    # per-bucket byte sizes via the Hadoop FileSystem API — works on any
-    # scheme (file/hdfs/s3a) and any percent-encoded path, unlike
-    # os.path.getsize over a prefix-stripped URI.  Driver-side listing is
-    # one row per FILE; at extreme file counts swap for a distributed
-    # read of the relation's file index.
-    jvm_files = df.select(F.input_file_name().alias("f")).distinct().collect()
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    sizes: dict = {}
-    n_files_before = 0
-    for r in jvm_files:
-        uri = r["f"]
-        # input_file_name() percent-encodes; Path handles the raw URI, but
-        # the bucket id is parsed from the decoded path
-        decoded = unquote(urlparse(uri).path)
-        b = int(decoded.split("bucket=")[1].split("/")[0])
-        hpath = jvm.org.apache.hadoop.fs.Path(uri)
-        fs = hpath.getFileSystem(hconf)
-        sizes[b] = sizes.get(b, 0) + fs.getFileStatus(hpath).getLen()
-        n_files_before += 1
+    # Per-bucket byte sizes via the _metadata hidden column — a fully
+    # distributed aggregate over (file_path, file_size) pairs, so the
+    # driver materializes only one row per BUCKET regardless of file
+    # count (the earlier per-file collect + os.path.getsize broke on
+    # percent-encoded paths and non-local schemes, and listed millions
+    # of rows at 100 TB).  file_path is constant within a file, so
+    # distinct() dedups to one row per file before the rollup.
+    bucket_stats = (
+        df.select(
+            F.col("_metadata.file_path").alias("f"),
+            F.col("_metadata.file_size").alias("nbytes"),
+            F.col("bucket"),
+        )
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.sum("nbytes").alias("nbytes"), F.count("*").alias("n_files"))
+        .collect()
+    )
+    sizes = {int(r["bucket"]): int(r["nbytes"]) for r in bucket_stats}
+    n_files_before = sum(int(r["n_files"]) for r in bucket_stats)
     rewritten = {}
     for b, nbytes in sorted(sizes.items()):
         n_out = max(1, _math.ceil(nbytes / target_file_bytes))
