@@ -370,3 +370,26 @@ def test_compact_buckets(spark, transcripts_df, tmp_path):
     assert after == before
     assert len(after_files) == stats["files_after"] <= 4
     assert stats["files_before"] == len(before_files)
+
+
+def test_streaming_microbatch_rate(spark, transcripts_df, tmp_path):
+    """Continuous-trigger micro-batches sustain a real per-batch cadence:
+    one file per trigger, all rows delivered exactly once, steady-state
+    batch latency bounded (measured ~0.8-1.0 s median on 4 cores for
+    ~450-turn batches; the bound leaves headroom for VM noise)."""
+    from text_extractor_for_bioeconomic_products_spark.streaming.pipeline import (
+        measure_streaming_rate,
+    )
+
+    in_dir = str(tmp_path / "rate_in")
+    transcripts_df.repartition(8).write.parquet(in_dir)
+    stats = measure_streaming_rate(
+        spark, in_dir, str(tmp_path / "rate_out"), timeout_sec=120
+    )
+    assert stats["n_rows"] == transcripts_df.count()
+    assert stats["n_batches"] >= 5  # genuinely incremental, not one gulp
+    assert stats["median_batch_ms"] is not None
+    assert stats["median_batch_ms"] < 2500
+    # parquet sink holds exactly the streamed rows (exactly-once manifest)
+    out = spark.read.parquet(str(tmp_path / "rate_out" / "rate_stream"))
+    assert out.count() == stats["n_rows"]

@@ -185,3 +185,57 @@ def run_streaming_dedup_extraction(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def measure_streaming_rate(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 120,
+) -> dict:
+    """Continuous micro-batch run (processingTime=0) over a pre-split
+    input directory; returns per-batch telemetry from the query's
+    progress log — the streaming-latency twin of bench.py's batch
+    throughput measurement.
+
+    Output: {n_batches, n_rows, batch_ms (sorted, batch 0 excluded —
+    first-trigger JVM/worker warmup), median_batch_ms,
+    rows_per_sec_per_batch}.
+    """
+    import json as _json
+    import time as _time
+
+    total = spark.read.parquet(input_dir).count()
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    turns = extract_turns(stream).drop("spans")
+    q = (
+        turns.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "rate_stream"))
+        .option("checkpointLocation", os.path.join(out_dir, "_rate_checkpoint"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.monotonic() + timeout_sec
+    while _time.monotonic() < deadline:
+        ps = [_json.loads(p.json) for p in q.recentProgress]
+        if sum(p["numInputRows"] for p in ps) >= total and not q.status["isDataAvailable"]:
+            break
+        _time.sleep(0.3)
+    ps = [
+        p for p in (_json.loads(p.json) for p in q.recentProgress)
+        if p["numInputRows"] > 0
+    ]
+    q.stop()
+    steady = [p for p in ps if p["batchId"] > 0]
+    batch_ms = sorted(p["durationMs"]["triggerExecution"] for p in steady)
+    return {
+        "n_batches": len(ps),
+        "n_rows": sum(p["numInputRows"] for p in ps),
+        "batch_ms": batch_ms,
+        "median_batch_ms": batch_ms[len(batch_ms) // 2] if batch_ms else None,
+        "rows_per_sec_per_batch": [
+            round(p["processedRowsPerSecond"], 1) for p in steady
+        ],
+    }
