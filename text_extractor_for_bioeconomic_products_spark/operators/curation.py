@@ -169,6 +169,79 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# n-gram-level decontamination: sentence hashing misses partial overlap
+# (a benchmark question embedded mid-paragraph), so production pipelines
+# also check fixed-length word-n-gram overlap; 8 is the common choice.
+_CONTAM_N = 8
+
+
+def q_benchmark_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram decontamination: a corpus doc is contaminated iff it shares
+    ≥1 lowercased word-8-gram (md5) with the benchmark split (doc_id <
+    20).  Same plant seeding as the sentence variant — the planted
+    sentence contributes two fully-internal 8-grams, so detections are
+    real, not vacuous.  Benchmark gram set is tiny → broadcast semi-join;
+    gram construction is a narrow per-row expression (no corpus-sized
+    pre-shuffle)."""
+    from .textstats import word_ngrams
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(_PLANT)))
+        .otherwise(F.col("text")),
+    )
+    words = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(word_ngrams(words, _CONTAM_N)).alias("gram"),
+    ).select("doc_id", "source", F.md5("gram").alias("gram_md5"))
+    bench = grams.filter(F.col("doc_id") < _BENCH_MAX_DOC_ID) \
+        .select("gram_md5").distinct()
+    corpus = grams.filter(F.col("doc_id") >= _BENCH_MAX_DOC_ID)
+    contaminated = (
+        corpus.join(F.broadcast(bench), "gram_md5", "left_semi")
+        .select("doc_id", "source").distinct()
+    )
+    return (
+        contaminated.groupBy("source")
+        .agg(F.count("*").alias("n_contaminated_docs"))
+        .orderBy("source")
+    )
+
+
+_DUCK_NGRAM_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+
+ORACLE_CONTAMINATION_NGRAM = f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 97 = 0 THEN text || '{_PLANT}' ELSE text END AS text
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               md5(array_to_string(w[i:i+{_CONTAM_N - 1}], ' ')) AS gram_md5
+        FROM (SELECT doc_id, source, {_DUCK_NGRAM_WORDS} AS w FROM seeded),
+             unnest(generate_series(1, greatest(len(w) - {_CONTAM_N - 1}, 0))) AS t(i)
+    ),
+    bench AS (
+        SELECT DISTINCT gram_md5 FROM grams WHERE doc_id < {_BENCH_MAX_DOC_ID}
+    )
+    SELECT source, count(*) AS n_contaminated_docs
+    FROM (
+        SELECT DISTINCT doc_id, source
+        FROM grams
+        WHERE doc_id >= {_BENCH_MAX_DOC_ID}
+          AND gram_md5 IN (SELECT gram_md5 FROM bench)
+    )
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 ORACLE_SQL = {
     "sequence_packing": f"""
         -- CAST(sum AS BIGINT): DuckDB sum(BIGINT) yields HUGEINT; Spark yields BIGINT.
@@ -248,10 +321,12 @@ ORACLE_SQL = {
         GROUP BY source
         ORDER BY source
     """,
+    "benchmark_contamination_ngram": ORACLE_CONTAMINATION_NGRAM,
 }
 
 QUERIES = {
     "sequence_packing": q_sequence_packing,
     "doc_pii_scrub": q_doc_pii_scrub,
     "benchmark_contamination": q_benchmark_contamination,
+    "benchmark_contamination_ngram": q_benchmark_contamination_ngram,
 }

@@ -443,6 +443,85 @@ ORACLE_STRATIFIED_SAMPLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules): fraction of duplicate
+# words / word-2-grams / word-3-grams within each document.  High values
+# mark boilerplate/generated text a pretraining pipeline drops.  The
+# corpus has no newlines or sentence punctuation, so the line- and
+# sentence-level Gopher variants would be vacuous here and are omitted.
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(words, n: int):
+    """Array of space-joined word n-grams as a narrow per-row expression
+    (guarded: Spark's sequence(1, k) is DESCENDING for k<1, so short rows
+    explicitly yield an empty array)."""
+    cnt = F.size(words) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def _dup_frac(arr):
+    """1 - distinct/total over an array, DECIMAL-routed round; 0.0 for
+    empty arrays (a short doc is not 'all duplicates')."""
+    return F.when(
+        F.size(arr) > 0,
+        F.round(
+            (
+                F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr)
+            ).cast("decimal(18,10)"),
+            4,
+        ).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition census — all narrow column math, zero shuffle
+    before the final sort; at 100 TB this runs as a pure map alongside
+    the other quality signals."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            _dup_frac(words).alias("dup_word_frac"),
+            _dup_frac(word_ngrams(words, 2)).alias("dup_2gram_frac"),
+            _dup_frac(word_ngrams(words, 3)).alias("dup_3gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_ngrams(w: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({w}) - {n - 1}, 0)),"
+        f" i -> array_to_string({w}[i:i+{n - 1}], ' '))"
+    )
+
+
+def _duck_dup_frac(arr: str) -> str:
+    return f"""
+        CASE WHEN len({arr}) > 0
+             THEN CAST(round(CAST(1.0 - len(list_distinct({arr}))::DOUBLE / len({arr})
+                       AS DECIMAL(18,10)), 4) AS DOUBLE)
+             ELSE 0.0 END
+    """
+
+
+ORACLE_DOC_REPETITION = f"""
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_words,
+           {_duck_dup_frac('w')} AS dup_word_frac,
+           {_duck_dup_frac(_duck_ngrams('w', 2))} AS dup_2gram_frac,
+           {_duck_dup_frac(_duck_ngrams('w', 3))} AS dup_3gram_frac
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # doc_chunks oracle — both chunker modes as recursive CTEs
 # ---------------------------------------------------------------------------
 
@@ -563,6 +642,7 @@ ORACLE_DOC_CHUNKS = f"""
 
 QUERIES = {
     "top_tokens": q_top_tokens,
+    "doc_repetition": q_doc_repetition,
     "stratified_sample": q_stratified_sample,
     "transcript_extraction": q_transcript_extraction,
     "doc_clean_basic": q_doc_clean_basic,
@@ -583,5 +663,6 @@ ORACLE_SQL = {
     "doc_quality": ORACLE_DOC_QUALITY,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "doc_chunks": ORACLE_DOC_CHUNKS,
+    "doc_repetition": ORACLE_DOC_REPETITION,
     # doc_extract_full: intentionally no oracle (UDF pipeline; rows-only)
 }
