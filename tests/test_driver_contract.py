@@ -105,6 +105,36 @@ def test_user_sessions_subsecond_epoch_parity(spark, tmp_path):
     assert {(r[si], r[ne]) for r in oracle_rows} == got
 
 
+def test_doc_chunks_exercises_both_modes_nonvacuously(spark, sf01_dir):
+    """The corpus ships with no punctuation/newlines, so doc_chunks
+    plants structure; this guard fails if a future corpus/seed change
+    silently turns either mode back into a trivial single-chunk pass."""
+    from pyspark.sql import functions as F
+
+    df = entry_mod.queries()["doc_chunks"](spark, sf01_dir)
+    per_doc = df.groupBy("mode", "doc_id").agg(
+        F.count("*").alias("n_chunks"), F.max("end").alias("max_end")
+    )
+    multi = {
+        r["mode"]: r["n"]
+        for r in per_doc.filter("n_chunks > 1").groupBy("mode")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    # paragraph packing produced multi-chunk docs (packing branch fired)
+    assert multi.get("paragraph", 0) > 0, multi
+    # sentence-respect fired: some non-final sentence chunk ends off the
+    # hard-cut grid (break at a planted '. ', not at begin+200)
+    sent = df.filter("mode = 'sentence'")
+    w = sent.join(
+        sent.groupBy("doc_id").agg(F.max("chunk_id").alias("last")), "doc_id"
+    )
+    off_grid = w.filter(
+        (F.col("chunk_id") < F.col("last"))
+        & ((F.col("end") - F.col("begin")) != 200)
+    ).count()
+    assert off_grid > 0
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

@@ -94,7 +94,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         F.array_min(F.transform(words, _seed_hash(i))).alias(f"sig_{i}")
         for i in range(n_hashes)
     ]
-    return docs.select(F.col(id_col), *sigs)
+    # NULL text yields no signature row (the explode-based formulation and
+    # the oracle's unnest both drop such docs; keeping them would group
+    # every NULL-text doc into one spurious NULL band)
+    return docs.filter(F.col(text_col).isNotNull()).select(F.col(id_col), *sigs)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +160,11 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     hs = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
     )
-    hashed = docs.select(F.col(id_col), hs.alias("hs"))
+    # NULL text drops (parity with the oracle's unnest and the old
+    # explode+groupBy shape — see minhash_signatures)
+    hashed = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), hs.alias("hs")
+    )
     # factory (not default-arg lambdas): pyspark inspects lambda arity and
     # would reject a 3-parameter merge function
     def _bit_merge(bit: int):

@@ -283,7 +283,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bucket-size census: ≤2^N_PLANES rows regardless of corpus size →
     # broadcast back; the refined key space [2^N_PLANES, …) can't collide
-    # with unrefined coarse keys [0, 2^N_PLANES)
+    # with unrefined coarse keys [0, 2^N_PLANES).  The census and the
+    # pair join each re-scan `bucketed` (the plane dot products run
+    # twice) — deliberate at 100 TB: a corpus-wide cache doesn't fit and
+    # a window-count alternative would shuffle the whole corpus onto
+    # 2^N_PLANES keys (max skew); re-scanning a columnar source is the
+    # cheaper second pass.
     sizes = bucketed.groupBy("coarse").agg(F.count("*").alias("bucket_n"))
     n_coarse, n_fine = 1 << N_PLANES, 1 << N_PLANES_FINE
     final_bucket = F.when(
@@ -362,8 +367,12 @@ def ivf_centroids(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
     and shuffled on (label, dim); this shape touches each row once and
     shuffles only n_partitions × n_clusters partial states.)
     """
+    # F.get (not [i]): returns NULL for a too-short array instead of an
+    # ANSI INVALID_ARRAY_INDEX error, and avg skips NULLs — matching the
+    # old posexplode behavior on ragged inputs.  dim is the centroid
+    # contract: components past it are ignored by design.
     means = embeddings.groupBy("label").agg(
-        *[F.avg(F.col("embedding")[i]).alias(f"_m{i}") for i in range(dim)]
+        *[F.avg(F.get("embedding", i)).alias(f"_m{i}") for i in range(dim)]
     )
     return means.select(
         "label",

@@ -266,12 +266,14 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets are exact (SURVEY §7.4 documents the deliberate fix of the
     reference's overlap drift).
 
-    Both chunker modes are exercised: ``sentence`` (size/overlap with
-    sentence-boundary respect) over the raw text, and ``paragraph``
-    (greedy whole-paragraph packing) over a deterministically
-    paragraphized variant — the corpus has no ``\\n\\n``, so sentence
-    breaks are promoted to paragraph breaks first, identically in the
-    DuckDB oracle."""
+    Both chunker modes are exercised NON-vacuously: the corpus has no
+    punctuation or newlines at all, so structure is planted
+    deterministically, identically in the DuckDB oracle (the same
+    pattern as the PII / contamination seeding): every ``" fast"``
+    becomes ``". fast"`` (842 real sentence breaks at sf0.01 → the
+    sentence-respect branch fires), and for ``paragraph`` mode those
+    breaks are then promoted to blank lines (multi-paragraph docs → the
+    greedy packing branch fires)."""
     from ..functions.udfs import CHUNK_TYPE
 
     def _chunk_sent(text):
@@ -310,13 +312,17 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["end"].alias("end"),
         )
 
+    sent_src = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" fast"), F.lit(". fast")).alias("stext"),
+    )
     sent = _shape(
-        docs.select("doc_id", F.explode(chunk_sent(F.col("text"))).alias("chunk")),
+        sent_src.select("doc_id", F.explode(chunk_sent(F.col("stext"))).alias("chunk")),
         "sentence",
     )
-    para_src = docs.select(
+    para_src = sent_src.select(
         "doc_id",
-        F.replace(F.col("text"), F.lit(". "), F.lit(".\n\n")).alias("ptext"),
+        F.replace(F.col("stext"), F.lit(". "), F.lit(".\n\n")).alias("ptext"),
     )
     para = _shape(
         para_src.select("doc_id", F.explode(chunk_para(F.col("ptext"))).alias("chunk")),
@@ -554,11 +560,17 @@ _PARA_OVERFLOW = (
 )
 
 ORACLE_DOC_CHUNKS = f"""
-    WITH RECURSIVE sent AS (
+    WITH RECURSIVE ssrc AS (
+        -- planted structure (corpus has none): ' fast' -> '. fast' seeds
+        -- real sentence breaks, identically to the Spark query
+        SELECT doc_id, replace(text, ' fast', '. fast') AS text
+        FROM documents WHERE length(text) > 0
+    ),
+    sent AS (
         SELECT doc_id, text, length(text) AS n, 0 AS chunk_id, 0 AS b,
                CASE WHEN length(text) <= {_CHUNK_SIZE} THEN length(text)
                     ELSE {_sent_end_expr('0', 'length(text)')} END AS e
-        FROM documents WHERE length(text) > 0
+        FROM ssrc
       UNION ALL
         SELECT doc_id, text, n, chunk_id + 1, e - {_CHUNK_OVERLAP},
                {_sent_end_expr(f'(e - {_CHUNK_OVERLAP})', 'n')}
@@ -566,7 +578,7 @@ ORACLE_DOC_CHUNKS = f"""
     ),
     psrc AS (
         SELECT doc_id, replace(text, '. ', '.' || chr(10) || chr(10)) AS ptext
-        FROM documents WHERE length(text) > 0
+        FROM ssrc
     ),
     single_para AS (
         -- n <= chunk_size short-circuits to one whole-text chunk before

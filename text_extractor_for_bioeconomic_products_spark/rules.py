@@ -1243,7 +1243,11 @@ def chunk_text(text: str, chunk_size: int = 2500, overlap: int = 150,
         if preserve_sentences:
             search_start = max(end - 200, start)
             last = None
-            for m in re.finditer(r"[.!?]\s+", text[search_start:end]):
+            # explicit ASCII whitespace class, NOT \s: Python \s also
+            # matches unicode spaces (NBSP etc.) which RE2/DuckDB's does
+            # not — the oracle and this loop must take identical breaks
+            for m in re.finditer(r"[.!?][" + _ASCII_WS + r"]+",
+                                  text[search_start:end]):
                 last = search_start + m.end()
             # accept a sentence break only if the next start (end-overlap)
             # still advances — otherwise a break near the window start

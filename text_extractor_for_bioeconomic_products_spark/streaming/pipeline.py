@@ -217,16 +217,26 @@ def measure_streaming_rate(
         .trigger(processingTime="0 seconds")
         .start()
     )
+    # recentProgress is a ring buffer (spark.sql.streaming.
+    # numRecentProgressUpdates, default 100): merge each poll's snapshot
+    # into a dict keyed by batchId so runs of >100 micro-batches neither
+    # hang the completion check nor drop early batches from telemetry
+    seen: dict = {}
     deadline = _time.monotonic() + timeout_sec
     while _time.monotonic() < deadline:
-        ps = [_json.loads(p.json) for p in q.recentProgress]
-        if sum(p["numInputRows"] for p in ps) >= total and not q.status["isDataAvailable"]:
+        for p in q.recentProgress:
+            d = _json.loads(p.json)
+            seen[d["batchId"]] = d
+        if (
+            sum(p["numInputRows"] for p in seen.values()) >= total
+            and not q.status["isDataAvailable"]
+        ):
             break
         _time.sleep(0.3)
-    ps = [
-        p for p in (_json.loads(p.json) for p in q.recentProgress)
-        if p["numInputRows"] > 0
-    ]
+    for p in q.recentProgress:
+        d = _json.loads(p.json)
+        seen[d["batchId"]] = d
+    ps = [p for p in seen.values() if p["numInputRows"] > 0]
     q.stop()
     steady = [p for p in ps if p["batchId"] > 0]
     batch_ms = sorted(p["durationMs"]["triggerExecution"] for p in steady)
