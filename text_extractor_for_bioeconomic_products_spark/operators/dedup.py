@@ -217,6 +217,88 @@ ORACLE_DEDUP_SIMHASH = _simhash_sql_duckdb()
 
 
 # ---------------------------------------------------------------------------
+# SimHash hamming-neighbor census (completes the SimHash flow:
+# signatures → banded candidates → verified distance)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4          # 4 bands × 4 bits; hamming ≤ 3 ⇒ ≥1 band equal
+HAMMING_MAX = 3
+
+
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup rate census by hamming distance: banded self-join on
+    4-bit simhash bands (pigeonhole-complete for hamming ≤ 3), exact
+    ``bit_count(xor)`` verification, pair counts per distance.
+
+    Output is the 4-row histogram, not the pair list — the synthetic
+    corpus's 20-word vocabulary makes most docs genuine near-neighbors
+    (≈2M qualifying pairs at sf0.1), and the census is the curation
+    diagnostic a pipeline actually reads ("what fraction of the corpus
+    is near-duplicate?") before committing to a full dedup pass.
+    At 100 TB: widen the signature (64-bit, 8 bands) and cap hot bands
+    exactly as ``_jaccard_pairs_from`` does (MAX_BAND_DOCS + mega-band
+    direct emission); a 16-bit signature is keep-first-grouping width,
+    not pair-candidate width."""
+    sh = simhash16(load(spark, sf_dir, "documents"))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright("simhash", 4 * i).bitwiseAND(F.lit(15)).alias("band_val"),
+        )
+        for i in range(SIMHASH_BANDS)
+    ])
+    bands = sh.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("band")
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.filter(F.col("hamming") <= HAMMING_MAX)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+ORACLE_SIMHASH_HAMMING = f"""
+    WITH sh AS ({_simhash_sql_duckdb()}),
+    bands AS (
+        SELECT doc_id, simhash, i AS band_idx,
+               (simhash >> (4 * i)) & 15 AS band_val
+        FROM sh, unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS t(i)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT hamming, count(*) AS n_pairs
+    FROM pairs
+    WHERE hamming <= {HAMMING_MAX}
+    GROUP BY hamming
+    ORDER BY hamming
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard over LSH candidate pairs
 # ---------------------------------------------------------------------------
 
@@ -597,6 +679,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "dedup_jaccard_candidates": q_dedup_jaccard_candidates,
     "dup_components": q_dup_components,
 }
@@ -607,6 +690,7 @@ ORACLE_SQL = {
     "curation_pipeline": _curation_sql_duckdb(),
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash_hamming": ORACLE_SIMHASH_HAMMING,
     "dedup_jaccard_candidates": ORACLE_DEDUP_JACCARD,
     "dup_components": ORACLE_DUP_COMPONENTS,
 }
