@@ -198,3 +198,24 @@ def test_lsh_band_census_shuffles_only_on_band(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange hashpartitioning(band" in p
     assert "Exchange hashpartitioning(doc_id" not in p
+
+
+def test_doc_repetition_is_narrow(spark):
+    """Repetition signals are pure per-row column math — the only
+    Exchange is the presentation ORDER BY."""
+    p = plan_of(spark, "doc_repetition")
+    assert p.count("Exchange") == 1
+    assert "Exchange rangepartitioning" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_ngram_contamination_broadcasts_benchmark_side(spark):
+    """8-gram decontamination: the benchmark gram set broadcasts into a
+    left-semi join; the corpus side never shuffles its exploded grams on
+    the gram key."""
+    p = plan_of(spark, "benchmark_contamination_ngram")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # exactly one gram-keyed shuffle: the (tiny) benchmark side's
+    # distinct feeding the BroadcastExchange — the corpus side's
+    # exploded grams must NOT shuffle on the gram key
+    assert p.count("Exchange hashpartitioning(gram_md5") == 1
