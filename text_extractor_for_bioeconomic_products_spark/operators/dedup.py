@@ -418,7 +418,15 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
+    def _label_sum(df: DataFrame):
+        # decimal(38,0): sum of 10^9+ doc-id labels overflows int64 (and
+        # Spark 4 ANSI mode would raise rather than wrap)
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
     try:
+        prev_sum = _label_sum(labels)
         for _ in range(_MAX_CC_ITERS):
             neigh = bidir.join(labels, bidir.doc_a == labels.node).select(
                 F.col("doc_b").alias("node"), "label"
@@ -446,14 +454,16 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                merged.join(labels.withColumnRenamed("label", "old"), "node")
-                .filter(F.col("label") < F.col("old")).count()
-            )
+            # convergence check without a join against the previous
+            # labels: per-node labels are non-increasing, so the label
+            # sum strictly decreases iff any node changed this round —
+            # one aggregate job instead of join+filter+count
+            cur_sum = _label_sum(merged)
             labels.unpersist()
             labels = merged
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         else:
             raise RuntimeError("label propagation did not converge")
         return (
