@@ -393,3 +393,55 @@ def test_streaming_microbatch_rate(spark, transcripts_df, tmp_path):
     # parquet sink holds exactly the streamed rows (exactly-once manifest)
     out = spark.read.parquet(str(tmp_path / "rate_out" / "rate_stream"))
     assert out.count() == stats["n_rows"]
+
+
+def test_star_contraction_matches_pointer_jumping(spark):
+    """connected_components_star (large-star/small-star, the 100 TB
+    variant) produces identical components to the pointer-jumping
+    implementation on adversarial graph shapes."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(0, 40)]          # long diameter
+    star = [(100, 100 + i) for i in range(1, 20)]        # hub
+    clique = [(200 + i, 200 + j) for i in range(6) for j in range(i + 1, 6)]
+    pairs2 = [(300, 301), (302, 303)]                    # isolated pairs
+    rev = [(401, 400), (402, 401)]                       # edges given high->low
+    for name, edges in [
+        ("chain", chain), ("star", star), ("clique", clique),
+        ("pairs", pairs2), ("rev", rev),
+        ("all", chain + star + clique + pairs2 + rev),
+    ]:
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        a = {(r["component"], r["n_docs"], r["members"])
+             for r in connected_components(df).collect()}
+        b = {(r["component"], r["n_docs"], r["members"])
+             for r in connected_components_star(df).collect()}
+        assert a == b, f"{name}: {a ^ b}"
+
+
+def test_star_contraction_matches_on_real_candidates(spark):
+    """Same equivalence on the actual sf0.001 near-dup candidate edges."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        DUP_EDGE_THRESHOLD,
+        _banded_docs,
+        _jaccard_pairs_from,
+        connected_components,
+        connected_components_star,
+        load,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    pairs = (
+        _jaccard_pairs_from(docs, _banded_docs(spark, sf))
+        .filter(F.col("jaccard") >= DUP_EDGE_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    a = {tuple(r) for r in connected_components(pairs).collect()}
+    b = {tuple(r) for r in connected_components_star(pairs).collect()}
+    assert a == b and len(a) > 0
