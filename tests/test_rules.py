@@ -521,3 +521,30 @@ def test_layout_series_equals_scalar(text):
 def test_extract_main_content_repairs_layout():
     got = rules.extract_main_content("bio-\neconomic products\x0cof acai")
     assert "bioeconomic" in got and "\x0c" not in got
+
+
+def test_validate_product_span_scalar_golden():
+    """X3 rule half (reference validation.py:55-289) — branch-covering
+    golden cases for the scalar validator."""
+    v = rules.validate_product_span
+    # clean known product, known country, binomial, 2 uses → valid, 1.0
+    r = v("acai berry", "Brazil", "Euterpe oleracea", ["alimentar", "medicinal"])
+    assert r["is_valid"] and r["confidence"] == 1.0 and r["n_issues"] == 0
+    # company-pattern name + empty country → 2 issues, invalid
+    r = v("Extracts Ltd Company", "", None, [])
+    assert not r["is_valid"] and r["n_issues"] >= 2
+    # 'oil' bio keyword rescues a company-looking name (reference checks
+    # bio keywords before company patterns)
+    r = v("oil company", "Peru", "Genus species", ["x", "y"])
+    assert r["is_valid"] and r["n_issues"] == 0
+    # corrections: country casing via the corrections map is NOT applied
+    # to whitelisted lowercase forms ('brasil' is in known_countries);
+    # scientific capitalization repair counts as a correction
+    r = v("x", "brasil", "euterpe Oleracea", [" a ", "", "b"])
+    assert r["scientific_corrected"] == "Euterpe oleracea"
+    assert r["n_corrections"] == 2  # sci repair + uses cleanup
+    assert r["n_issues"] == 1  # name too short
+    # everything missing/broken
+    r = v(None, None, "NotABinomialHere", None)
+    assert r["n_issues"] == 4 and r["confidence"] == pytest.approx(0.3)
+    assert not r["is_valid"]

@@ -107,3 +107,63 @@ def test_approx_distinct_tolerance(spark, sf01_dir):
     assert rows
     for r in rows:
         assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.06 * r["exact_users"])
+
+
+def test_span_validation_columns_equal_scalar(spark):
+    """X3 vectorized validator (pure column expressions) produces exactly
+    the scalar rules.validate_product_span outputs on branch-covering
+    fixtures."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark import rules
+    from text_extractor_for_bioeconomic_products_spark.operators.normalize import (
+        span_validation_columns,
+    )
+
+    cases = [
+        ("acai berry", "Brazil", "Euterpe oleracea", ["alimentar", "medicinal"]),
+        ("Extracts Ltd Company", "", None, []),
+        ("oil company", "Peru", "Genus species", ["x", "y"]),
+        ("x", "brasil", "euterpe Oleracea", [" a ", "", "b"]),
+        (None, None, "NotABinomialHere", None),
+        ("maca", "peru", "", ["medicinal"]),
+        ("Something SPA", "bolivia", "Q", ["  "]),
+        ("natural extract", "colombia", "Abc def ghi", ["one"]),
+        ("tea", "french guiana", "ABC", ["u1", "u2", "u3"]),
+        ("", "xx", None, ["ok"]),
+    ]
+    df = spark.createDataFrame(
+        cases, "name string, country string, sci string, uses array<string>"
+    )
+    v = span_validation_columns(
+        F.col("name"), F.col("country"), F.col("sci"), F.col("uses")
+    )
+    got = df.select(
+        "name", "country", "sci", "uses",
+        v["is_valid"].alias("is_valid"),
+        v["confidence"].alias("confidence"),
+        v["n_issues"].alias("n_issues"),
+        v["n_corrections"].alias("n_corrections"),
+        v["country_corrected"].alias("country_corrected"),
+        v["scientific_corrected"].alias("scientific_corrected"),
+    ).collect()
+    for row in got:
+        exp = rules.validate_product_span(
+            row["name"], row["country"], row["sci"], row["uses"]
+        )
+        for k in ("is_valid", "n_issues", "n_corrections",
+                  "country_corrected", "scientific_corrected"):
+            assert row[k] == exp[k], (row["name"], k, row[k], exp[k])
+        assert row["confidence"] == pytest.approx(exp["confidence"]), row["name"]
+
+
+def test_span_validation_query_nonvacuous(spark):
+    """The end-to-end census finds BOTH valid and invalid spans on the
+    transcript corpus (the tagger emits some one-word-name / no-use
+    spans), so the validator's reject path is exercised for real."""
+    import __spark_entry__ as entry_mod
+
+    rows = {r["is_valid"]: r for r in
+            entry_mod.queries()["span_validation"](spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {True, False}
+    assert rows[True]["n_spans"] > 0 and rows[False]["total_issues"] > 0

@@ -267,6 +267,136 @@ def q_doc_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+# ---------------------------------------------------------------------------
+# X3 rule half — ProductValidator as pure column expressions
+# (validation.py:29-289; scalar twin rules.validate_product_span)
+# ---------------------------------------------------------------------------
+
+
+def _contains_any(col, needles) -> F.Column:
+    out = F.lit(False)
+    for n in needles:
+        out = out | col.contains(F.lit(n))
+    return out
+
+
+def span_validation_columns(name, country, sci, uses) -> dict:
+    """Vectorized :func:`rules.validate_product_span` — every check is a
+    JVM column expression (no Python), so validation composes into any
+    span-producing plan as a narrow map.  Returns the same fields."""
+    name_t = F.trim(F.coalesce(name, F.lit("")))
+    name_l = F.lower(name_t)
+    known_product = _contains_any(name_l, sorted(rules.VALIDATION_KNOWN_PRODUCTS))
+    bio_kw = _contains_any(name_l, rules._VALIDATION_BIO_KEYWORDS)
+    company = _contains_any(name_l, rules._VALIDATION_COMPANY_PATTERNS)
+    name_issue = (F.length(name_t) < 2) | (company & ~(known_product | bio_kw))
+
+    country_t = F.trim(F.coalesce(country, F.lit("")))
+    country_l = F.lower(country_t)
+    known_country = country_l.isin(*sorted(rules.VALIDATION_KNOWN_COUNTRIES))
+    corr_map = F.create_map(
+        *[F.lit(x) for kv in sorted(rules._VALIDATION_COUNTRY_CORRECTIONS.items())
+          for x in kv]
+    )
+    country_issue = F.length(country_t) < 2
+    country_corrected = F.when(
+        ~country_issue & ~known_country, corr_map[country_l]
+    )
+
+    sci_t = F.trim(F.coalesce(sci, F.lit("")))
+    binomial = r"^[A-Z][a-z]+ [a-z]+$"
+    sci_words = F.split(sci_t, r"\s+")
+    # F.get (0-based, NULL out-of-bounds) — element_at raises under ANSI
+    # for the 1-word case
+    cand = F.concat(
+        F.upper(F.substring(F.get(sci_words, 0), 1, 1)),
+        F.lower(F.substring(F.get(sci_words, 0), 2, 1 << 20)),
+        F.lit(" "),
+        F.lower(F.get(sci_words, 1)),
+    )
+    needs_fix = (F.length(sci_t) > 0) & ~sci_t.rlike(binomial)
+    fixable = needs_fix & (F.size(sci_words) >= 2) & cand.rlike(binomial)
+    sci_issue = needs_fix & ~fixable
+    scientific_corrected = F.when(fixable, cand)
+
+    uses_arr = F.coalesce(uses, F.array().cast("array<string>"))
+    # explicit one-arg lambda: F.trim's optional second parameter would
+    # make pyspark pass the element INDEX as the trim character set
+    cleaned = F.filter(
+        F.transform(uses_arr, lambda x: F.trim(x)), lambda x: x != ""
+    )
+    uses_issue = F.size(cleaned) == 0
+    uses_corrected = ~uses_issue & (cleaned != uses_arr)
+
+    n_issues = (
+        name_issue.cast("int") + country_issue.cast("int")
+        + sci_issue.cast("int") + uses_issue.cast("int")
+    )
+    n_corrections = (
+        country_corrected.isNotNull().cast("int")
+        + scientific_corrected.isNotNull().cast("int")
+        + uses_corrected.cast("int")
+    )
+    score = (
+        F.lit(1.0)
+        - 0.2 * n_issues
+        + F.when(F.length(sci_t) > 0, 0.1).otherwise(0.0)
+        + F.when(F.size(cleaned) > 1, 0.1).otherwise(0.0)
+        + F.when(known_product, 0.2).otherwise(0.0)
+        + F.when(known_country, 0.1).otherwise(0.0)
+    )
+    confidence = F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), score)), 4)
+    return {
+        "is_valid": (n_issues == 0) & (confidence > 0.6),
+        "confidence": confidence,
+        "n_issues": n_issues,
+        "n_corrections": n_corrections,
+        "country_corrected": country_corrected,
+        "scientific_corrected": scientific_corrected,
+    }
+
+
+def q_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 end-to-end: tag spans over the deterministic transcript corpus
+    (seed 42 — the documents table is product-free word soup, so spans
+    only exist here), validate each (country = the span's first
+    gazetteer country, matching the reference's single-country product
+    record), census the outcomes.  Rows-only at the driver gate (spans
+    come from the Python tagger); the column expressions are
+    pytest-equal to the scalar rules.validate_product_span on
+    branch-covering fixtures."""
+    from ..operators.extract import explode_spans, extract_turns
+    from ..sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=50, seed=42)
+    spans = explode_spans(extract_turns(t)).select(
+        F.col("nome_popular").alias("name"),
+        F.get("paises", 0).alias("country"),
+        F.col("nome_cientifico").alias("sci"),
+        F.col("tipos_uso").alias("uses"),
+    )
+    v = span_validation_columns(
+        F.col("name"), F.col("country"), F.col("sci"), F.col("uses")
+    )
+    validated = spans.select(
+        v["is_valid"].alias("is_valid"),
+        v["confidence"].alias("confidence"),
+        v["n_issues"].alias("n_issues"),
+        v["n_corrections"].alias("n_corrections"),
+    )
+    return (
+        validated.groupBy("is_valid")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.round(F.avg("confidence").cast("decimal(18,10)"), 4)
+            .cast("double").alias("avg_confidence"),
+            F.sum("n_issues").alias("total_issues"),
+            F.sum("n_corrections").alias("total_corrections"),
+        )
+        .orderBy("is_valid")
+    )
+
+
 QUERIES = {
     "normalize_use_types": q_normalize_use_types,
     "correct_countries": q_correct_countries,
@@ -274,8 +404,11 @@ QUERIES = {
     "events_json_extract": q_events_json_extract,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_relevance": q_doc_relevance,
+    "span_validation": q_span_validation,
 }
 
+# span_validation: intentionally no oracle (spans come from the Python
+# tagger; the validation expressions are pytest-equal to the scalar twin)
 ORACLE_SQL = {
     "normalize_use_types": _oracle_use_types(),
     "correct_countries": _oracle_countries(),

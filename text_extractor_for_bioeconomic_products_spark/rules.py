@@ -780,6 +780,123 @@ def span_confidence(has_sci: bool, n_uses: int, name_len: int, n_countries: int)
 
 
 # ---------------------------------------------------------------------------
+# X3 rule half — ProductValidator (validation.py:29-289).  The reference
+# defines a per-product validation pass with a rule-based half (these
+# checks) and an optional LLM half (dropped by design, SURVEY §2.10):
+# name plausibility, country whitelist + casing corrections, scientific-
+# name binomial format with capitalization repair, uses cleanup, and a
+# validation confidence with issue penalties and completeness bonuses.
+# ---------------------------------------------------------------------------
+
+# validation.py:39-46 / 48-54 — semantically-mandated constant tables
+VALIDATION_KNOWN_PRODUCTS = frozenset({
+    "cacao", "cocoa", "chocolate", "vanilla", "vainilla", "coffee", "café",
+    "quinoa", "quinua", "guayusa", "açaí", "acai", "brazil nut",
+    "nuez de brasil", "brazil nuts", "nueces de brasil", "tea", "té",
+    "mate", "yerba mate", "stevia", "lucuma", "lúcuma", "spirulina",
+    "moringa", "chia", "amaranth", "amaranto", "maca", "sacha inchi",
+    "camu camu", "dragon fruit", "pitahaya",
+})
+VALIDATION_KNOWN_COUNTRIES = frozenset({
+    "ecuador", "peru", "perú", "brazil", "brasil", "colombia", "bolivia",
+    "venezuela", "argentina", "chile", "uruguay", "paraguay", "guyana",
+    "suriname", "french guiana", "mexico", "méxico", "guatemala", "belize",
+    "honduras", "el salvador", "nicaragua", "costa rica", "panama", "panamá",
+})
+# validation.py:181 / 187
+_VALIDATION_BIO_KEYWORDS = (
+    "organic", "natural", "extract", "oil", "seed", "fruit", "bean",
+    "nut", "herb",
+)
+_VALIDATION_COMPANY_PATTERNS = ("company", "corporation", "inc", "ltd", "spa", "sa")
+# validation.py:206-217
+_VALIDATION_COUNTRY_CORRECTIONS = {
+    "brazil": "Brazil", "brasil": "Brazil", "peru": "Peru", "perú": "Peru",
+    "mexico": "Mexico", "méxico": "Mexico", "colombia": "Colombia",
+    "ecuador": "Ecuador", "bolivia": "Bolivia", "venezuela": "Venezuela",
+}
+_VALIDATION_BINOMIAL_RE = re.compile(r"^[A-Z][a-z]+ [a-z]+$")
+
+
+def validate_product_span(name: Optional[str], country: Optional[str],
+                          scientific_name: Optional[str],
+                          uses: Optional[List[str]]) -> Dict[str, Any]:
+    """Rule-based per-product validation (validation.py:55-289, LLM half
+    excluded by design).
+
+    Returns {is_valid, confidence, n_issues, n_corrections,
+    country_corrected, scientific_corrected}: issues follow the
+    reference's four checks (name, country, scientific name, uses);
+    confidence starts at 1.0, −0.2 per issue, +0.1 for a scientific
+    name, +0.1 for >1 use, +0.2 known product, +0.1 known country,
+    clamped to [0,1] (validation.py:265-289; the reference's
+    ``additional_info`` bonus has no analog here); is_valid = no issues
+    AND confidence > 0.6 (validation.py:112).
+    """
+    issues = 0
+    corrections = 0
+    name = (name or "").strip()
+    name_lower = name.lower()
+    if len(name) < 2:
+        issues += 1
+    elif any(p in name_lower for p in _VALIDATION_COMPANY_PATTERNS) and not (
+        any(k in name_lower for k in VALIDATION_KNOWN_PRODUCTS)
+        or any(k in name_lower for k in _VALIDATION_BIO_KEYWORDS)
+    ):
+        issues += 1
+
+    country = (country or "").strip()
+    country_lower = country.lower()
+    country_corrected = None
+    if len(country) < 2:
+        issues += 1
+    elif country_lower not in VALIDATION_KNOWN_COUNTRIES and \
+            country_lower in _VALIDATION_COUNTRY_CORRECTIONS:
+        country_corrected = _VALIDATION_COUNTRY_CORRECTIONS[country_lower]
+        corrections += 1
+
+    sci = (scientific_name or "").strip()
+    scientific_corrected = None
+    if sci and not _VALIDATION_BINOMIAL_RE.match(sci):
+        words = sci.split()
+        fixed = None
+        if len(words) >= 2:
+            cand = f"{words[0].capitalize()} {words[1].lower()}"
+            if _VALIDATION_BINOMIAL_RE.match(cand):
+                fixed = cand
+        if fixed is not None:
+            scientific_corrected = fixed
+            corrections += 1
+        else:
+            issues += 1
+
+    cleaned_uses = [u.strip() for u in (uses or []) if u and u.strip()]
+    if not cleaned_uses:
+        issues += 1
+    elif cleaned_uses != list(uses or []):
+        corrections += 1
+
+    score = 1.0 - 0.2 * issues
+    if sci:
+        score += 0.1
+    if len(cleaned_uses) > 1:
+        score += 0.1
+    if any(k in name_lower for k in VALIDATION_KNOWN_PRODUCTS):
+        score += 0.2
+    if country_lower in VALIDATION_KNOWN_COUNTRIES:
+        score += 0.1
+    confidence = max(0.0, min(1.0, score))
+    return {
+        "is_valid": issues == 0 and confidence > 0.6,
+        "confidence": round(confidence, 4),
+        "n_issues": issues,
+        "n_corrections": corrections,
+        "country_corrected": country_corrected,
+        "scientific_corrected": scientific_corrected,
+    }
+
+
+# ---------------------------------------------------------------------------
 # X1 replacement — deterministic gazetteer/regex span tagger
 # ---------------------------------------------------------------------------
 
