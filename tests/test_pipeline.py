@@ -409,10 +409,11 @@ def test_star_contraction_matches_pointer_jumping(spark):
     clique = [(200 + i, 200 + j) for i in range(6) for j in range(i + 1, 6)]
     pairs2 = [(300, 301), (302, 303)]                    # isolated pairs
     rev = [(401, 400), (402, 401)]                       # edges given high->low
+    selfp = [(500, 500), (501, 502), (502, 502)]         # self-pair singleton
     for name, edges in [
         ("chain", chain), ("star", star), ("clique", clique),
-        ("pairs", pairs2), ("rev", rev),
-        ("all", chain + star + clique + pairs2 + rev),
+        ("pairs", pairs2), ("rev", rev), ("selfp", selfp),
+        ("all", chain + star + clique + pairs2 + rev + selfp),
     ]:
         df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         a = {(r["component"], r["n_docs"], r["members"])

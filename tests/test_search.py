@@ -131,6 +131,12 @@ def test_span_validation_columns_equal_scalar(spark):
         ("natural extract", "colombia", "Abc def ghi", ["one"]),
         ("tea", "french guiana", "ABC", ["u1", "u2", "u3"]),
         ("", "xx", None, ["ok"]),
+        # whitespace-padded fields: scalar and column twins must strip
+        # the identical ASCII class (review-confirmed divergence before
+        # _ascii_trim: tab-padded name lengths differed)
+        ("a\t", "peru", "Genus species", ["u1", "u2"]),
+        ("maca ", "\tbrazil\n", "Genus species\t", ["\tu1", "u2"]),
+        (" herb\n", "peru", "\n genus SPECIES ", ["x\ty"]),
     ]
     df = spark.createDataFrame(
         cases, "name string, country string, sci string, uses array<string>"

@@ -510,6 +510,11 @@ def connected_components_star(pairs: DataFrame,
     candidate edges and on adversarial graphs (chain, star, clique,
     isolated pairs).
     """
+    # persist before the two-direction union — otherwise the upstream
+    # lineage (e.g. the banded-jaccard candidate pipeline) executes twice
+    # inside the eager checkpoint (connected_components persists for the
+    # same reason)
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -517,6 +522,15 @@ def connected_components_star(pairs: DataFrame,
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes appearing ONLY in self-pairs have no edge rows but are still
+    # singleton components under the pointer-jumping contract
+    all_nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
 
     def _signature(e: DataFrame):
         # order-insensitive multiset signature of the edge set
@@ -557,11 +571,16 @@ def connected_components_star(pairs: DataFrame,
         raise RuntimeError("star contraction did not converge")
 
     # at fixpoint the graph is a union of stars centered on each
-    # component's minimum: label every node by its min neighbor-or-self
-    labels = (
+    # component's minimum: label every node by its min neighbor-or-self;
+    # edge-less nodes (self-pair-only inputs) label themselves
+    edge_labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("mn"))
         .select(F.col("u").alias("node"), F.least("mn", F.col("u")).alias("label"))
+    )
+    labels = (
+        all_nodes.join(edge_labels, "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
     )
     return (
         labels.groupBy(F.col("label").alias("component"))

@@ -280,30 +280,34 @@ def _contains_any(col, needles) -> F.Column:
     return out
 
 
+def _ascii_trim(col) -> F.Column:
+    """Strip the ASCII whitespace class from both ends — matches the
+    scalar validator's ``.strip(rules._ASCII_WS)`` (Java ``\\s`` ≡ that
+    exact class; ``F.trim`` alone strips only spaces)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def span_validation_columns(name, country, sci, uses) -> dict:
     """Vectorized :func:`rules.validate_product_span` — every check is a
     JVM column expression (no Python), so validation composes into any
     span-producing plan as a narrow map.  Returns the same fields."""
-    name_t = F.trim(F.coalesce(name, F.lit("")))
+    name_t = _ascii_trim(F.coalesce(name, F.lit("")))
     name_l = F.lower(name_t)
     known_product = _contains_any(name_l, sorted(rules.VALIDATION_KNOWN_PRODUCTS))
     bio_kw = _contains_any(name_l, rules._VALIDATION_BIO_KEYWORDS)
     company = _contains_any(name_l, rules._VALIDATION_COMPANY_PATTERNS)
     name_issue = (F.length(name_t) < 2) | (company & ~(known_product | bio_kw))
 
-    country_t = F.trim(F.coalesce(country, F.lit("")))
+    country_t = _ascii_trim(F.coalesce(country, F.lit("")))
     country_l = F.lower(country_t)
     known_country = country_l.isin(*sorted(rules.VALIDATION_KNOWN_COUNTRIES))
-    corr_map = F.create_map(
-        *[F.lit(x) for kv in sorted(rules._VALIDATION_COUNTRY_CORRECTIONS.items())
-          for x in kv]
-    )
     country_issue = F.length(country_t) < 2
-    country_corrected = F.when(
-        ~country_issue & ~known_country, corr_map[country_l]
-    )
+    # the casing-correction branch is faithfully unreachable (every
+    # COUNTRY_CORRECTIONS key is whitelisted — asserted at import in
+    # rules.py), so the column twin is a typed NULL by construction
+    country_corrected = F.lit(None).cast("string")
 
-    sci_t = F.trim(F.coalesce(sci, F.lit("")))
+    sci_t = _ascii_trim(F.coalesce(sci, F.lit("")))
     binomial = r"^[A-Z][a-z]+ [a-z]+$"
     sci_words = F.split(sci_t, r"\s+")
     # F.get (0-based, NULL out-of-bounds) — element_at raises under ANSI
@@ -320,10 +324,8 @@ def span_validation_columns(name, country, sci, uses) -> dict:
     scientific_corrected = F.when(fixable, cand)
 
     uses_arr = F.coalesce(uses, F.array().cast("array<string>"))
-    # explicit one-arg lambda: F.trim's optional second parameter would
-    # make pyspark pass the element INDEX as the trim character set
     cleaned = F.filter(
-        F.transform(uses_arr, lambda x: F.trim(x)), lambda x: x != ""
+        F.transform(uses_arr, lambda x: _ascii_trim(x)), lambda x: x != ""
     )
     uses_issue = F.size(cleaned) == 0
     uses_corrected = ~uses_issue & (cleaned != uses_arr)

@@ -26,6 +26,12 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
+# ASCII whitespace only (not unicode .strip()): offsets and validations
+# computed here must be reproducible by the DuckDB/Spark SQL twins,
+# whose trim/character classes are ASCII — shared by the chunker and
+# the X3 validator.
+_ASCII_WS = " \t\n\x0b\f\r"
+
 # ---------------------------------------------------------------------------
 # T1 — basic clean (src/utils/helpers.py:208-230)
 # ---------------------------------------------------------------------------
@@ -809,13 +815,15 @@ _VALIDATION_BIO_KEYWORDS = (
     "nut", "herb",
 )
 _VALIDATION_COMPANY_PATTERNS = ("company", "corporation", "inc", "ltd", "spa", "sa")
-# validation.py:206-217
-_VALIDATION_COUNTRY_CORRECTIONS = {
-    "brazil": "Brazil", "brasil": "Brazil", "peru": "Peru", "perú": "Peru",
-    "mexico": "Mexico", "méxico": "Mexico", "colombia": "Colombia",
-    "ecuador": "Ecuador", "bolivia": "Bolivia", "venezuela": "Venezuela",
-}
 _VALIDATION_BINOMIAL_RE = re.compile(r"^[A-Z][a-z]+ [a-z]+$")
+# The validator's casing-correction branch (validation.py:206-217 — the
+# shared COUNTRY_CORRECTIONS table) is FAITHFULLY UNREACHABLE: the
+# reference checks the known-country whitelist first and every
+# correction key is whitelisted.  Asserted so a future table edit that
+# would make it live can't silently diverge from the column-expression
+# twin (which returns a typed NULL on the strength of this assert).
+assert all(k in VALIDATION_KNOWN_COUNTRIES for k in COUNTRY_CORRECTIONS)
+_VALIDATION_WS_SPLIT_RE = re.compile(r"[" + _ASCII_WS + r"]+")
 
 
 def validate_product_span(name: Optional[str], country: Optional[str],
@@ -833,9 +841,13 @@ def validate_product_span(name: Optional[str], country: Optional[str],
     ``additional_info`` bonus has no analog here); is_valid = no issues
     AND confidence > 0.6 (validation.py:112).
     """
+    # ASCII-ws strip/split throughout (not unicode .strip()/.split()):
+    # the column-expression twin must compute identical results, and
+    # Spark/RE2 whitespace classes are ASCII — same determinism rule as
+    # the chunker (§7.4 class)
     issues = 0
     corrections = 0
-    name = (name or "").strip()
+    name = (name or "").strip(_ASCII_WS)
     name_lower = name.lower()
     if len(name) < 2:
         issues += 1
@@ -845,20 +857,22 @@ def validate_product_span(name: Optional[str], country: Optional[str],
     ):
         issues += 1
 
-    country = (country or "").strip()
+    country = (country or "").strip(_ASCII_WS)
     country_lower = country.lower()
     country_corrected = None
     if len(country) < 2:
         issues += 1
     elif country_lower not in VALIDATION_KNOWN_COUNTRIES and \
-            country_lower in _VALIDATION_COUNTRY_CORRECTIONS:
-        country_corrected = _VALIDATION_COUNTRY_CORRECTIONS[country_lower]
+            country_lower in COUNTRY_CORRECTIONS:
+        # faithfully unreachable (see assert above) — kept for line-level
+        # parity with validation.py:206-217
+        country_corrected = COUNTRY_CORRECTIONS[country_lower]
         corrections += 1
 
-    sci = (scientific_name or "").strip()
+    sci = (scientific_name or "").strip(_ASCII_WS)
     scientific_corrected = None
     if sci and not _VALIDATION_BINOMIAL_RE.match(sci):
-        words = sci.split()
+        words = [w for w in _VALIDATION_WS_SPLIT_RE.split(sci) if w]
         fixed = None
         if len(words) >= 2:
             cand = f"{words[0].capitalize()} {words[1].lower()}"
@@ -870,7 +884,9 @@ def validate_product_span(name: Optional[str], country: Optional[str],
         else:
             issues += 1
 
-    cleaned_uses = [u.strip() for u in (uses or []) if u and u.strip()]
+    cleaned_uses = [
+        u.strip(_ASCII_WS) for u in (uses or []) if u and u.strip(_ASCII_WS)
+    ]
     if not cleaned_uses:
         issues += 1
     elif cleaned_uses != list(uses or []):
@@ -1287,10 +1303,9 @@ def text_similarity(a: Optional[str], b: Optional[str]) -> float:
 # W1 — size-based chunking with sentence respect (helpers.py:103-150)
 # ---------------------------------------------------------------------------
 
-# ASCII whitespace only (not unicode .strip()): paragraph offsets must be
-# computable identically by the DuckDB oracle, whose trim/ltrim take an
-# explicit character set
-_ASCII_WS = " \t\n\x0b\f\r"
+# (ASCII whitespace class _ASCII_WS is defined at module top — the
+# paragraph offsets below must be computable identically by the DuckDB
+# oracle, whose trim/ltrim take an explicit character set)
 
 
 def paragraph_spans(text: str) -> List[tuple]:
