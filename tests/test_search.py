@@ -163,6 +163,62 @@ def test_span_validation_columns_equal_scalar(spark):
         assert row["confidence"] == pytest.approx(exp["confidence"]), row["name"]
 
 
+def test_span_validation_columns_equal_scalar_randomized(spark):
+    """One Spark job over 300 pseudo-random inputs (deterministic seed):
+    names/countries/scis/uses drawn from vocab fragments, whitespace,
+    punctuation, unicode accents, and Nones — scalar and column twins
+    must agree on every output field."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark import rules
+    from text_extractor_for_bioeconomic_products_spark.operators.normalize import (
+        span_validation_columns,
+    )
+
+    rng = random.Random(42)
+    frags = ["acai", "oil", "ltd", "spa", "café", "maca", "xyz", "Genus",
+             "species", "SHOUT", "q", "", " ", "\t", "\n", "perú", "brazil",
+             "dominican republic", "nut", "12", "ñandú"]
+
+    def rand_str():
+        if rng.random() < 0.1:
+            return None
+        return rng.choice(["", " ", "\t"]).join(
+            rng.choices(frags, k=rng.randint(0, 4))
+        )
+
+    def rand_uses():
+        if rng.random() < 0.15:
+            return None
+        return [rand_str() or "" for _ in range(rng.randint(0, 3))]
+
+    cases = [(rand_str(), rand_str(), rand_str(), rand_uses())
+             for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(cases)],
+        "i int, name string, country string, sci string, uses array<string>",
+    )
+    v = span_validation_columns(
+        F.col("name"), F.col("country"), F.col("sci"), F.col("uses")
+    )
+    got = {r["i"]: r for r in df.select(
+        "i",
+        v["is_valid"].alias("is_valid"),
+        v["confidence"].alias("confidence"),
+        v["n_issues"].alias("n_issues"),
+        v["n_corrections"].alias("n_corrections"),
+        v["scientific_corrected"].alias("scientific_corrected"),
+    ).collect()}
+    for i, (name, country, sci, uses) in enumerate(cases):
+        exp = rules.validate_product_span(name, country, sci, uses)
+        row = got[i]
+        for k in ("is_valid", "n_issues", "n_corrections", "scientific_corrected"):
+            assert row[k] == exp[k], (i, k, (name, country, sci, uses), row[k], exp[k])
+        assert row["confidence"] == pytest.approx(exp["confidence"]), (i, cases[i])
+
+
 def test_span_validation_query_nonvacuous(spark):
     """The end-to-end census finds BOTH valid and invalid spans on the
     transcript corpus (the tagger emits some one-word-name / no-use
