@@ -194,3 +194,23 @@ def test_query_against_oracle(spark, duck, sf01_dir, name):
         f"{name}: {len(mismatches)} value mismatches; first: "
         f"{ns[mismatches[0]]} vs {nd[mismatches[0]]}"
     )
+
+
+def test_query_names_unique_across_modules():
+    """__spark_entry__ merges per-module QUERIES/ORACLE_SQL dicts with
+    .update() — a duplicated name would silently shadow an operator and
+    shrink coverage without any failure."""
+    from text_extractor_for_bioeconomic_products_spark.operators import (
+        curation, dedup, normalize, relational, similarity, textstats,
+    )
+
+    mods = [relational, curation, textstats, dedup, similarity, normalize]
+    seen: dict = {}
+    for m in mods:
+        for k in m.QUERIES:
+            assert k not in seen, f"query '{k}' defined in both {seen[k]} and {m.__name__}"
+            seen[k] = m.__name__
+    # every oracle key has a query in the SAME module (no cross-module strays)
+    for m in mods:
+        extra = set(getattr(m, "ORACLE_SQL", {})) - set(m.QUERIES)
+        assert not extra, f"{m.__name__}: oracles without queries {extra}"
