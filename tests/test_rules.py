@@ -548,3 +548,82 @@ def test_validate_product_span_scalar_golden():
     r = v(None, None, "NotABinomialHere", None)
     assert r["n_issues"] == 4 and r["confidence"] == pytest.approx(0.3)
     assert not r["is_valid"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-row paragraph cache (r3): per-paragraph union == whole-document scan
+# ---------------------------------------------------------------------------
+
+_PARA_FRAGMENTS = [
+    "the harvest in brasil was good",
+    "medicinal uses are documented for treating wounds",
+    "exported from peru and ecuador as food",
+    "used as a dye (tintorial) by artisans in colômbia",
+    "plain noise paragraph with no signal at all",
+    "sacred ritual ceremonies of the region",
+    "tagua is carved into buttons",  # craft keywords
+    "",  # empty paragraph
+    "st lucia and costa rica are outside the pan-amazon whitelist",
+]
+
+
+@given(
+    st.lists(st.sampled_from(_PARA_FRAGMENTS), min_size=1, max_size=6),
+)
+@settings(max_examples=120, deadline=None)
+def test_paragraph_cache_matches_document_scan(parts):
+    """_paragraph_features keyed on the paragraph alone is exact: the union
+    over paragraphs equals the whole-document country scan (no gazetteer
+    needle contains a newline), and per-paragraph use types equal a direct
+    scan of that paragraph."""
+    text = "\n\n".join(parts)
+    lower_text = text.lower()
+    # old whole-document formula (pre-cache implementation)
+    doc_countries_whole = sorted(
+        {
+            rules.correct_country(c)
+            for c in rules.extract_countries(text)
+            if rules.is_pan_amazon_country(c)
+        }
+        | {
+            canon
+            for form, canon in rules.PT_COUNTRY_FORMS.items()
+            if form in lower_text
+        }
+    )
+    feats = [rules._paragraph_features(p.lower()) for p in text.split("\n\n")]
+    doc_countries_union = sorted({c for _, cs in feats for c in cs})
+    assert doc_countries_union == doc_countries_whole
+    for p, (uses, _) in zip(text.split("\n\n"), feats):
+        expected = [
+            u
+            for u in rules.VALID_USE_TYPES[:-1]
+            if rules._USE_CONTEXT_LOWER_RES[u].search(p.lower())
+        ]
+        assert list(uses) == expected
+
+
+def test_factorize_exact_distinguishes_embedded_nul_strings():
+    """pd.factorize routes all-string batches through a NUL-terminated
+    C-string hash table, conflating distinct strings that share a prefix up
+    to an embedded \\x00 (observed live on the dirty-wrapper templates).
+    The featurizer's dict-based factorize must keep them distinct and the
+    gathered output must equal the per-row path byte for byte."""
+    from text_extractor_for_bioeconomic_products_spark.functions.udfs import (
+        _factorize_exact,
+        _turn_features_frame,
+    )
+
+    a = "\x00\x01prefix Açaí is food in brasil"
+    b = "\x00\x01prefix Tagua is carved in colombia"
+    s = pd.Series([a, b, a, b, a], dtype="object")
+    codes, uniques = _factorize_exact(s)
+    assert len(uniques) == 2
+    assert [uniques[c] for c in codes] == list(s)
+    direct = _turn_features_frame(s)
+    fact = (
+        _turn_features_frame(pd.Series(uniques, dtype="object"))
+        .iloc[codes]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, fact)

@@ -89,6 +89,41 @@ def tag_spans_series(clean: pd.Series, lower: Optional[pd.Series] = None) -> pd.
 @F.pandas_udf(TURN_FEATURES_TYPE)
 def extract_turn_features(text: pd.Series) -> pd.DataFrame:
     text = text.fillna("")
+    # Compute-on-uniques: featurization is a pure function of the text and
+    # conversation corpora repeat payloads heavily (quoted turns, template
+    # boilerplate — the bench corpus is ~54% exact repeats), so each
+    # distinct payload in the Arrow batch is featurized once and the rows
+    # gathered back positionally.  Byte-identical to the per-row path
+    # (bench.py's cross-level output hash and the pytest pandas-oracle
+    # equality suite both pin it).
+    codes, uniques = _factorize_exact(text)
+    if len(uniques) == len(text):
+        return _turn_features_frame(text)
+    out = _turn_features_frame(pd.Series(uniques, dtype="object"))
+    return out.iloc[codes].reset_index(drop=True)
+
+
+def _factorize_exact(text: pd.Series):
+    """dict-based exact factorize.  NOT ``pd.factorize``: pandas routes
+    all-string batches through its NUL-terminated C-string hash table, so
+    two distinct strings sharing a prefix up to an embedded ``\\x00`` are
+    conflated into one code (observed live on the control-character dirty
+    wrappers; pytest pins the hazard).  Python ``dict`` hashing is exact.
+    """
+    import numpy as np
+
+    first: dict = {}
+    uniques: list = []
+    codes = np.empty(len(text), dtype=np.int64)
+    for i, s in enumerate(text):
+        j = first.setdefault(s, len(uniques))
+        if j == len(uniques):
+            uniques.append(s)
+        codes[i] = j
+    return codes, uniques
+
+
+def _turn_features_frame(text: pd.Series) -> pd.DataFrame:
     # PDF/layout artifact repair first (dehyphenate wraps, form feeds →
     # paragraph breaks + page count) — identity on clean text
     text, n_pages = rules.layout_series(text)

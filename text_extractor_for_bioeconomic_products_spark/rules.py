@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import html as _html
 import re
+from functools import lru_cache as _lru_cache
 from html.parser import HTMLParser
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -927,6 +928,35 @@ SPAN_FIELDS = [
 ]
 
 
+@_lru_cache(maxsize=32768)
+def _paragraph_features(para_lower: str) -> Tuple[Tuple[str, ...], Tuple[str, ...]]:
+    """Per-paragraph use types (VALID_USE_TYPES order) and validated
+    Pan-Amazon countries, cached ACROSS rows — conversation corpora repeat
+    paragraphs heavily (quoted turns, boilerplate), so the 8 use-type
+    scans and the country gazetteer scan run once per distinct paragraph
+    per worker, not once per occurrence.
+
+    Keying on the paragraph alone is exact, not approximate: every needle
+    (use-context keyword, country surface form) contains no newline, so a
+    match can never straddle the '\\n\\n' paragraph delimiter — the union
+    over paragraphs equals the whole-document scan
+    (tests/test_rules.py::test_paragraph_cache_matches_document_scan).
+    """
+    uses = tuple(
+        u for u in VALID_USE_TYPES[:-1]
+        if _USE_CONTEXT_LOWER_RES[u].search(para_lower)
+    )
+    countries = {
+        correct_country(c)
+        for c in extract_countries(para_lower)
+        if is_pan_amazon_country(c)
+    }
+    countries.update(
+        canon for form, canon in PT_COUNTRY_FORMS.items() if form in para_lower
+    )
+    return uses, tuple(sorted(countries))
+
+
 def tag_product_spans(clean_text: Optional[str]) -> List[Dict[str, Any]]:
     """Tag bioeconomic product mentions in cleaned text.
 
@@ -947,15 +977,7 @@ def tag_product_spans(clean_text: Optional[str]) -> List[Dict[str, Any]]:
     if not clean_text:
         return []
     text = clean_text
-    # document-level countries: extract → Pan-Amazon filter → correct casing
-    doc_countries = [
-        correct_country(c) for c in extract_countries(text) if is_pan_amazon_country(c)
-    ]
     lower_text = text.lower()
-    doc_countries += [
-        canon for form, canon in PT_COUNTRY_FORMS.items() if form in lower_text
-    ]
-    doc_countries = sorted(set(doc_countries))
 
     # Paragraph contexts: the reference's LLM saw the whole document; our
     # deterministic analog scopes use-type inference to the span's
@@ -967,26 +989,28 @@ def tag_product_spans(clean_text: Optional[str]) -> List[Dict[str, Any]]:
         paragraphs.append((pos, pos + len(part), part))
         pos += len(part) + 2
 
+    # per-paragraph use types + countries via the cross-row cache; the
+    # document-level country set (extract → Pan-Amazon filter → correct
+    # casing) is the sorted union over paragraphs — exactly the whole-text
+    # scan, since no gazetteer needle contains a newline
+    para_feats = [_paragraph_features(p.lower()) for _, _, p in paragraphs]
+    doc_countries = sorted({c for _, cs in para_feats for c in cs})
+
     def paragraph_index_of(i: int) -> int:
         for pi, (s, e, _) in enumerate(paragraphs):
             if s <= i < e:
                 return pi
         return -1
 
-    # one use-type scan per *paragraph*, not per span (memoized); 8
-    # independent per-type searches — overlap-safe (see _USE_CONTEXT_LOWER_RES)
-    _uses_cache: Dict[int, List[str]] = {}
-
     def uses_of_paragraph(pi: int) -> List[str]:
-        if pi in _uses_cache:
-            return _uses_cache[pi]
-        para_lower = (paragraphs[pi][2] if pi >= 0 else text).lower()
-        uses = [
+        if pi >= 0:
+            return list(para_feats[pi][0])
+        # offset fell outside every paragraph (defensive; spans are always
+        # inside one): fall back to the whole-document scan
+        return [
             u for u in VALID_USE_TYPES[:-1]
-            if _USE_CONTEXT_LOWER_RES[u].search(para_lower)
+            if _USE_CONTEXT_LOWER_RES[u].search(lower_text)
         ]
-        _uses_cache[pi] = uses
-        return uses
 
     # scan lowered text (3× faster than IGNORECASE); offsets transfer 1:1
     # whenever lowercasing preserves length (guard falls back otherwise)
