@@ -62,6 +62,33 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Long-green TPC-H-style staples (driver-verified pass in BOTH r1 and r2)
+# rotated to the back of the iteration order: the driver's correctness
+# sweep samples the first 50 queries, and with 66 total this puts every
+# previously-unsampled query (ANN family, normalize family,
+# span_validation, multimodal, conversation, jaccard/dup_components)
+# inside the checked window.  Membership and semantics are unchanged.
+_DEFERRED_STAPLES = [
+    "big_spenders",
+    "idle_rich_customers",
+    "signup_purchase_funnel",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top_supplier_per_nation",
+    "promo_revenue_share",
+    "customer_order_distribution",
+    "customers_without_orders",
+    "customer_only_nations",
+    "part_type_stats",
+    "event_type_pivot",
+    "order_price_deciles",
+    "recent_orders",
+    "customers_per_nation",
+    "american_suppliers",
+    "events_hourly",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
@@ -72,7 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(normalize.QUERIES)
     q.update(multimodal.QUERIES)
     q.update(conversation.QUERIES)
-    return q
+    front = {k: v for k, v in q.items() if k not in _DEFERRED_STAPLES}
+    front.update({k: q[k] for k in _DEFERRED_STAPLES if k in q})
+    return front
 
 
 def oracle_sql() -> dict[str, str]:

@@ -224,6 +224,15 @@ def main() -> None:
     ncpu = os.cpu_count() or CPUS
     if pair_env:
         pairs = [tuple(int(x) for x in pair_env.split(","))]
+    elif ncpu >= 32:
+        # full box: both N→4N pairs entirely below the VM's burst-throttle
+        # knee (>16 cores even pure-CPU multiprocessing caps at ~0.5-0.6 —
+        # the hardware_ceiling field; a pair ending at 32 would measure
+        # the throttle, not the engine).  The 32-core headline level is
+        # additionally measured min-of-REPEATS below (r2's single-shot
+        # 32-core run absorbed a ±40% interference swing straight into
+        # the headline) — affordable now that the featurizer is 2× faster.
+        pairs = [(2, 8), (4, 16)]
     else:
         # only pairs whose hi level fits the physical cores — local[16] on
         # an 8-core host would measure oversubscription, not scaling; the
@@ -246,7 +255,11 @@ def main() -> None:
     for c in levels:
         all_runs[c] = [_run_subprocess_extract(c, input_dir) for _ in range(repeats)]
     if top_level not in all_runs:
-        all_runs[top_level] = [_run_subprocess_extract(top_level, input_dir)]
+        # headline level gets the same min-of-REPEATS treatment as the
+        # pair levels — never a single interference-exposed sample
+        all_runs[top_level] = [
+            _run_subprocess_extract(top_level, input_dir) for _ in range(repeats)
+        ]
     runs = {c: min(rs, key=lambda r: r["extract_sec"]) for c, rs in all_runs.items()}
     pair_results = []
     for lo_cpus, hi_cpus in pairs:
@@ -266,17 +279,20 @@ def main() -> None:
         })
     # Headline selection: best CREDIBLE pair.  Efficiency > 1.0 is
     # physically impossible for this workload and means the pair's slow
-    # baseline absorbed interference (see BENCH.md) — such pairs are
-    # excluded from the headline (they still prove ≥target as a lower
-    # bound, so if EVERY pair is superlinear, report 1.0 clamped).
+    # baseline absorbed interference (see BENCH.md) — an INFLATED ratio,
+    # not a lower bound.  Such pairs are excluded from the headline; if
+    # EVERY pair is superlinear there is no credible measurement this
+    # run, so the raw (inflated) value ships under an explicit
+    # 'all_pairs_superlinear' label rather than a fabricated clamp — a
+    # consumer reading only scaling_efficiency must see a number that
+    # was actually measured, with the selection label as the warning.
     plausible = [p for p in pair_results if p["scaling_efficiency"] <= 1.0]
     if plausible:
         best = max(plausible, key=lambda p: p["scaling_efficiency"])
         selection = "max_over_plausible_pairs"
     elif pair_results:
-        best = dict(max(pair_results, key=lambda p: p["scaling_efficiency"]))
-        best["scaling_efficiency"] = 1.0
-        selection = "all_pairs_superlinear_clamped"
+        best = max(pair_results, key=lambda p: p["scaling_efficiency"])
+        selection = "all_pairs_superlinear"
     else:
         best, selection = {"scaling_efficiency": None, "pair": None}, "none"
     top = runs[top_level]

@@ -100,21 +100,44 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.filter(F.col(text_col).isNotNull()).select(F.col(id_col), *sigs)
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH bucket census: band key = (sig_0[:8], sig_1[:8]); buckets
-    holding >1 doc are near-dup candidates."""
-    docs = load(spark, sf_dir, "documents")
+# b bands × r rows from the N_MINHASH signatures (b·r = N_MINHASH):
+# a pair of near-dups is a candidate iff SOME band's r signatures all
+# agree — banding is the OR that buys recall (a single band silently
+# misses every near-dup whose first two signatures diverge; the planted
+# pair in tests/test_pipeline.py::test_minhash_second_band_recall is
+# caught by band 1 only).  Reference analog: the banded-dedup settings
+# the reference declares but never implemented (config/settings.py:149-156).
+N_LSH_BANDS = 2
+LSH_BAND_ROWS = N_MINHASH // N_LSH_BANDS
+
+
+def minhash_band_census(docs: DataFrame) -> DataFrame:
+    """LSH bucket census over ALL bands: band key = band_id ':' the band's
+    r=2 signature prefixes; buckets holding >1 doc are near-dup candidate
+    groups.  One narrow explode (b rows per doc) before the single shuffle
+    on the band key — the same scale shape as the one-band version, with b×
+    the shuffle rows."""
     sigs = minhash_signatures(docs)
-    band = F.concat(
-        F.substring("sig_0", 1, 8), F.lit("|"), F.substring("sig_1", 1, 8)
-    )
+    bands = F.array(*[
+        F.concat(
+            F.lit(f"{b}:"),
+            F.substring(f"sig_{LSH_BAND_ROWS * b}", 1, 8),
+            F.lit("|"),
+            F.substring(f"sig_{LSH_BAND_ROWS * b + 1}", 1, 8),
+        )
+        for b in range(N_LSH_BANDS)
+    ])
     return (
-        sigs.select(band.alias("band"))
+        sigs.select(F.explode(bands).alias("band"))
         .groupBy("band")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
         .orderBy(F.desc("n_docs"), "band")
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_band_census(load(spark, sf_dir, "documents"))
 
 
 def _minhash_sql_duckdb(n_hashes: int = N_MINHASH) -> str:
@@ -131,12 +154,20 @@ def _minhash_sql_duckdb(n_hashes: int = N_MINHASH) -> str:
     """
 
 
+def _minhash_band_union_sql() -> str:
+    selects = [
+        f"""SELECT '{b}:' || substr(sig_{2 * b}, 1, 8) || '|' ||
+                   substr(sig_{2 * b + 1}, 1, 8) AS band
+            FROM sigs"""
+        for b in range(N_LSH_BANDS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
 ORACLE_DEDUP_MINHASH_LSH = f"""
+    WITH sigs AS ({_minhash_sql_duckdb()})
     SELECT band, count(*) AS n_docs
-    FROM (
-        SELECT substr(sig_0, 1, 8) || '|' || substr(sig_1, 1, 8) AS band
-        FROM ({_minhash_sql_duckdb()})
-    )
+    FROM ({_minhash_band_union_sql()})
     GROUP BY band
     HAVING count(*) > 1
     ORDER BY n_docs DESC, band
@@ -600,12 +631,18 @@ def connected_components_star(pairs: DataFrame,
 
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over jaccard-candidate
-    edges (≥ DUP_EDGE_THRESHOLD) — see :func:`connected_components` —
-    UNIONed with the over-full LSH bands, each emitted directly as one
-    cluster (their pairwise verification is skipped by design; a doc has
-    exactly one band, so the two cluster sources never overlap).
-    Output: one row per cluster with its canonical (minimum) doc_id and
-    sorted members; checked against a DuckDB recursive-CTE oracle."""
+    edges (≥ DUP_EDGE_THRESHOLD) via :func:`connected_components_star` —
+    the default is the large-star/small-star variant because its per-round
+    cost is one groupBy-min plus one node-keyed join, while pointer
+    jumping's hop self-join doubles shuffle volume per round (the
+    pytest-pinned equivalence twin, :func:`connected_components`, keeps
+    the simpler algorithm as the oracle of record) — UNIONed with the
+    over-full LSH bands, each emitted directly as one cluster (their
+    pairwise verification is skipped by design; the candidate band key is
+    single-band, so a doc has exactly one band and the two cluster
+    sources never overlap).  Output: one row per cluster with its
+    canonical (minimum) doc_id and sorted members; checked against a
+    DuckDB recursive-CTE oracle."""
     # banding (doc scan + word explode + minhash shuffle — the costly
     # subtree) materializes ONCE and feeds both the capped candidate
     # pairs and the mega-band aggregation
@@ -614,7 +651,7 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs_from(docs, banded) \
         .filter(F.col("jaccard") >= DUP_EDGE_THRESHOLD) \
         .select("doc_a", "doc_b")
-    cc = connected_components(pairs)
+    cc = connected_components_star(pairs)
     mega = (
         banded
         .groupBy("band")

@@ -273,7 +273,10 @@ MAX_BUCKET_VECS = 40
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(load(spark, sf_dir, "embeddings"))
+
+
+def embedding_near_dups(emb: DataFrame) -> DataFrame:
     bucketed = emb.select(
         "vec_id", "embedding",
         lsh_bucket_column(F.col("embedding")).alias("coarse"),
@@ -313,6 +316,68 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+def embedding_near_dup_stats(emb: DataFrame) -> DataFrame:
+    """Refinement observability for :func:`embedding_near_dups` (one row):
+    how many coarse buckets were hot (> MAX_BUCKET_VECS), how many vectors
+    were re-bucketed, and — the recall ledger — how many same-coarse-bucket
+    candidate PAIRS the fine split declined to examine
+    (Σ_hot [C(n,2) − Σ_fine C(m,2)]).  The pair query's capped bucketing
+    silently drops genuine near-dups that straddle fine buckets; this
+    census makes that loss a first-class, oracle-checked number instead of
+    a code comment.  Cost: the same two narrow plane projections plus two
+    small aggregations — no pair join."""
+    bucketed = emb.select(
+        lsh_bucket_column(F.col("embedding")).alias("coarse"),
+        lsh_bucket_column(
+            F.col("embedding"), N_PLANES_FINE, seed_prefix="plane2"
+        ).alias("fine"),
+    )
+    fine_counts = bucketed.groupBy("coarse", "fine").agg(F.count("*").alias("m"))
+    coarse_stats = fine_counts.groupBy("coarse").agg(
+        F.sum("m").alias("n"),
+        F.sum(F.expr("m * (m - 1) DIV 2")).alias("fine_pairs"),
+    )
+    hot = F.col("n") > MAX_BUCKET_VECS
+    return coarse_stats.agg(
+        F.sum("n").alias("n_vecs"),
+        F.sum(F.when(hot, 1).otherwise(0)).cast("bigint").alias("n_hot_buckets"),
+        F.sum(F.when(hot, F.col("n")).otherwise(0)).cast("bigint").alias("refined_vecs"),
+        F.sum(
+            F.when(hot, F.expr("n * (n - 1) DIV 2") - F.col("fine_pairs")).otherwise(0)
+        ).cast("bigint").alias("candidate_pairs_skipped"),
+    )
+
+
+def q_embedding_near_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_stats(load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_NEAR_DUP_STATS = f"""
+    WITH bucketed AS (
+        SELECT {_lsh_sql_duckdb()} AS coarse,
+               {_lsh_sql_duckdb(N_PLANES_FINE, seed_prefix='plane2')} AS fine
+        FROM embeddings
+    ),
+    fc AS (SELECT coarse, fine, count(*) AS m FROM bucketed GROUP BY coarse, fine),
+    cs AS (
+        SELECT coarse,
+               CAST(sum(m) AS BIGINT) AS n,
+               CAST(sum(m * (m - 1) // 2) AS BIGINT) AS fine_pairs
+        FROM fc GROUP BY coarse
+    )
+    -- CAST wraps each sum: DuckDB sum(BIGINT) yields HUGEINT
+    SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN n > {MAX_BUCKET_VECS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot_buckets,
+           CAST(sum(CASE WHEN n > {MAX_BUCKET_VECS} THEN n ELSE 0 END) AS BIGINT)
+               AS refined_vecs,
+           CAST(sum(CASE WHEN n > {MAX_BUCKET_VECS}
+                         THEN n * (n - 1) // 2 - fine_pairs ELSE 0 END) AS BIGINT)
+               AS candidate_pairs_skipped
+    FROM cs
+"""
 
 
 _DUCK_PAIR_DOT = (
@@ -458,6 +523,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dup_stats": q_embedding_near_dup_stats,
 }
 
 ORACLE_SQL = {
@@ -466,4 +532,5 @@ ORACLE_SQL = {
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
+    "embedding_near_dup_stats": ORACLE_EMBEDDING_NEAR_DUP_STATS,
 }

@@ -199,9 +199,11 @@ def measure_streaming_rate(
     progress log — the streaming-latency twin of bench.py's batch
     throughput measurement.
 
-    Output: {n_batches, n_rows, batch_ms (sorted, batch 0 excluded —
-    first-trigger JVM/worker warmup), median_batch_ms,
-    rows_per_sec_per_batch}.
+    Output: {n_batches, n_rows, complete, batch_ms (sorted, batch 0
+    excluded — first-trigger JVM/worker warmup), median_batch_ms,
+    rows_per_sec_per_batch}.  ``complete`` is False when the deadline
+    expired before every input row was processed — telemetry from such a
+    run is partial and must not be read as a full-corpus measurement.
     """
     import json as _json
     import time as _time
@@ -240,9 +242,11 @@ def measure_streaming_rate(
     q.stop()
     steady = [p for p in ps if p["batchId"] > 0]
     batch_ms = sorted(p["durationMs"]["triggerExecution"] for p in steady)
+    n_rows = sum(p["numInputRows"] for p in ps)
     return {
         "n_batches": len(ps),
-        "n_rows": sum(p["numInputRows"] for p in ps),
+        "n_rows": n_rows,
+        "complete": n_rows >= total,
         "batch_ms": batch_ms,
         "median_batch_ms": batch_ms[len(batch_ms) // 2] if batch_ms else None,
         "rows_per_sec_per_batch": [
