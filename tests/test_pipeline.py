@@ -120,24 +120,73 @@ def test_multimodal_plumbing(spark):
     from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
         extract_media_features,
         frame_sample_stub,
-        resize_stub,
+        resize_media,
         synthesize_media,
     )
     media = synthesize_media(spark, n=60)
     feats = extract_media_features(media).collect()
     assert len(feats) == 60
     assert all(f["valid"] for f in feats)
-    assert all(f["width"] >= 16 and f["height"] >= 16 for f in feats)
+    by_kind = {}
+    for f in feats:
+        by_kind.setdefault(f["kind"], []).append(f)
+    # images are REAL BMPs: real dims, real pixel mean in (0, 255)
+    assert all(f["codec"] == "bmp" for f in by_kind["image"])
+    assert all(16 <= f["width"] <= 64 and 16 <= f["height"] <= 64
+               for f in by_kind["image"])
+    assert all(0.0 < f["mean_level"] < 255.0 for f in by_kind["image"])
+    # audio is REAL PCM WAV: width=sample rate, height=frames, |amp| mean
+    assert all(f["codec"] == "wav" for f in by_kind["audio"])
+    assert all(f["width"] >= 8000 and f["height"] >= 500
+               for f in by_kind["audio"])
+    assert all(0.0 < f["mean_level"] < 1.0 for f in by_kind["audio"])
+    # video stays the documented stub
+    assert all(f["codec"] == "fake" and f["mean_level"] is None
+               for f in by_kind["video"])
     # determinism: same synth → same hashes
     feats2 = extract_media_features(synthesize_media(spark, n=60)).collect()
     assert sorted(f["sha256"] for f in feats) == sorted(f["sha256"] for f in feats2)
-    # resize clamps dims
-    resized = extract_media_features(resize_stub(media, max_dim=32)).collect()
-    assert all(max(f["width"], f["height"]) <= 32 for f in resized if f["valid"])
+    # REAL resize: image dims clamp (re-encoded BMP still decodes, mean
+    # stays a real pixel statistic); audio/video payloads byte-unchanged
+    resized = {f["media_id"]: f for f in
+               extract_media_features(resize_media(media, max_dim=32)).collect()}
+    orig = {f["media_id"]: f for f in feats}
+    for mid, f in resized.items():
+        if f["kind"] == "image":
+            assert max(f["width"], f["height"]) <= 32 and f["valid"]
+            assert 0.0 < f["mean_level"] < 255.0
+        else:
+            assert f["sha256"] == orig[mid]["sha256"]
     # frame sampling: only video rows, ≥1 frame each
     frames = frame_sample_stub(media).collect()
     video_ids = {f["media_id"] for f in frames}
     assert video_ids and all(mid % 3 == 2 for mid in video_ids)
+
+
+def test_bmp_wav_codec_roundtrip():
+    """The stdlib codecs are real: encode → decode returns the exact
+    pixels/frames (including the 4-byte BMP row-padding path)."""
+    import numpy as np
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    for w, h in [(3, 2), (4, 4), (17, 5)]:  # odd widths exercise padding
+        pixels = bytes((i * 37) % 256 for i in range(w * h * 3))
+        payload = encode_bmp(w, h, pixels)
+        rw, rh, mean_level, arr = decode_bmp(payload)
+        assert (rw, rh) == (w, h)
+        assert arr.tobytes() == pixels  # exact pixel roundtrip
+        expect = round(float(np.frombuffer(pixels, np.uint8).astype(np.float64).mean()), 4)
+        assert mean_level == expect
+    frames = np.arange(-500, 500, dtype="<i2").tobytes()
+    rate, n, mean_level = decode_wav(encode_wav(11025, frames))
+    assert rate == 11025 and n == 1000
+    assert mean_level == round(float(np.abs(np.arange(-500, 500)).mean()) / 32768.0, 4)
 
 
 def test_multimodal_invalid_payload_quarantined(spark):
@@ -316,8 +365,12 @@ def test_merge_turns_rejects_bad_inputs(spark, transcripts_df, tmp_path):
 
 def test_xml_html_excel_sinks(spark, transcripts_df, tmp_path):
     """S10/S11 export surface: XML parses back with matching counts, the
-    HTML report carries the census, Excel raises the documented gate."""
+    HTML report carries the census, and the Excel sink writes a REAL
+    3-sheet workbook through the built-in stdlib OOXML writer (round 3 —
+    previously an import-gated NotImplementedError), validated by
+    unzipping and parsing the parts back."""
     import xml.etree.ElementTree as ET
+    import zipfile
     from text_extractor_for_bioeconomic_products_spark.sources.sinks import (
         write_products_excel, write_report_html, write_spans_xml,
     )
@@ -337,9 +390,25 @@ def test_xml_html_excel_sinks(spark, transcripts_df, tmp_path):
     doc = open(html_path, encoding="utf-8").read()
     assert f"Total spans: {n}" in doc and "<table" in doc
 
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="Excel"):
-        write_products_excel(spans, str(tmp_path / "x.xlsx"))
+    xlsx_path = str(tmp_path / "x.xlsx")
+    write_products_excel(spans, xlsx_path)
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(xlsx_path) as z:
+        assert z.testzip() is None
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.iter(f"{ns}sheet")]
+        assert names == ["Products", "Uses", "Summary"]
+        sheet1 = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = sheet1.findall(f"{ns}sheetData/{ns}row")
+        assert len(rows) == n + 1  # header + one row per span
+        header = [t.text for t in rows[0].iter(f"{ns}t")]
+        assert "nome_popular" in header and "conv_id" in header
+        # a known gazetteer surface appears as an inline string somewhere
+        body_texts = {t.text for t in sheet1.iter(f"{ns}t")}
+        assert any(x in body_texts for x in ("cacao", "açaí", "tagua", "maca"))
+        summary = ET.fromstring(z.read("xl/worksheets/sheet3.xml"))
+        srows = summary.findall(f"{ns}sheetData/{ns}row")
+        assert len(srows) >= 2  # header + ≥1 category census row
 
 
 def test_compact_buckets(spark, transcripts_df, tmp_path):
@@ -553,3 +622,51 @@ def test_near_dup_fine_split_drop_is_observable(spark):
     n = len(rows)
     expected = n * (n - 1) // 2 - sum(m * (m - 1) // 2 for m in fine_sizes.values())
     assert stats["candidate_pairs_skipped"] == expected
+
+
+def test_xlsx_writer_edge_cases(tmp_path):
+    """Built-in OOXML writer unit surface: column letters past Z, sheet
+    name sanitization/uniquing, every cell type, XML-hostile strings."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from text_extractor_for_bioeconomic_products_spark.sources.xlsx import (
+        column_letter,
+        sanitize_sheet_name,
+        write_xlsx,
+    )
+
+    assert [column_letter(i) for i in (0, 25, 26, 51, 701, 702)] == [
+        "A", "Z", "AA", "AZ", "ZZ", "AAA",
+    ]
+    taken: set = set()
+    assert sanitize_sheet_name("bad[name]/with:chars", taken) == "bad_name__with_chars"
+    assert sanitize_sheet_name("x" * 40, taken) == "x" * 31
+    assert sanitize_sheet_name("x" * 40, taken) == "x" * 29 + "_1"  # unique
+
+    path = str(tmp_path / "edge.xlsx")
+    write_xlsx(path, {
+        "t[1]": (
+            ["s", "i", "f", "b", "none", "lst", "hostile"],
+            [["plain", 7, 2.5, True, None, ["a", 1],
+              "a<b&c>\"d\x00\x01é"]],
+        ),
+    })
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        assert z.testzip() is None
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        assert [s.get("name") for s in wb.iter(f"{ns}sheet")] == ["t_1_"]
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = sheet.findall(f"{ns}sheetData/{ns}row")
+        assert len(rows) == 2
+        cells = rows[1].findall(f"{ns}c")
+        by_ref = {c.get("r"): c for c in cells}
+        assert by_ref["A2"].find(f"{ns}is/{ns}t").text == "plain"
+        assert by_ref["B2"].find(f"{ns}v").text == "7"
+        assert float(by_ref["C2"].find(f"{ns}v").text) == 2.5
+        assert by_ref["D2"].get("t") == "b"
+        assert "E2" not in by_ref  # None → cell omitted
+        assert by_ref["F2"].find(f"{ns}is/{ns}t").text == "a, 1"
+        # control chars stripped, markup escaped (parses back cleanly)
+        assert by_ref["G2"].find(f"{ns}is/{ns}t").text == 'a<b&c>"dé'

@@ -1,26 +1,39 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Graft requirement: image/audio/video as ``binary`` columns with typed
-metadata, processed through ``mapInPandas`` in Arrow batches.  The
-container has no image/audio codecs, so the decode step is STUBBED —
-``decode_stub`` parses a deterministic fake header (and the real-codec
-hook raises NotImplementedError) — but the Spark-side plumbing (schema,
-batch iteration, partitioning, UDF signatures) is real and tested.
+metadata, processed through ``mapInPandas`` in Arrow batches.
 
-Fake payload format (deterministic, produced by synthesize_media):
+Round 3 upgrade — **real decode where the standard library suffices**:
+
+* **image/BMP** — uncompressed 24-bit BI_RGB bitmaps are decoded and
+  re-encoded with ``struct``+numpy (public format, no codec lib needed):
+  real dimensions, real per-pixel mean level, real nearest-neighbor
+  resize.
+* **audio/WAV** — PCM WAV through the stdlib ``wave`` module: real
+  sample rate / frame count, real mean |amplitude|.
+* **video** — no container codec exists in the stdlib, so video keeps
+  the deterministic FAKE-header stub; ``decode_media`` on any OTHER
+  real format (PNG/JPEG/MP4…) raises ``NotImplementedError`` — the
+  single integration point where PIL/pyav would slot in (reference
+  analog `src/core/text_extractor.py:157-245`).
+
+Fake payload format (video stub, produced by synthesize_media):
     bytes 0-3   magic  b'FAKE'
     byte  4     kind   (0=image, 1=audio, 2=video)
     bytes 5-8   width / sample-rate   (uint32 BE)
-    bytes 9-12  height / n-samples    (uint32 BE)
-    bytes 13..  payload (xxhash-seeded deterministic noise)
+    bytes 9-12  height / n-frames     (uint32 BE)
+    bytes 13..  payload (sha256-derived deterministic noise)
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
-from typing import Iterator
+import wave
+from typing import Iterator, Optional, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,31 +54,159 @@ KINDS = ["image", "audio", "video"]
 _MAGIC = b"FAKE"
 
 
+# ---------------------------------------------------------------------------
+# Real codecs (stdlib-only): BMP and PCM WAV
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw BGR bytes (len = width*height*3, rows top-down) as an
+    uncompressed 24-bit BI_RGB BMP (bottom-up rows, 4-byte row padding)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    rows = [
+        pixels[r * row_raw:(r + 1) * row_raw] + b"\x00" * pad
+        for r in range(height - 1, -1, -1)  # bottom-up storage
+    ]
+    pixel_array = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_array),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_array), 0, 0, 54)
+    return header + info + pixel_array
+
+
+def decode_bmp(payload: bytes) -> Tuple[int, int, float, np.ndarray]:
+    """Parse an uncompressed 24-bit BMP → (width, height, mean_level,
+    pixels[h,w,3] top-down).  Real pixel access, not a header echo."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    top_down = height < 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = row_raw + ((-row_raw) % 4)
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, :row_raw]
+    pixels = arr.reshape(height, width, 3)
+    if not top_down:
+        pixels = pixels[::-1]
+    mean_level = round(float(pixels.astype(np.float64).mean()), 4)
+    return width, height, mean_level, pixels
+
+
+def encode_wav(sample_rate: int, frames: bytes, n_channels: int = 1,
+               sampwidth: int = 2) -> bytes:
+    """PCM WAV via the stdlib wave module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> Tuple[int, int, float]:
+    """PCM WAV → (sample_rate, n_frames, mean |amplitude| of the real
+    samples, normalized to [0,1] for 16-bit)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, n, width = w.getframerate(), w.getnframes(), w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        mean_level = round(float(np.abs(samples).mean()) / 32768.0, 4) if len(samples) else 0.0
+    else:  # 8-bit PCM is unsigned
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        mean_level = round(float(np.abs(samples - 128).mean()) / 128.0, 4) if len(samples) else 0.0
+    return rate, n, mean_level
+
+
+# ---------------------------------------------------------------------------
+# Synthetic media table (deterministic; real BMP/WAV payloads)
+# ---------------------------------------------------------------------------
+
+
+def _noise(seed: int, i: int, n: int) -> bytes:
+    """n deterministic bytes from a sha256 chain (no RNG state)."""
+    out = bytearray()
+    block = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+    while len(out) < n:
+        out.extend(block)
+        block = hashlib.sha256(block).digest()
+    return bytes(out[:n])
+
+
 def synthesize_media(spark: SparkSession, n: int = 300, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (driver-side header packing; payload
-    bytes derived from sha256 of (seed, id) — no RNG)."""
+    """Deterministic media table: REAL BMP images, REAL PCM WAV audio,
+    FAKE-header video (no stdlib video container)."""
     rows = []
     for i in range(n):
         kind_i = i % 3
-        w = 16 + (i * 7) % 240
-        h = 16 + (i * 13) % 240
-        body = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
-        payload = _MAGIC + struct.pack(">BII", kind_i, w, h) + body
-        rows.append((i, KINDS[kind_i], payload,
-                      (f"src{i % 10}", f"{KINDS[kind_i]}/fake")))
+        if kind_i == 0:  # image: real 24-bit BMP
+            w = 16 + (i * 7) % 48
+            h = 16 + (i * 13) % 48
+            payload = encode_bmp(w, h, _noise(seed, i, w * h * 3))
+            mime = "image/bmp"
+        elif kind_i == 1:  # audio: real 16-bit mono WAV
+            rate = 8000 + (i * 37) % 8000
+            n_frames = 500 + (i * 11) % 2000
+            payload = encode_wav(rate, _noise(seed, i, n_frames * 2))
+            mime = "audio/wav"
+        else:  # video: stub (no stdlib codec)
+            w = 16 + (i * 7) % 240
+            h = 16 + (i * 13) % 240
+            payload = (_MAGIC + struct.pack(">BII", kind_i, w, h)
+                       + _noise(seed, i, 128))
+            mime = "video/fake"
+        rows.append((i, KINDS[kind_i], payload, (f"src{i % 10}", mime)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Decode dispatch + feature extraction
+# ---------------------------------------------------------------------------
+
 FEATURES_SCHEMA = (
     "media_id long, kind string, n_bytes int, sha256 string, "
-    "width int, height int, valid boolean"
+    "codec string, width int, height int, mean_level double, valid boolean"
 )
 
 
-def decode_stub(payload: bytes) -> tuple[int, int, bool]:
-    """Parse the fake header.  Real codec integration point: replace this
-    with PIL/librosa/pyav decode — those libs are absent in this
-    container, so anything non-FAKE raises NotImplementedError."""
+def decode_media(payload: bytes) -> Tuple[str, int, int, Optional[float]]:
+    """Dispatch by magic → (codec, width, height, mean_level).
+
+    BMP and WAV are REAL decodes (pixels/samples are read); FAKE is the
+    deterministic video stub (mean_level None — no frames to read).  Any
+    other magic (PNG/JPEG/MP4…) raises NotImplementedError: that is the
+    single integration point where PIL/librosa/pyav would slot in; the
+    container ships none of them."""
+    if payload[:2] == b"BM":
+        w, h, mean_level, _ = decode_bmp(payload)
+        return "bmp", w, h, mean_level
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, n_frames, mean_level = decode_wav(payload)
+        return "wav", rate, n_frames, mean_level
+    if payload[:4] == _MAGIC:
+        _, w, h = struct.unpack(">BII", payload[4:13])
+        return "fake", w, h, None
+    raise NotImplementedError(
+        "real media decode for this format requires codec libraries "
+        "not present here (PNG/JPEG → PIL, MP4 → pyav)"
+    )
+
+
+def decode_stub(payload: bytes) -> Tuple[int, int, bool]:
+    """Back-compat shim for the FAKE header (video stub path)."""
     if payload[:4] != _MAGIC:
         raise NotImplementedError(
             "real media decode requires codec libraries not present here"
@@ -84,56 +225,75 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
+            decoded = pdf["payload"].map(_safe_decode)
+            yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
                 "sha256": pdf["payload"].map(
                     lambda b: hashlib.sha256(b).hexdigest()
                 ),
-            }
-            dims = pdf["payload"].map(_safe_decode)
-            out["width"] = dims.map(lambda d: d[0]).astype("int32")
-            out["height"] = dims.map(lambda d: d[1]).astype("int32")
-            out["valid"] = dims.map(lambda d: d[2])
-            yield pd.DataFrame(out)
+                "codec": decoded.map(lambda d: d[0]),
+                "width": decoded.map(lambda d: d[1]).astype("int32"),
+                "height": decoded.map(lambda d: d[2]).astype("int32"),
+                "mean_level": decoded.map(lambda d: d[3]),
+                "valid": decoded.map(lambda d: d[4]),
+            })
 
     return media.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
-def _safe_decode(payload: bytes) -> tuple[int, int, bool]:
+def _safe_decode(payload: bytes):
     try:
-        return decode_stub(payload)
+        codec, w, h, mean_level = decode_media(payload)
+        return (codec, w, h, mean_level, True)
     except Exception:
-        return (0, 0, False)  # quarantine semantics — row kept, flagged
+        # quarantine semantics — row kept, flagged, job never fails
+        return (None, 0, 0, None, False)
 
 
-def resize_stub(media: DataFrame, max_dim: int = 64) -> DataFrame:
-    """'Resize' = recompute header with clamped dims (the real pixel
-    resample is behind the codec stub).  Demonstrates binary-in/binary-out
-    mapInPandas with bounded Arrow batches."""
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+
+def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """REAL nearest-neighbor resize for BMP images (decode pixels →
+    index-subsample → re-encode); non-image payloads pass through
+    unchanged (resizing audio/video is a different operation).
+    Binary-in/binary-out mapInPandas with bounded Arrow batches."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def shrink(b: bytes) -> bytes:
+                if b[:2] != b"BM":
+                    return b
                 try:
-                    w, h, _ = decode_stub(b)
+                    w, h, _, pixels = decode_bmp(b)
                 except Exception:
                     return b
-                scale = max(w, h) / max_dim if max(w, h) > max_dim else 1.0
+                if max(w, h) <= max_dim:
+                    return b
+                scale = max(w, h) / max_dim
                 nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
-                # preserve the original kind byte — resize must not
-                # relabel audio/video payloads as image
-                return _MAGIC + struct.pack(">BII", b[4], nw, nh) + b[13:]
+                xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+                ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+                out = pixels[ys][:, xs]
+                return encode_bmp(nw, nh, out.tobytes())
             pdf = pdf.assign(payload=pdf["payload"].map(shrink))
             yield pdf
 
     return media.mapInPandas(op, schema=media.schema)
 
 
+# kept name for earlier-round callers; images resize for real now
+resize_stub = resize_media
+
+
 def frame_sample_stub(media: DataFrame, every_n: int = 4) -> DataFrame:
     """'Frame sampling' for video rows: emit one row per sampled frame
-    index (UDTF shape: 1 row in → N rows out via mapInPandas)."""
+    index (UDTF shape: 1 row in → N rows out via mapInPandas).  Stays a
+    stub — the stdlib has no video container decoder."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,16 +319,18 @@ def q_multimodal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-surface window into the multimodal plumbing (rows-only —
     input is the deterministic synthetic media table, not an sf table):
     synthesize → mapInPandas feature extraction → per-kind census.
-    Byte-level behavior is pinned by tests/test_pipeline.py."""
+    BMP/WAV rows carry REAL decoded dimensions and mean levels; byte
+    behavior is pinned by tests/test_pipeline.py."""
     media = synthesize_media(spark, n=300, seed=42)
     feats = extract_media_features(media)
     return (
-        feats.groupBy("kind")
+        feats.groupBy("kind", "codec")
         .agg(
             F.count("*").alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
             F.round(F.avg("width"), 2).alias("avg_width"),
             F.round(F.avg("height"), 2).alias("avg_height"),
+            F.round(F.avg("mean_level"), 4).alias("avg_mean_level"),
             F.sum(F.when(F.col("valid"), 0).otherwise(1)).alias("n_invalid"),
         )
         .orderBy("kind")

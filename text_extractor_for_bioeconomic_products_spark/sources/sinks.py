@@ -123,10 +123,13 @@ def write_report_html(spans: DataFrame, path: str, top_n: int = 50) -> None:
 
 
 def write_products_excel(spans: DataFrame, path: str, limit: int = 100000) -> None:
-    """S10 Excel multi-sheet sink (export_manager.py:251-321).  Gated on
-    an Excel writer engine (this container ships none) — checked FIRST so
-    the gated path costs nothing.  Presentation-scale by contract: rows
-    beyond ``limit`` are cut (Excel itself caps sheets at ~1M rows)."""
+    """S10 Excel multi-sheet sink (export_manager.py:251-321): a real
+    3-sheet workbook (Products/Uses/Summary).  Prefers a full pandas
+    Excel engine when one is importable; otherwise writes through the
+    built-in minimal OOXML writer (`sources/xlsx.py` — stdlib zip+XML,
+    values and structure only, which matches the reference's data-only
+    export).  Presentation-scale by contract: rows beyond ``limit`` are
+    cut (Excel itself caps sheets at ~1M rows)."""
     engine = None
     for candidate in ("openpyxl", "xlsxwriter"):
         try:
@@ -135,16 +138,37 @@ def write_products_excel(spans: DataFrame, path: str, limit: int = 100000) -> No
             break
         except ImportError:
             continue
-    if engine is None:
-        raise NotImplementedError(
-            "Excel export requires an engine (openpyxl or xlsxwriter; "
-            "neither is installed); sheets would be Products/Uses/Summary"
-        )
     import pandas as pd
     pdf = spans.orderBy("conv_id", "turn_idx", "span_seq").limit(limit).toPandas()
     uses = pdf[["conv_id", "turn_idx", "span_seq", "tipos_uso"]].explode("tipos_uso")
     summary = pdf.groupby("categoria", as_index=False).size()
-    with pd.ExcelWriter(path, engine=engine) as xw:
-        pdf.to_excel(xw, sheet_name="Products", index=False)
-        uses.to_excel(xw, sheet_name="Uses", index=False)
-        summary.to_excel(xw, sheet_name="Summary", index=False)
+    if engine is not None:
+        with pd.ExcelWriter(path, engine=engine) as xw:
+            pdf.to_excel(xw, sheet_name="Products", index=False)
+            uses.to_excel(xw, sheet_name="Uses", index=False)
+            summary.to_excel(xw, sheet_name="Summary", index=False)
+        return
+    from .xlsx import write_xlsx
+
+    def norm(v):
+        # numpy scalar → python scalar, ndarray → list (so the writer's
+        # int/float/list isinstance checks see builtin types); NaN → blank
+        if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+            v = v.tolist()
+        if isinstance(v, float) and v != v:
+            return None
+        return v
+
+    def frame_sheet(df: "pd.DataFrame"):
+        cols = [str(c) for c in df.columns]
+        rows = [
+            [norm(v) for v in rec]
+            for rec in df.itertuples(index=False, name=None)
+        ]
+        return cols, rows
+
+    write_xlsx(path, {
+        "Products": frame_sheet(pdf),
+        "Uses": frame_sheet(uses),
+        "Summary": frame_sheet(summary),
+    })
