@@ -493,9 +493,15 @@ def test_star_contraction_matches_pointer_jumping(spark):
         df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         a = {(r["component"], r["n_docs"], r["members"])
              for r in connected_components(df).collect()}
+        # hybrid default (driver union-find finish) AND forced
+        # all-distributed star rounds must both match pointer jumping
         b = {(r["component"], r["n_docs"], r["members"])
              for r in connected_components_star(df).collect()}
-        assert a == b, f"{name}: {a ^ b}"
+        c = {(r["component"], r["n_docs"], r["members"])
+             for r in connected_components_star(
+                 df, driver_finish_max_edges=0).collect()}
+        assert a == b, f"{name} hybrid: {a ^ b}"
+        assert a == c, f"{name} distributed: {a ^ c}"
 
 
 def test_star_contraction_matches_on_real_candidates(spark):
@@ -520,7 +526,9 @@ def test_star_contraction_matches_on_real_candidates(spark):
     )
     a = {tuple(r) for r in connected_components(pairs).collect()}
     b = {tuple(r) for r in connected_components_star(pairs).collect()}
-    assert a == b and len(a) > 0
+    c = {tuple(r) for r in connected_components_star(
+        pairs, driver_finish_max_edges=0).collect()}
+    assert a == b == c and len(a) > 0
 
 
 def test_minhash_second_band_recall(spark):

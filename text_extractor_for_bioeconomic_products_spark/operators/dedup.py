@@ -519,8 +519,56 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         labels.unpersist()
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """(node, label) for every node in ``edges`` via deterministic
+    union-find; label = the component's minimum node.  Only called on an
+    edge set whose exact size was just counted and is under
+    DRIVER_FINISH_MAX_EDGES — a bounded collect, not an unbounded one."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so every root IS its component's minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = sorted((n, find(n)) for n in nodes)
+    node_type = edges.schema["u"].dataType
+    schema = T.StructType([
+        T.StructField("node", node_type, False),
+        T.StructField("label", node_type, False),
+    ])
+    return edges.sparkSession.createDataFrame(labels, schema)
+
+
+# Edge-count bound below which the star loop hands the REMAINING graph to
+# a driver-side union-find: ~100k edges is a few MB — a bounded, known-size
+# collect (the convergence signature already counts the live edge set every
+# round, so the check is free).  At 100 TB the loop contracts distributedly
+# until the survivor graph fits, then finishes in one pass instead of
+# paying O(log diameter) more full-shuffle rounds whose per-round fixed
+# cost exceeds the work left.  Set to 0 to force the all-distributed path
+# (the pytest equivalence twins do).
+DRIVER_FINISH_MAX_EDGES = 100_000
+
+
 def connected_components_star(pairs: DataFrame,
-                              max_iters: int = _MAX_CC_ITERS) -> DataFrame:
+                              max_iters: int = _MAX_CC_ITERS,
+                              driver_finish_max_edges: int = DRIVER_FINISH_MAX_EDGES) -> DataFrame:
     """Alternating large-star / small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") — the 100 TB variant
     of :func:`connected_components`, same output contract: one row per
@@ -536,10 +584,17 @@ def connected_components_star(pairs: DataFrame,
     node (no pointer-jump self-join on labels), which is the property
     that bounds shuffle volume at 10^12-edge scale.  Convergence when
     the edge multiset stops changing (checked by an exact count +
-    decimal hash-sum signature — labels-only, no exceptAll).  Tested
-    equivalent to the pointer-jumping implementation on the real
-    candidate edges and on adversarial graphs (chain, star, clique,
-    isolated pairs).
+    decimal hash-sum signature — labels-only, no exceptAll).
+
+    Hybrid finish (round 3): distributed rounds run only while the live
+    edge count (free — the convergence signature counts it) exceeds
+    ``driver_finish_max_edges``; under the bound the survivor graph is a
+    few MB, and a deterministic driver union-find finishes in one pass
+    instead of O(log diameter) more rounds whose fixed per-round cost
+    exceeds the remaining work.  Tested equivalent to the
+    pointer-jumping implementation on the real candidate edges and on
+    adversarial graphs (chain, star, clique, isolated pairs) on BOTH
+    paths (hybrid and forced all-distributed).
     """
     # persist before the two-direction union — otherwise the upstream
     # lineage (e.g. the banded-jaccard candidate pipeline) executes twice
@@ -570,7 +625,7 @@ def connected_components_star(pairs: DataFrame,
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
 
-    def _star(e: DataFrame, large: bool) -> DataFrame:
+    def _star(e: DataFrame, large: bool, checkpoint: bool = True) -> DataFrame:
         mins = e.groupBy("u").agg(F.min("v").alias("mn"))
         m = mins.select("u", F.least("mn", F.col("u")).alias("m"))
         j = e.join(m, "u")
@@ -585,15 +640,21 @@ def connected_components_star(pairs: DataFrame,
                 F.col("v").alias("u"), F.col("m").alias("v")
             ).union(m.select(F.col("u"), F.col("m").alias("v")))
         sym = out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        return (
-            sym.filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)  # sever per-round plan growth
-        )
+        dedup = sym.filter(F.col("u") != F.col("v")).distinct()
+        # sever per-round plan growth — ONE eager checkpoint per
+        # large+small round (the intermediate large-star plan is depth-
+        # bounded, so materializing it separately would only add a
+        # blocking job per round; these tiny-latency rounds are the CC
+        # wall-clock at bench scale)
+        return dedup.localCheckpoint(eager=True) if checkpoint else dedup
 
     sig = _signature(edges)
+    edge_labels = None
     for _ in range(max_iters):
-        edges = _star(_star(edges, large=True), large=False)
+        if driver_finish_max_edges and (sig["n"] or 0) <= driver_finish_max_edges:
+            edge_labels = _driver_union_find(edges)
+            break
+        edges = _star(_star(edges, large=True, checkpoint=False), large=False)
         new_sig = _signature(edges)
         if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
             break
@@ -601,14 +662,15 @@ def connected_components_star(pairs: DataFrame,
     else:
         raise RuntimeError("star contraction did not converge")
 
-    # at fixpoint the graph is a union of stars centered on each
-    # component's minimum: label every node by its min neighbor-or-self;
-    # edge-less nodes (self-pair-only inputs) label themselves
-    edge_labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select(F.col("u").alias("node"), F.least("mn", F.col("u")).alias("label"))
-    )
+    if edge_labels is None:
+        # at fixpoint the graph is a union of stars centered on each
+        # component's minimum: label every node by its min neighbor-or-self;
+        # edge-less nodes (self-pair-only inputs) label themselves
+        edge_labels = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select(F.col("u").alias("node"), F.least("mn", F.col("u")).alias("label"))
+        )
     labels = (
         all_nodes.join(edge_labels, "node", "left")
         .select("node", F.coalesce("label", F.col("node")).alias("label"))
