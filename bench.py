@@ -189,6 +189,27 @@ def _md5_unit(_: int) -> int:
     return 1
 
 
+def select_scaling_headline(pair_results: list) -> tuple:
+    """Headline selection: best CREDIBLE pair.  Efficiency > 1.0 is
+    physically impossible for this workload and means the pair's slow
+    baseline absorbed interference (see BENCH.md) — an INFLATED ratio,
+    not a lower bound.  Such pairs are excluded from the headline; if
+    EVERY pair is superlinear there is no credible measurement this run,
+    so the raw (inflated) value ships under an explicit
+    'all_pairs_superlinear' label rather than a fabricated clamp — a
+    consumer reading only scaling_efficiency must see a number that was
+    actually measured, with the selection label as the warning.
+    (Pinned by tests/test_search.py::test_bench_headline_selection.)"""
+    plausible = [p for p in pair_results if p["scaling_efficiency"] <= 1.0]
+    if plausible:
+        return max(plausible, key=lambda p: p["scaling_efficiency"]), \
+            "max_over_plausible_pairs"
+    if pair_results:
+        return max(pair_results, key=lambda p: p["scaling_efficiency"]), \
+            "all_pairs_superlinear"
+    return {"scaling_efficiency": None, "pair": None}, "none"
+
+
 def _run_subprocess_extract(cpus: int, input_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -277,24 +298,7 @@ def main() -> None:
             "scaling_efficiency_vs_hardware": round(
                 efficiency / ceiling, 3) if ceiling else None,
         })
-    # Headline selection: best CREDIBLE pair.  Efficiency > 1.0 is
-    # physically impossible for this workload and means the pair's slow
-    # baseline absorbed interference (see BENCH.md) — an INFLATED ratio,
-    # not a lower bound.  Such pairs are excluded from the headline; if
-    # EVERY pair is superlinear there is no credible measurement this
-    # run, so the raw (inflated) value ships under an explicit
-    # 'all_pairs_superlinear' label rather than a fabricated clamp — a
-    # consumer reading only scaling_efficiency must see a number that
-    # was actually measured, with the selection label as the warning.
-    plausible = [p for p in pair_results if p["scaling_efficiency"] <= 1.0]
-    if plausible:
-        best = max(plausible, key=lambda p: p["scaling_efficiency"])
-        selection = "max_over_plausible_pairs"
-    elif pair_results:
-        best = max(pair_results, key=lambda p: p["scaling_efficiency"])
-        selection = "all_pairs_superlinear"
-    else:
-        best, selection = {"scaling_efficiency": None, "pair": None}, "none"
+    best, selection = select_scaling_headline(pair_results)
     top = runs[top_level]
 
     queries = run_headline_queries()

@@ -229,3 +229,28 @@ def test_span_validation_query_nonvacuous(spark):
             entry_mod.queries()["span_validation"](spark, "/root/testdata/sf0.001").collect()}
     assert set(rows) == {True, False}
     assert rows[True]["n_spans"] > 0 and rows[False]["total_issues"] > 0
+
+
+def test_bench_headline_selection():
+    """bench.py's scaling-headline rule: max over plausible (≤1.0) pairs;
+    when EVERY pair is superlinear the RAW value ships under the
+    'all_pairs_superlinear' label (never a fabricated 1.0 clamp — an
+    inflated reading is not a lower bound)."""
+    import bench
+
+    def pair(name, eff):
+        return {"pair": name, "scaling_efficiency": eff}
+
+    best, sel = bench.select_scaling_headline(
+        [pair("2->8", 1.04), pair("4->16", 0.86), pair("8->32", 0.5)]
+    )
+    assert (best["pair"], best["scaling_efficiency"], sel) == (
+        "4->16", 0.86, "max_over_plausible_pairs",
+    )
+    best, sel = bench.select_scaling_headline(
+        [pair("2->8", 1.04), pair("4->16", 1.21)]
+    )
+    assert sel == "all_pairs_superlinear"
+    assert best["scaling_efficiency"] == 1.21  # raw, labeled — not clamped
+    best, sel = bench.select_scaling_headline([])
+    assert sel == "none" and best["scaling_efficiency"] is None
