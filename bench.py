@@ -117,20 +117,22 @@ def phase_extract(cpus: int, input_dir: str) -> dict:
     # module-import cost stays out of the timed region; the 2% sample
     # touches every partition.
     extract_turns(df.sample(0.02, seed=1)).write.format("noop").mode("overwrite").save()
-    t0 = time.monotonic()
-    extract_turns(df).write.format("noop").mode("overwrite").save()
-    elapsed = time.monotonic() - t0
-    # untimed: order-insensitive content hash of the full extraction
-    # output — identical across parallelism levels ⇒ the per-turn
-    # equality invariant holds under the N→4N scaling run itself
     from pyspark.sql import functions as F
     from text_extractor_for_bioeconomic_products_spark.operators.extract import (
         TURNS_EXTRACTED_COLS,
     )
-    # hash EVERY output column (incl. the float lang_conf/relevance, raw
-    # bits — extraction is a pure per-row function, so any cross-level
-    # drift is a real bug, not noise); decimal(38,0) because ANSI mode
-    # overflows on sum(bigint hashes)
+    # The timed materialization IS the equality-hash aggregation: one
+    # pass runs every row through the extraction UDF and reduces an
+    # order-insensitive content hash over EVERY output column (incl. the
+    # float lang_conf/relevance raw bits — extraction is a pure per-row
+    # function, so any cross-level drift is a real bug, not noise).
+    # Identical hashes across parallelism levels ⇒ the per-turn equality
+    # invariant holds under the N→4N scaling run itself.  The final
+    # aggregate reduces one partial sum per partition — noise-level next
+    # to the per-row UDF work (r2 paid a SECOND full extraction pass for
+    # this hash, ~doubling every level's wall cost for no extra signal).
+    # decimal(38,0): ANSI mode overflows on sum(bigint hashes).
+    t0 = time.monotonic()
     out_hash = (
         extract_turns(df)
         .select(
@@ -138,6 +140,7 @@ def phase_extract(cpus: int, input_dir: str) -> dict:
         )
         .agg(F.sum("h").alias("s")).collect()[0]["s"]
     )
+    elapsed = time.monotonic() - t0
     df.unpersist()
     spark.stop()
     return {
@@ -246,14 +249,18 @@ def main() -> None:
     if pair_env:
         pairs = [tuple(int(x) for x in pair_env.split(","))]
     elif ncpu >= 32:
-        # full box: both N→4N pairs entirely below the VM's burst-throttle
+        # full box: ONE N→4N pair, entirely below the VM's burst-throttle
         # knee (>16 cores even pure-CPU multiprocessing caps at ~0.5-0.6 —
         # the hardware_ceiling field; a pair ending at 32 would measure
-        # the throttle, not the engine).  The 32-core headline level is
-        # additionally measured min-of-REPEATS below (r2's single-shot
-        # 32-core run absorbed a ±40% interference swing straight into
-        # the headline) — affordable now that the featurizer is 2× faster.
-        pairs = [(2, 8), (4, 16)]
+        # the throttle, not the engine).  The 2-core level was dropped in
+        # r3: its ~2-minute runs are the ones that absorb interference —
+        # it produced BOTH superlinear (discarded) readings in r3 trials
+        # while costing a third of the bench wall; (4,16) read a
+        # consistent 0.69-0.86 across the same trials.  The 32-core
+        # headline level is measured min-of-REPEATS below (r2's
+        # single-shot 32-core run absorbed a ±40% swing straight into
+        # the headline).
+        pairs = [(4, 16)]
     else:
         # only pairs whose hi level fits the physical cores — local[16] on
         # an 8-core host would measure oversubscription, not scaling; the
