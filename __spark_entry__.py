@@ -28,6 +28,7 @@ from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E
     normalize,
     relational,
     similarity,
+    temporal,
     textstats,
 )
 
@@ -69,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # span_validation, multimodal, conversation, jaccard/dup_components)
 # inside the checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    "order_price_percentiles",
+    "event_type_stats",
+    "region_nation_list",
     "big_spenders",
     "idle_rich_customers",
     "signup_purchase_funnel",
@@ -96,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textstats.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
+    q.update(temporal.QUERIES)
     q.update(normalize.QUERIES)
     q.update(multimodal.QUERIES)
     q.update(conversation.QUERIES)
@@ -111,5 +116,6 @@ def oracle_sql() -> dict[str, str]:
     o.update(textstats.ORACLE_SQL)
     o.update(dedup.ORACLE_SQL)
     o.update(similarity.ORACLE_SQL)
+    o.update(temporal.ORACLE_SQL)
     o.update(normalize.ORACLE_SQL)
     return o

@@ -254,3 +254,118 @@ def test_bench_headline_selection():
     assert best["scaling_efficiency"] == 1.21  # raw, labeled — not clamped
     best, sel = bench.select_scaling_headline([])
     assert sel == "none" and best["scaling_efficiency"] is None
+
+
+# --- temporal.asof_join (distributed as-of; union-merge formulation) ------
+
+def _asof_fixture(spark):
+    from datetime import datetime as dt
+    probe = spark.createDataFrame(
+        [
+            (100, 1, dt(2024, 1, 10)),   # normal: two earlier touches
+            (101, 1, dt(2024, 1, 2)),    # touch AT the same instant counts (<=)
+            (102, 2, dt(2024, 1, 5)),    # tie on touch ts -> max event_id wins
+            (103, 3, dt(2024, 1, 5)),    # key with no touches -> nulls
+            (104, 4, dt(2024, 1, 1)),    # touches exist but all AFTER -> nulls
+        ],
+        "purchase_id long, user_id long, purchase_ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            (10, 1, dt(2024, 1, 1), "view"),
+            (11, 1, dt(2024, 1, 2), "click"),
+            (20, 2, dt(2024, 1, 4), "view"),
+            (21, 2, dt(2024, 1, 4), "click"),  # same ts as 20: id 21 wins
+            (40, 4, dt(2024, 2, 1), "view"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    return probe, build
+
+
+def test_asof_join_semantics(spark):
+    """<= boundary, deterministic same-ts tie-break, and left-null rows."""
+    from text_extractor_for_bioeconomic_products_spark.operators.temporal import (
+        asof_join,
+    )
+    probe, build = _asof_fixture(spark)
+    out = asof_join(
+        probe, build, key="user_id", probe_time="purchase_ts",
+        build_time="ts", payload_cols=["event_id", "event_type"],
+        tiebreak_col="event_id",
+    )
+    rows = {r["purchase_id"]: r["asof"] for r in out.collect()}
+    assert rows[100]["event_id"] == 11          # most recent of two
+    assert rows[101]["event_id"] == 11          # ts == probe instant included
+    assert rows[102]["event_id"] == 21          # same-ts tie -> max event_id
+    assert rows[103] is None                    # key never seen on build side
+    assert rows[104] is None                    # only future touches
+    assert out.count() == 5                     # every probe row survives
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-merge as-of is exactly ONE Exchange (on the key) — no
+    join explosion, no extra shuffle for the window."""
+    from text_extractor_for_bioeconomic_products_spark.operators.temporal import (
+        asof_join,
+    )
+    probe, build = _asof_fixture(spark)
+    out = asof_join(
+        probe, build, key="user_id", probe_time="purchase_ts",
+        build_time="ts", payload_cols=["event_id"], tiebreak_col="event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_source_mix_weights_normalized(spark, sf001_dir):
+    """Temperature mix: weights sum to 1, expected counts sum to N, and
+    the temperature tempers dominance (max source's weight share < its
+    raw doc share; min's weight share > raw share)."""
+    from text_extractor_for_bioeconomic_products_spark.operators.curation import (
+        q_source_mix_weights,
+    )
+    rows = q_source_mix_weights(spark, sf001_dir).collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["expected_docs"] for r in rows) - total_docs) < 1e-2
+    if len(rows) > 1 and len({r["n_docs"] for r in rows}) > 1:
+        hi = max(rows, key=lambda r: r["n_docs"])
+        lo = min(rows, key=lambda r: r["n_docs"])
+        assert hi["mix_weight"] < hi["n_docs"] / total_docs
+        assert lo["mix_weight"] > lo["n_docs"] / total_docs
+
+
+def test_tfidf_top_terms_shape(spark, sf001_dir):
+    """<=3 terms per doc, scores non-increasing within a doc, and a
+    corpus-ubiquitous term (df == N -> idf = 0) never ranks."""
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        q_tfidf_top_terms,
+    )
+    rows = q_tfidf_top_terms(spark, sf001_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in per_doc.items():
+        assert 1 <= len(rs) <= 3
+        scores = [r["tfidf"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)  # idf==0 terms can never appear
+
+
+def test_driver_window_invariant():
+    """The driver correctness gate samples queries()[:50]; every
+    non-staple (= every never-yet-green query) must sit inside that
+    window, the back must be exactly the deferred staples, and every
+    staple must still exist."""
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    staples = entry_mod._DEFERRED_STAPLES
+    assert len(names) - len(staples) == 50, (
+        f"front window is {len(names) - len(staples)}, not 50 — "
+        "defer one more both-rounds-green staple per added query"
+    )
+    assert names[50:] == [s for s in staples if s in names]
+    assert set(staples) <= set(names)

@@ -242,7 +242,63 @@ ORACLE_CONTAMINATION_NGRAM = f"""
 """
 
 
+MIX_TEMPERATURE = 0.7  # UnifiedQA/Pile-style temperature for source mixing
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing weights (the pretraining-mix
+    knob): w_s ∝ (n_s/N)^(1/T), T=0.7 — upweights scarce sources,
+    tempers dominant ones.  The per-source census is a full map-side
+    partial aggregate (one shuffle, |sources| rows out); the two
+    normalizing windows then run over the tiny aggregate, not the
+    corpus, so the unpartitioned window is O(|sources|) — scale-safe at
+    100 TB because nothing after the first shuffle touches row-level
+    data.  Output: weight plus the expected post-mix document count."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    w_raw = F.pow(share, F.lit(1.0 / MIX_TEMPERATURE))
+    return (
+        counts.withColumn("_w_raw", w_raw)
+        .withColumn("_total", F.sum("n_docs").over(w_all))
+        .withColumn("_w_norm", F.col("_w_raw") / F.sum("_w_raw").over(w_all))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_w_norm").cast("decimal(18,10)"), 6)
+            .cast("double")
+            .alias("mix_weight"),
+            F.round(
+                (F.col("_w_norm") * F.col("_total")).cast("decimal(18,10)"), 4
+            )
+            .cast("double")
+            .alias("expected_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_MIX = f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT source, n_docs,
+               pow(n_docs * 1.0 / sum(n_docs) OVER (), 1.0 / {MIX_TEMPERATURE}) AS w_raw,
+               sum(n_docs) OVER () AS total
+        FROM counts
+    )
+    SELECT source, n_docs,
+           CAST(round(CAST(w_raw / sum(w_raw) OVER () AS DECIMAL(18,10)), 6) AS DOUBLE) AS mix_weight,
+           CAST(round(CAST(w_raw / sum(w_raw) OVER () * total AS DECIMAL(18,10)), 4) AS DOUBLE) AS expected_docs
+    FROM t
+    ORDER BY source
+"""
+
+
 ORACLE_SQL = {
+    "source_mix_weights": ORACLE_SOURCE_MIX,
     "sequence_packing": f"""
         -- CAST(sum AS BIGINT): DuckDB sum(BIGINT) yields HUGEINT; Spark yields BIGINT.
         SELECT source, bin,
@@ -325,6 +381,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "source_mix_weights": q_source_mix_weights,
     "sequence_packing": q_sequence_packing,
     "doc_pii_scrub": q_doc_pii_scrub,
     "benchmark_contamination": q_benchmark_contamination,

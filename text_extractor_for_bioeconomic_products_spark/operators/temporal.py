@@ -1,0 +1,163 @@
+"""Temporal operators (graft extension): distributed as-of join.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas/kdb do).  The classic
+distributed formulation is union-merge: tag both sides, union them into
+one keyed stream, sort each key group by time, and carry the most recent
+build-side payload forward with ``last(..., ignorenulls=True)`` over an
+unbounded-preceding window.  That is exactly one shuffle on the join key
+— no range-explosion, no per-row subquery — and it streams in sorted
+order within each partition, so it survives 100 TB event histories.
+
+Semantics (matching ``ASOF LEFT JOIN ... ON key = key AND t_right <=
+t_left``): every probe row survives; the matched payload is the
+build row with the greatest ``t_right <= t_left``; ties on ``t_right``
+break by the greatest build-side id (deterministic).  The payload
+travels as a single struct column, so all matched fields come from the
+SAME build row (per-column ``last()`` could mix rows when payload
+fields are null).
+
+Skew note: a mega-key's history sorts within one partition — inherent
+to as-of ordering (salting would split the history and lose earlier
+events).  AQE-level skew handling plus the narrow payload struct keep
+partition bytes bounded; at 100 TB the probe side would additionally be
+range-bucketed by time so each bucket only unions the build rows of its
+own time range plus one carry-in row per key (the standard incremental
+as-of sharding).
+
+Reference analog: the reference joins extraction results back to source
+documents by id + latest-run wins (src/storage/database.py upsert path);
+the as-of join generalizes "latest state no later than t" to event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    key: str,
+    probe_time: str,
+    build_time: str,
+    payload_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """ASOF LEFT JOIN probe←build on ``key`` with ``build_time <=
+    probe_time``.  Returns every probe row plus one ``asof`` struct
+    column (null when no build row qualifies).
+
+    One shuffle: both sides union into a single stream partitioned by
+    ``key``; within each key group, rows sort by (time, side, tiebreak)
+    with build rows (side=0) before probe rows (side=1) at equal time —
+    an event AT the probe instant is visible, matching ``<=``.
+    """
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
+    b = build.select(
+        F.col(key).alias("_asof_key"),
+        F.col(build_time).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        F.col(tiebreak_col).cast("long").alias("_asof_tie"),
+        payload,
+        *[F.lit(None).cast(t.dataType).alias(f"_p_{c}") for c, t in zip(probe.columns, probe.schema.fields)],
+    )
+    p = probe.select(
+        F.col(key).alias("_asof_key"),
+        F.col(probe_time).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(0).cast("long").alias("_asof_tie"),
+        F.lit(None).cast(b.schema["_asof_payload"].dataType).alias("_asof_payload"),
+        *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
+    )
+    w = (
+        Window.partitionBy("_asof_key")
+        .orderBy("_asof_t", "_asof_side", "_asof_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.unionByName(p)
+        .withColumn("asof", F.last("_asof_payload", ignorenulls=True).over(w))
+        .filter(F.col("_asof_side") == 1)
+        .select(*[F.col(f"_p_{c}").alias(c) for c in probe.columns], "asof")
+    )
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase event, the same user's
+    most recent NON-purchase event at or before the purchase instant
+    (ASOF LEFT JOIN purchases←touches on user_id).  A user's first-ever
+    action being the purchase keeps nulls — the left semantics."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    touches = events.filter(F.col("event_type") != "purchase")
+    joined = asof_join(
+        purchases,
+        touches,
+        key="user_id",
+        probe_time="purchase_ts",
+        build_time="ts",
+        payload_cols=["event_id", "event_type", "ts", "value"],
+        tiebreak_col="event_id",
+    )
+    return (
+        joined.select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.col("asof.event_id").alias("touch_event_id"),
+            F.col("asof.event_type").alias("touch_type"),
+            F.col("asof.ts").alias("touch_ts"),
+            F.round(F.col("asof.value"), 4).alias("touch_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE_SQL = {
+    # Independent formulation: greatest qualifying touch ts per purchase
+    # via a grouped join, then the max event_id at that ts (the same
+    # tie-break the window variant applies), then fetch that one row.
+    "purchase_attribution": """
+        WITH probe AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT * FROM events WHERE event_type <> 'purchase'
+        ),
+        best_ts AS (
+            SELECT p.purchase_id, max(e.ts) AS best_ts
+            FROM probe p
+            JOIN touch e ON e.user_id = p.user_id AND e.ts <= p.purchase_ts
+            GROUP BY p.purchase_id
+        ),
+        best AS (
+            SELECT b.purchase_id, max(e.event_id) AS best_event_id
+            FROM best_ts b
+            JOIN probe p ON p.purchase_id = b.purchase_id
+            JOIN touch e ON e.user_id = p.user_id AND e.ts = b.best_ts
+            GROUP BY b.purchase_id
+        )
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               e.event_id AS touch_event_id,
+               e.event_type AS touch_type,
+               e.ts AS touch_ts,
+               CAST(round(CAST(e.value AS DECIMAL(18,10)), 4) AS DOUBLE) AS touch_value
+        FROM probe p
+        LEFT JOIN best ON p.purchase_id = best.purchase_id
+        LEFT JOIN touch e ON e.event_id = best.best_event_id
+        ORDER BY p.purchase_id
+    """,
+}
+
+QUERIES = {
+    "purchase_attribution": q_purchase_attribution,
+}

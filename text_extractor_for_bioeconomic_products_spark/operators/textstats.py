@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import rules
@@ -417,6 +417,86 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document characteristic terms: top-3 by tf·idf, idf =
+    ln(N/df).  The classic three-stage shape — explode→(doc,term) tf
+    [shuffle 1, map-side partial], term df [shuffle 2, partial], tf⋈df
+    on term + per-doc window rank [shuffle 3 on doc_id].  Hot terms
+    carry high df and are pre-reduced map-side, so the term shuffle is
+    vocabulary-sized, not corpus-sized; the doc-count scalar rides a
+    broadcast crossJoin (no driver collect).  Ranking compares the
+    4-decimal-rounded score (engine-portable; raw ln may differ in the
+    last ulp between libm and the JVM) with term as the tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).cast(
+                    "decimal(18,10)"
+                ),
+                4,
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+    WITH tok AS (
+        SELECT doc_id, term
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+            FROM documents
+        )
+        WHERE length(term) > 0
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(round(CAST(tf.tf * ln(n.n_docs * 1.0 / dfreq.df)
+                               AS DECIMAL(18,10)), 4) AS DOUBLE) AS tfidf
+        FROM tf
+        JOIN dfreq ON tf.term = dfreq.term
+        CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {TFIDF_TOP_K}
+    ORDER BY doc_id, tfidf DESC, term
+"""
+
+
 ORACLE_TOP_TOKENS = """
     SELECT token, count(*) AS n
     FROM (
@@ -659,6 +739,7 @@ ORACLE_DOC_CHUNKS = f"""
 
 
 QUERIES = {
+    "tfidf_top_terms": q_tfidf_top_terms,
     "top_tokens": q_top_tokens,
     "doc_repetition": q_doc_repetition,
     "stratified_sample": q_stratified_sample,
@@ -673,6 +754,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "top_tokens": ORACLE_TOP_TOKENS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "doc_clean_basic": ORACLE_DOC_CLEAN,
