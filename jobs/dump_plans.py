@@ -47,6 +47,25 @@ def main() -> None:
          "bucketed on orderkey so the join is co-located (see "
          "sinks.write_turns_parquet).",
          qs["revenue_by_priority"](spark, SF)),
+        ("dedup_minhash_lsh (shuffle-free signatures → band-keyed census)",
+         "Round-2 rewrite: minhash signatures are narrow per-row expressions\n"
+         "(`array_min(transform(words, w -> md5(seed‖w)))`) fused into the scan's\n"
+         "projection — the plan's FIRST exchange is already keyed by the LSH band.\n"
+         "The prior explode(words)→groupBy(doc_id) formulation moved every\n"
+         "(doc, word) pair through an all-to-all the size of the tokenized corpus\n"
+         "before any banding.  Pinned by `test_minhash_signatures_are_shuffle_free`\n"
+         "and `test_lsh_band_census_shuffles_only_on_band`.",
+         qs["dedup_minhash_lsh"](spark, SF)),
+        ("purchase_attribution (distributed as-of join)",
+         "Union-merge as-of: both sides project into one keyed stream, a\n"
+         "single hash Exchange partitions on the key, and the window's\n"
+         "`last(payload, ignorenulls)` carries the most recent build row\n"
+         "forward — no range-explosion join, no second shuffle for the\n"
+         "window (it reuses the Exchange's partitioning).  The outer\n"
+         "rangepartitioning Exchange below is only the query's ORDER BY for\n"
+         "deterministic output; the as-of mechanism itself shuffles once.\n"
+         "Pinned by `test_asof_join_single_shuffle`.",
+         qs["purchase_attribution"](spark, SF)),
     ]
     out = [
         "# PLANS — formatted physical plans of flagship operators\n",
