@@ -65,11 +65,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Long-green TPC-H-style staples (driver-verified pass in BOTH r1 and r2)
 # rotated to the back of the iteration order: the driver's correctness
-# sweep samples the first 50 queries, and with 66 total this puts every
+# sweep samples the first 50 queries, and this puts every
 # previously-unsampled query (ANN family, normalize family,
-# span_validation, multimodal, conversation, jaccard/dup_components)
-# inside the checked window.  Membership and semantics are unchanged.
+# span_validation, multimodal, conversation, jaccard/dup_components,
+# plus the round-3 additions: as-of join, interval join, rolling
+# windows, tf-idf, source mixing, near-dup recall ledger) inside the
+# checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    "first_event_per_user",
+    "active_nation_keys",
     "order_price_percentiles",
     "event_type_stats",
     "region_nation_list",

@@ -219,3 +219,32 @@ def test_ngram_contamination_broadcasts_benchmark_side(spark):
     # distinct feeding the BroadcastExchange — the corpus side's
     # exploded grams must NOT shuffle on the gram key
     assert p.count("Exchange hashpartitioning(gram_md5") == 1
+
+
+def test_interval_join_is_bucket_keyed_hash_join(spark):
+    """purchase_followups' interval join must be a HASH join keyed by
+    (user, time-bucket) with the range predicate as a join condition —
+    never a nested-loop/cartesian pair explosion.  This is the whole
+    point of the bucketization: at 100 TB a plain equi-join on the key
+    followed by the range filter builds (hot-key)² pairs first."""
+    p = plan_of(spark, "purchase_followups")
+    assert "Cartesian" not in p
+    assert "NestedLoop" not in p
+    # the pair join is keyed by the composite including the bucket
+    assert "_iv_bucket" in p
+    join_lines = [
+        ln for ln in p.splitlines()
+        if ("HashJoin" in ln or "SortMergeJoin" in ln) and "_iv_bucket" in ln
+    ]
+    assert join_lines, f"no bucket-keyed hash join in plan:\n{p}"
+
+
+def test_rolling_window_single_pass(spark):
+    """user_rolling_value computes row_number + two different ROWS
+    frames in ONE Window operator over ONE user_id hash shuffle (the
+    only other Exchange is the presentation ORDER BY)."""
+    p = plan_of(spark, "user_rolling_value")
+    assert p.count("Window [") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(user_id" in p
+    assert p.count("Exchange rangepartitioning") == 1

@@ -319,6 +319,55 @@ def test_asof_join_single_shuffle(spark):
     assert n_exchanges == 1, plan
 
 
+def test_interval_join_subsecond_boundary(spark):
+    """Boundary semantics of the bucketized interval join with
+    MICROSECOND timestamps: strict > at the lower bound, <= at the
+    upper, and a match in the NEXT time bucket (probe late in its
+    bucket, build just past midnight) proving the 2-bucket candidate
+    explode covers bucket-crossing windows even though bucketing
+    truncates to whole seconds."""
+    from datetime import datetime as dt
+
+    from text_extractor_for_bioeconomic_products_spark.operators.temporal import (
+        interval_join,
+    )
+
+    t0 = dt(2024, 1, 10, 23, 30, 0, 250000)  # late in its day-bucket
+    probe = spark.createDataFrame(
+        [(1, 7, t0)], "purchase_id long, user_id long, purchase_ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [
+            (10, 7, t0),                                   # == t0: excluded (strict >)
+            (11, 7, dt(2024, 1, 10, 23, 30, 0, 250001)),   # t0+1µs: included
+            (12, 7, dt(2024, 1, 11, 0, 30, 0)),            # next bucket, in window
+            (13, 7, dt(2024, 1, 11, 23, 30, 0, 250000)),   # == t0+24h: included (<=)
+            (14, 7, dt(2024, 1, 11, 23, 30, 0, 250001)),   # t0+24h+1µs: excluded
+            (15, 8, dt(2024, 1, 11, 0, 0, 0)),             # other key: excluded
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = interval_join(
+        probe, build, key="user_id", probe_time="purchase_ts",
+        build_time="ts", lower_exclusive_s=0, upper_inclusive_s=86400,
+        payload_cols=["event_id"],
+    )
+    matched = sorted(r["match"]["event_id"] for r in out.collect())
+    assert matched == [11, 12, 13]
+
+
+def test_interval_join_rejects_empty_window():
+    from text_extractor_for_bioeconomic_products_spark.operators.temporal import (
+        interval_join,
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        interval_join(
+            None, None, key="k", probe_time="t", build_time="t",
+            lower_exclusive_s=60, upper_inclusive_s=60, payload_cols=[],
+        )
+
+
 def test_source_mix_weights_normalized(spark, sf001_dir):
     """Temperature mix: weights sum to 1, expected counts sum to N, and
     the temperature tempers dominance (max source's weight share < its

@@ -191,6 +191,33 @@ def q_event_value_increases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A2/A3: per-type stats with distinct count ------------------------------
 
+def q_user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-frame window aggregates: per user ordered by (ts,
+    event_id), the 3-row moving value sum and the running cumulative
+    sum.  ROWS frames over one user_id-partitioned shuffle — both
+    frames share the same Window spec, so Spark computes them in a
+    single Window operator pass.  Values are rounded to 4 decimals and
+    summed as DECIMAL(18,4) so the running sums are exact (no
+    float-summation-order divergence between engines)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.round(F.col("value"), 4).cast("decimal(18,4)")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.row_number().over(w).cast("long").alias("seq"),
+            F.sum(dec).over(w.rowsBetween(-2, 0)).cast("double").alias("moving_value_3"),
+            F.sum(dec)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("cum_value"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
 def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     return (
@@ -900,6 +927,20 @@ ORACLE_SQL = {
         GROUP BY event_type
         ORDER BY event_type
     """,
+    "user_rolling_value": """
+        SELECT user_id, event_id, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+               CAST(SUM(dec) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_value_3,
+               CAST(SUM(dec) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CAST(round(CAST(value AS DECIMAL(18,10)), 4) AS DECIMAL(18,4)) AS dec
+            FROM events
+        )
+        ORDER BY user_id, seq
+    """,
     "event_type_stats": """
         SELECT event_type,
                count(*) AS n_events,
@@ -940,5 +981,6 @@ QUERIES = {
     "region_nation_list": q_region_nation_list,
     "first_event_per_user": q_first_event_per_user,
     "event_value_increases": q_event_value_increases,
+    "user_rolling_value": q_user_rolling_value,
     "event_type_stats": q_event_type_stats,
 }

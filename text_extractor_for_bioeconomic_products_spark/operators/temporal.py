@@ -1,4 +1,5 @@
-"""Temporal operators (graft extension): distributed as-of join.
+"""Temporal operators (graft extension): distributed as-of join and
+bucketized interval (range) join.
 
 Spark has no native ASOF JOIN (DuckDB/Pandas/kdb do).  The classic
 distributed formulation is union-merge: tag both sides, union them into
@@ -86,6 +87,104 @@ def asof_join(
     )
 
 
+def interval_join(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    key: str,
+    probe_time: str,
+    build_time: str,
+    lower_exclusive_s: int,
+    upper_inclusive_s: int,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Inner interval join: every (probe, build) pair with the same
+    ``key`` and ``build_time`` in the half-open window
+    ``(probe_time + lower, probe_time + upper]``.  Returns probe rows
+    plus one ``match`` struct per qualifying build row.
+
+    A naive formulation is an equi-join on ``key`` followed by the range
+    filter — at 100 TB a hot key turns that into (key-rows)² intermediate
+    pairs BEFORE the filter prunes.  Here both sides are hashed into
+    fixed-width time buckets (width = window span) and the join key is
+    ``(key, bucket)``: a probe's window spans at most two buckets, so the
+    probe side duplicates exactly 2× while every build row joins only
+    probe rows whose window can actually reach it.  Pair work per
+    (key, bucket) cell is bounded by the cell's occupancy, not the key's
+    total history — the standard range-join bucketing (cf. Spark's own
+    range-join hints in Databricks runtime, absent from OSS).
+
+    Bucketing uses whole-second truncation (``unix_timestamp``); the
+    exact sub-second predicate on the real timestamps decides membership,
+    and truncation only widens candidate buckets (proof in test
+    ``test_interval_join_subsecond_boundary``).
+    """
+    width = int(upper_inclusive_s - lower_exclusive_s)
+    if width <= 0:
+        raise ValueError("upper_inclusive_s must exceed lower_exclusive_s")
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("match")
+    b = build.select(
+        F.col(key).alias("_iv_key"),
+        F.col(build_time).alias("_iv_bt"),
+        F.floor(F.unix_timestamp(F.col(build_time)) / width).alias("_iv_bucket"),
+        payload,
+    )
+    base = F.unix_timestamp(F.col(probe_time)) + F.lit(int(lower_exclusive_s))
+    p = probe.withColumn(
+        "_iv_bucket",
+        F.explode(F.array(F.floor(base / width), F.floor(base / width) + 1)),
+    )
+    joined = p.join(
+        b,
+        on=[
+            p[key] == b["_iv_key"],
+            p["_iv_bucket"] == b["_iv_bucket"],
+            b["_iv_bt"] > F.col(probe_time) + F.expr(f"INTERVAL {int(lower_exclusive_s)} SECOND"),
+            b["_iv_bt"] <= F.col(probe_time) + F.expr(f"INTERVAL {int(upper_inclusive_s)} SECOND"),
+        ],
+        how="inner",
+    )
+    return joined.select(*probe.columns, "match")
+
+
+def q_purchase_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Follow-on activity window: for every purchase event, the count and
+    value sum of the same user's events strictly after the purchase and
+    within 24 h (bucketized interval join; purchases with no follow-up
+    kept at 0 via the left re-join)."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    pairs = interval_join(
+        purchases,
+        events,
+        key="user_id",
+        probe_time="purchase_ts",
+        build_time="ts",
+        lower_exclusive_s=0,
+        upper_inclusive_s=86400,
+        payload_cols=["event_id", "value"],
+    )
+    per_purchase = pairs.groupBy("purchase_id").agg(
+        F.count("*").alias("n_followups"),
+        F.sum(F.round(F.col("match.value"), 4).cast("decimal(18,4)")).alias("_vsum"),
+    )
+    return (
+        purchases.join(per_purchase, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.coalesce("n_followups", F.lit(0)).alias("n_followups"),
+            F.coalesce(F.col("_vsum").cast("double"), F.lit(0.0)).alias("followup_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: for every purchase event, the same user's
     most recent NON-purchase event at or before the purchase instant
@@ -122,6 +221,30 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL = {
+    # Naive formulation (equi-join + range filter) — correct at oracle
+    # scale; the Spark side must match it while bucketing.
+    "purchase_followups": """
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        agg AS (
+            SELECT p.purchase_id, count(*) AS n_followups,
+                   SUM(CAST(round(CAST(e.value AS DECIMAL(18,10)), 4)
+                            AS DECIMAL(18,4))) AS vsum
+            FROM p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts > p.purchase_ts
+             AND e.ts <= p.purchase_ts + INTERVAL 86400 SECOND
+            GROUP BY p.purchase_id
+        )
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               COALESCE(agg.n_followups, 0) AS n_followups,
+               COALESCE(CAST(agg.vsum AS DOUBLE), 0.0) AS followup_value
+        FROM p LEFT JOIN agg ON p.purchase_id = agg.purchase_id
+        ORDER BY p.purchase_id
+    """,
     # Independent formulation: greatest qualifying touch ts per purchase
     # via a grouped join, then the max event_id at that ts (the same
     # tie-break the window variant applies), then fetch that one row.
@@ -160,4 +283,5 @@ ORACLE_SQL = {
 
 QUERIES = {
     "purchase_attribution": q_purchase_attribution,
+    "purchase_followups": q_purchase_followups,
 }
