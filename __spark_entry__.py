@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E402
+    clustering,
     conversation,
     curation,
     multimodal,
@@ -72,6 +73,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    "event_value_increases",
     "first_event_per_user",
     "active_nation_keys",
     "order_price_percentiles",
@@ -104,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textstats.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
+    q.update(clustering.QUERIES)
     q.update(temporal.QUERIES)
     q.update(normalize.QUERIES)
     q.update(multimodal.QUERIES)
@@ -120,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(textstats.ORACLE_SQL)
     o.update(dedup.ORACLE_SQL)
     o.update(similarity.ORACLE_SQL)
+    o.update(clustering.ORACLE_SQL)
     o.update(temporal.ORACLE_SQL)
     o.update(normalize.ORACLE_SQL)
     return o

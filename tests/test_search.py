@@ -368,6 +368,81 @@ def test_interval_join_rejects_empty_window():
         )
 
 
+# --- clustering.kmeans (Lloyd's, driver state O(k·dim)) -------------------
+
+def test_kmeans_sse_monotone_and_full_clusters(spark, sf001_dir):
+    """Lloyd's invariant: mean squared distance to the assigned centroid
+    is non-increasing across assignment passes; with the smallest-vec_id
+    init on this corpus every cluster stays populated."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.clustering import (
+        assign_clusters, update_centroids,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+
+    emb = load(spark, sf001_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init}
+    sses = []
+    asg = assign_clusters(emb, cents)
+    for _ in range(3):
+        sses.append(asg.agg(F.avg("dist")).collect()[0][0])
+        cents = update_centroids(emb, asg)
+        asg = assign_clusters(emb, cents)
+    assert sses[0] >= sses[1] >= sses[2]
+    assert sses[2] < sses[0]  # it actually moved
+    assert len(cents) == 8  # no cluster died on this corpus
+
+
+def test_kmeans_assignment_is_argmin(spark, sf001_dir):
+    """Spot-check the struct-array argmin against numpy on the final
+    centroids (tolerance-based: numpy's summation order differs)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.clustering import (
+        assign_clusters, kmeans_fit_predict, update_centroids,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+
+    emb = load(spark, sf001_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init}
+    for _ in range(2):
+        cents = update_centroids(emb, assign_clusters(emb, cents))
+    final = {r["vec_id"]: r["cluster"] for r in kmeans_fit_predict(emb).collect()}
+    cids = sorted(cents)
+    C = np.array([cents[c] for c in cids])
+    sample = emb.filter(F.col("vec_id") % 17 == 0).collect()
+    assert sample
+    for r in sample:
+        v = np.array(r["embedding"], dtype=np.float64)
+        d = ((C - v) ** 2).sum(axis=1)
+        best = d.min()
+        # every centroid strictly better than the chosen one would
+        # contradict argmin beyond float-order noise
+        chosen = d[cids.index(final[r["vec_id"]])]
+        assert chosen <= best + 1e-9
+
+
+def test_kmeans_assignment_stage_is_narrow(spark, sf001_dir):
+    """The assignment pass is a pure map (centroids are literals): no
+    Exchange of any kind in its plan."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.clustering import (
+        assign_clusters,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+
+    emb = load(spark, sf001_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init}
+    p = assign_clusters(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
 def test_source_mix_weights_normalized(spark, sf001_dir):
     """Temperature mix: weights sum to 1, expected counts sum to N, and
     the temperature tempers dominance (max source's weight share < its
