@@ -248,3 +248,19 @@ def test_rolling_window_single_pass(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange hashpartitioning(user_id" in p
     assert p.count("Exchange rangepartitioning") == 1
+
+
+def test_lm_score_vocab_broadcasts_into_token_stream(spark):
+    """doc_lm_score: the capped vocab is a distributed top-k
+    (TakeOrderedAndProject, never a single-partition global sort) that
+    broadcasts into the token stream (LeftOuter BroadcastHashJoin) — the
+    token stream itself never hash-shuffles on the term key; the only
+    term-keyed exchanges carry vocabulary-sized partial-agg output."""
+    p = plan_of(spark, "doc_lm_score")
+    assert "TakeOrderedAndProject(limit=20" in p
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+    # two term exchanges (vocab counts + total), both above partial aggs
+    assert p.count("Exchange hashpartitioning(term") == 2
+    assert p.count("partial_count") >= 2
+    # one row-volume shuffle: the final doc rollup
+    assert p.count("Exchange hashpartitioning(doc_id") == 1

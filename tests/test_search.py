@@ -493,3 +493,21 @@ def test_driver_window_invariant():
     )
     assert names[50:] == [s for s in staples if s in names]
     assert set(staples) <= set(names)
+
+
+def test_lm_score_oov_and_surprisal_behavior(spark, sf001_dir):
+    """The 20-term vocab cap binds (vocab is 31 terms): some tokens are
+    OOV everywhere, and OOV-heavier documents carry higher mean
+    surprisal on average (the quality-filter signal)."""
+    import statistics
+
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["doc_lm_score"](spark, sf001_dir).collect()
+    assert rows and all(r["lm_score"] > 0 for r in rows)
+    fracs = [r["oov_frac"] for r in rows]
+    assert 0 < statistics.mean(fracs) < 1
+    med = statistics.median(fracs)
+    hi = [r["lm_score"] for r in rows if r["oov_frac"] > med]
+    lo = [r["lm_score"] for r in rows if r["oov_frac"] <= med]
+    assert hi and lo and statistics.mean(hi) > statistics.mean(lo)

@@ -497,6 +497,117 @@ ORACLE_TFIDF_TOP_TERMS = f"""
 """
 
 
+LM_VOCAB_K = 20
+
+
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the rule-based analog of
+    KenLM-perplexity filtering (CCNet/Gopher-style): score each document
+    by the mean token surprisal −ln p(w) under the corpus unigram model,
+    with the vocabulary capped at the LM_VOCAB_K most frequent terms and
+    out-of-vocabulary tokens floored at count 1 (max surprisal).  High
+    scores flag rare-token-heavy (noisy) documents; oov_frac is the
+    companion diagnostic.
+
+    Scale shape: term counts are a vocabulary-sized partial agg; the
+    capped vocab is a TakeOrderedAndProject (distributed top-k, never a
+    single-partition global sort) that BROADCASTS into the token stream,
+    so scoring never shuffles tokens on the term key; the only
+    row-volume shuffle is the final doc_id rollup of pre-aggregated
+    partials.  Cross-engine exactness: per-token surprisal is rounded to
+    DECIMAL(18,6) (ln may differ in the last ulp between the JVM and
+    libm) and summed as decimal — exact and partition-order-independent
+    — then divided in double."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    counts = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("n_total"))
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(LM_VOCAB_K)
+    scored = (
+        tokens.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                (F.log("n_total") - F.log(F.coalesce(F.col("cnt"), F.lit(1))))
+                .cast("decimal(18,10)"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("neglogp"),
+            F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("neglogp").alias("_s"),
+            F.sum("oov").alias("_o"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (F.col("_s").cast("double") / F.col("n_tokens")).cast(
+                    "decimal(18,10)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("lm_score"),
+            F.round(
+                (F.col("_o").cast("double") / F.col("n_tokens")).cast(
+                    "decimal(18,10)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("oov_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_LM_SCORE = f"""
+    WITH tok AS (
+        SELECT doc_id, term
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+            FROM documents
+        )
+        WHERE length(term) > 0
+    ),
+    counts AS (
+        SELECT term, count(*) AS cnt FROM tok GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts),
+    vocab AS (
+        SELECT term, cnt FROM counts ORDER BY cnt DESC, term ASC LIMIT {LM_VOCAB_K}
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(round(CAST(ln(tot.n_total) - ln(COALESCE(v.cnt, 1))
+                               AS DECIMAL(18,10)), 6) AS DECIMAL(18,6)) AS neglogp,
+               CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tok t
+        LEFT JOIN vocab v ON t.term = v.term
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(round(CAST(CAST(SUM(neglogp) AS DOUBLE) / count(*)
+                           AS DECIMAL(18,10)), 4) AS DOUBLE) AS lm_score,
+           CAST(round(CAST(CAST(SUM(oov) AS DOUBLE) / count(*)
+                           AS DECIMAL(18,10)), 4) AS DOUBLE) AS oov_frac
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 ORACLE_TOP_TOKENS = """
     SELECT token, count(*) AS n
     FROM (
@@ -740,6 +851,7 @@ ORACLE_DOC_CHUNKS = f"""
 
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_lm_score": q_doc_lm_score,
     "top_tokens": q_top_tokens,
     "doc_repetition": q_doc_repetition,
     "stratified_sample": q_stratified_sample,
@@ -755,6 +867,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "doc_lm_score": ORACLE_DOC_LM_SCORE,
     "top_tokens": ORACLE_TOP_TOKENS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "doc_clean_basic": ORACLE_DOC_CLEAN,

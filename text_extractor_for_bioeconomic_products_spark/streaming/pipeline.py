@@ -187,6 +187,79 @@ def run_streaming_dedup_extraction(
         q.stop()
 
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double"
+)
+
+
+def streaming_purchase_followups(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    window_s: int = 86400,
+    watermark: str = "30 days",
+    timeout_sec: int = 300,
+) -> None:
+    """Watermarked STREAM-STREAM interval join — the streaming twin of
+    ``operators.temporal.interval_join``: purchases joined to the same
+    user's events within ``(purchase_ts, purchase_ts + window]``, both
+    sides file-source streams over the same events directory.
+
+    The watermark bounds join state: a buffered purchase can be evicted
+    once the touch-side watermark passes ``purchase_ts + window`` (Spark
+    derives the state-cleanup condition from the time-range predicate),
+    so state is O(events within the window + lateness horizon), not
+    O(stream history).  With ``availableNow`` and a watermark covering
+    the fixture's full time span, output is exactly the batch
+    ``interval_join`` pair set — pinned by
+    ``test_stream_stream_interval_join_matches_batch``."""
+
+    def src() -> DataFrame:
+        # watermarks require TIMESTAMP (tz-aware); the events table stores
+        # TIMESTAMP_NTZ — cast is deterministic under the session's fixed
+        # UTC timezone (session.py)
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    touches = src().withWatermark("ts", watermark)
+    joined = purchases.join(
+        touches,
+        F.expr(
+            f"user_id = p_user_id AND ts > purchase_ts "
+            f"AND ts <= purchase_ts + INTERVAL {int(window_s)} SECOND"
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "event_id", "ts", "value")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "followups_stream"))
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_followups_checkpoint")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
 def measure_streaming_rate(
     spark: SparkSession,
     input_dir: str,
