@@ -73,6 +73,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    "topk_urgent_orders",
     "user_sessions",
     "event_value_increases",
     "first_event_per_user",

@@ -66,6 +66,15 @@ def main() -> None:
          "deterministic output; the as-of mechanism itself shuffles once.\n"
          "Pinned by `test_asof_join_single_shuffle`.",
          qs["purchase_attribution"](spark, SF)),
+        ("doc_lm_score (capped-vocab broadcast into the token stream)",
+         "Unigram-LM scoring: the vocab cap is a TakeOrderedAndProject\n"
+         "(distributed top-k — never a single-partition global sort) whose\n"
+         "output BROADCASTS into a LeftOuter hash join against the token\n"
+         "stream, so tokens are never hash-shuffled on the term key; the\n"
+         "only term-keyed exchanges carry vocabulary-sized partial-agg\n"
+         "output, and the one row-volume shuffle is the final doc_id\n"
+         "rollup.  Pinned by `test_lm_score_vocab_broadcasts_into_token_stream`.",
+         qs["doc_lm_score"](spark, SF)),
     ]
     out = [
         "# PLANS — formatted physical plans of flagship operators\n",

@@ -511,3 +511,57 @@ def test_lm_score_oov_and_surprisal_behavior(spark, sf001_dir):
     hi = [r["lm_score"] for r in rows if r["oov_frac"] > med]
     lo = [r["lm_score"] for r in rows if r["oov_frac"] <= med]
     assert hi and lo and statistics.mean(hi) > statistics.mean(lo)
+
+
+def test_train_val_test_split_stable_and_proportioned(spark, sf001_dir):
+    """The split is a pure function of doc_id: identical under different
+    input partitionings (the no-leakage-over-time property), covers all
+    three splits, and lands near 80/10/10."""
+    import __spark_entry__ as entry_mod
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+
+    q = entry_mod.queries()["train_val_test_split"]
+    base = q(spark, sf001_dir).collect()
+    # repartition the source and recompute — byte-identical census
+    docs = load(spark, sf001_dir, "documents").repartition(7)
+    docs.createOrReplaceTempView("_tvs_docs")
+    again = q(spark, sf001_dir).collect()
+    assert base == again
+    totals = {}
+    for r in base:
+        totals[r["split"]] = totals.get(r["split"], 0) + r["n_docs"]
+    assert set(totals) == {"train", "val", "test"}
+    n = sum(totals.values())
+    assert 0.7 < totals["train"] / n < 0.9
+    assert totals["val"] / n < 0.2 and totals["test"] / n < 0.2
+
+
+def test_kmeans_survives_empty_cluster(spark):
+    """A duplicate init vector makes every point tie toward the smaller
+    cid (struct-argmin tie-break), so cluster 1 empties after pass 1 —
+    the rebuild must simply drop it (same semantics as the SQL oracle's
+    regrouping) and converge on the survivors without error."""
+    from text_extractor_for_bioeconomic_products_spark.operators.clustering import (
+        kmeans_fit_predict,
+    )
+
+    base = [0.0] * 8
+    far = [5.0] * 8
+    rows = [
+        (0, 0, base),
+        (1, 0, list(base)),          # exact duplicate of the init centroid 0
+        (2, 1, far),
+        (3, 1, [5.1] * 8),
+        (4, 0, [0.1] * 8),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["cluster"] for r in
+           kmeans_fit_predict(emb, k=3, iters=3).collect()}
+    # init: c0 = c1 = base (duplicate), c2 = far.  Every near point ties
+    # between c0 and c1 and takes the smaller cid, so cluster 1 empties
+    # after pass 1 and must drop out cleanly.
+    assert out[0] == out[1] == out[4] == 0
+    assert out[2] == out[3] == 2
+    assert 1 not in out.values()

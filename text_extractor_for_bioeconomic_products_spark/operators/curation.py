@@ -297,7 +297,81 @@ ORACLE_SOURCE_MIX = f"""
 """
 
 
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment + stratification
+    census: the split is a pure function of doc_id (salted md5 bucket
+    mod 100 — content- and partitioning-independent, so re-runs, scale
+    changes, and late-arriving shards never move a document between
+    splits, the property that prevents train/test leakage over time),
+    and the output is the per-(split, lang) census with within-split
+    shares a user audits for stratification balance.  Narrow map +
+    one ~|splits×langs|-row aggregate; hex→bigint via the same
+    cross-engine md5 idiom as the minhash/simhash oracles."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    agg = (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("split")
+    return (
+        agg.select(
+            "split",
+            "lang",
+            "n_docs",
+            F.round(
+                (F.col("n_docs") / F.sum("n_docs").over(w)).cast(
+                    "decimal(18,10)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("share"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE_TRAIN_VAL_TEST_SPLIT = """
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT lang,
+                   CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS b
+            FROM documents
+        )
+    ),
+    agg AS (
+        SELECT split, lang, count(*) AS n_docs FROM assigned GROUP BY split, lang
+    )
+    SELECT split, lang, n_docs,
+           CAST(round(CAST(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY split)
+                           AS DECIMAL(18,10)), 4) AS DOUBLE) AS share
+    FROM agg ORDER BY split, lang
+"""
+
+
 ORACLE_SQL = {
+    "train_val_test_split": ORACLE_TRAIN_VAL_TEST_SPLIT,
     "source_mix_weights": ORACLE_SOURCE_MIX,
     "sequence_packing": f"""
         -- CAST(sum AS BIGINT): DuckDB sum(BIGINT) yields HUGEINT; Spark yields BIGINT.
@@ -381,6 +455,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "train_val_test_split": q_train_val_test_split,
     "source_mix_weights": q_source_mix_weights,
     "sequence_packing": q_sequence_packing,
     "doc_pii_scrub": q_doc_pii_scrub,
