@@ -73,6 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    "doc_clean_basic",
+    "doc_fingerprint",
     "topk_urgent_orders",
     "user_sessions",
     "event_value_increases",

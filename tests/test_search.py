@@ -565,3 +565,68 @@ def test_kmeans_survives_empty_cluster(spark):
     assert out[0] == out[1] == out[4] == 0
     assert out[2] == out[3] == 2
     assert 1 not in out.values()
+
+
+def test_gopher_rules_keep_path(spark):
+    """The corpus-wide query honestly rejects word salad (stopword
+    poverty), so the keep=1 branch is driven by a planted realistic doc
+    here; each failing flag is exercised by a targeted counter-doc."""
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        gopher_flags,
+    )
+
+    realistic = (
+        "the quick brown fox jumps over the lazy dog and runs with great "
+        "speed to have fun that day of summer "
+    ) * 3
+    df = spark.createDataFrame(
+        [
+            (0, realistic.strip()),
+            (1, " ".join(["word"] * 30)),          # too short + no stop set hits
+            (2, " ".join(["1234"] * 60)),          # no alphabetic words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_flags(df).collect()}
+    assert rows[0]["keep"] == 1 and all(
+        rows[0][f] == 1 for f in ("flag_words", "flag_mwl", "flag_alpha", "flag_stop")
+    )
+    assert rows[1]["keep"] == 0
+    assert rows[1]["flag_words"] == 0 and rows[1]["flag_stop"] == 0
+    assert rows[2]["keep"] == 0 and rows[2]["flag_alpha"] == 0
+    # keep is exactly the conjunction of the four flags
+    for r in rows.values():
+        assert r["keep"] == min(
+            r["flag_words"], r["flag_mwl"], r["flag_alpha"], r["flag_stop"]
+        )
+
+
+def test_gopher_rules_corpus_nonvacuous(spark, sf001_dir):
+    """On the shared corpus the word-count flag must split the corpus
+    (bounds actually bind) and the stopword flag must be all-zero — the
+    documented word-salad property this battery correctly detects."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["doc_gopher_rules"](spark, sf001_dir).collect()
+    flags = {r["flag_words"] for r in rows}
+    assert flags == {0, 1}
+    assert all(r["flag_stop"] == 0 for r in rows)
+
+
+def test_ann_lsh_recall_invariants(spark, sf001_dir):
+    """recall@k is a true ratio of the exact top-k found by the LSH path:
+    full exact sets, hits bounded by k, ratio consistent — and <1 recall
+    actually occurs (otherwise the ledger is vacuous on this corpus)."""
+    import __spark_entry__ as entry_mod
+    from text_extractor_for_bioeconomic_products_spark.operators.similarity import (
+        K_RECALL,
+        N_BATCH_QUERIES,
+    )
+
+    rows = entry_mod.queries()["ann_lsh_recall"](spark, sf001_dir).collect()
+    assert len(rows) == N_BATCH_QUERIES
+    for r in rows:
+        assert r["n_exact"] == K_RECALL
+        assert 0 <= r["n_hits"] <= K_RECALL
+        assert abs(r["recall_at_k"] - round(r["n_hits"] / r["n_exact"], 4)) < 1e-12
+    assert any(r["recall_at_k"] < 1.0 for r in rows)

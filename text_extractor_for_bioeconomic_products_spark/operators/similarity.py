@@ -517,11 +517,129 @@ ORACLE_ANN_IVF = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: recall@k of the LSH path vs the exact baseline
+# ---------------------------------------------------------------------------
+
+# recall@10 over the same 5-query block as ann_batch_topk: coarse enough
+# to be stable at sf0.01, fine enough that bucket misses actually show.
+K_RECALL = 10
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of LSH-bucketed ANN against brute force — the
+    "measure, don't guess" companion to ``ann_lsh``: approximate search
+    is only shippable with its recall measured on the same corpus.
+
+    Plan shape: the query block is broadcast to BOTH paths (exact scoring
+    crossJoin + bucket-equality join); each path keeps k rows per query
+    via WindowGroupLimit before any shuffle, so the final recall join
+    touches ≤ 2·k·|queries| rows regardless of corpus size.  At 100 TB
+    this runs on a sampled query block the same way.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    qb = q.withColumn("q_bucket", lsh_bucket_column(F.col("q_embedding")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_RECALL)
+        .select("query_id", "vec_id")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket_column(F.col("embedding")))
+    lsh = (
+        bucketed.join(F.broadcast(qb), bucketed.bucket == qb.q_bucket)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_RECALL)
+        .select(F.col("query_id").alias("l_query_id"), F.col("vec_id").alias("l_vec_id"))
+    )
+    joined = exact.join(
+        lsh,
+        (exact.query_id == lsh.l_query_id) & (exact.vec_id == lsh.l_vec_id),
+        "left",
+    )
+    hit = F.when(F.col("l_vec_id").isNotNull(), 1).otherwise(0)
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(hit).alias("n_hits"),
+            F.round(
+                (F.sum(hit) / F.count("*")).cast("decimal(18,10)"), 4
+            ).cast("double").alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_LSH_RECALL = f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_lsh_sql_duckdb()} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding, bucket
+        FROM bucketed WHERE vec_id < {N_BATCH_QUERIES}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) DESC,
+                                e.vec_id ASC
+                   ) AS rk
+            FROM embeddings e, q
+            WHERE e.vec_id != q.query_id
+        ) WHERE rk <= {K_RECALL}
+    ),
+    lsh AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) DESC,
+                                e.vec_id ASC
+                   ) AS rk
+            FROM bucketed e JOIN q ON e.bucket = q.bucket
+            WHERE e.vec_id != q.query_id
+        ) WHERE rk <= {K_RECALL}
+    )
+    -- CAST wraps each sum: DuckDB sum(INTEGER) yields HUGEINT
+    SELECT x.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(round(CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_at_k
+    FROM exact x
+    LEFT JOIN lsh l ON x.query_id = l.query_id AND x.vec_id = l.vec_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+"""
+
+
 QUERIES = {
     "ann_brute_force": q_ann_brute_force,
     "ann_batch_topk": q_ann_batch_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh_recall": q_ann_lsh_recall,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dup_stats": q_embedding_near_dup_stats,
 }
@@ -531,6 +649,7 @@ ORACLE_SQL = {
     "ann_batch_topk": ORACLE_ANN_BATCH_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_lsh_recall": ORACLE_ANN_LSH_RECALL,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
     "embedding_near_dup_stats": ORACLE_EMBEDDING_NEAR_DUP_STATS,
 }

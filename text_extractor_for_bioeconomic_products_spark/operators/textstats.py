@@ -725,6 +725,118 @@ ORACLE_DOC_REPETITION = f"""
 
 
 # ---------------------------------------------------------------------------
+# Gopher rule battery (Rae et al. 2021 §A1.1): the canonical pretraining
+# document filter, emitted as per-doc signals + pass/fail flags so the
+# filter's selectivity is an oracle-checked number.  Complements
+# q_doc_quality (one composite score) and q_doc_repetition (duplicate
+# fractions): this is the bounds-based keep/drop battery itself.  The
+# symbol-ratio and bullet/ellipsis-line rules are vacuous on this corpus
+# (no '#', '…', or newlines — same rationale as the omitted line-level
+# repetition variants above) and are omitted rather than shipped untested.
+# ---------------------------------------------------------------------------
+
+# Gopher's required-stopword set; a kept doc must contain >= 2 distinct.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher filter flags — pure narrow column math (array
+    lambdas, no UDF, no shuffle); at 100 TB this is a map stage fused
+    with the other quality signals.  Flags are INT 0/1 (not BOOLEAN) so
+    both engines hash identically.
+
+    On the synthetic word-salad corpus every document fails the
+    required-stopword rule (only 'the' from the Gopher set occurs), so
+    corpus-wide ``keep`` is honestly 0 — the battery correctly rejects
+    word salad; `test_gopher_rules_keep_path` drives a realistic planted
+    document through the keep=1 path instead.
+    """
+    words = F.split(F.lower("text"), " ")
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mwl = F.round(
+        (total_chars / F.greatest(n_words, F.lit(1))).cast("decimal(18,10)"), 4
+    ).cast("double")
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.round(
+        (alpha_words / F.greatest(n_words, F.lit(1))).cast("decimal(18,10)"), 4
+    ).cast("double")
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    sig = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    flagged = sig.select(
+        "*",
+        flag(
+            F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        ).alias("flag_words"),
+        flag(
+            F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        ).alias("flag_mwl"),
+        flag(F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC).alias("flag_alpha"),
+        flag(F.col("stop_hits") >= GOPHER_MIN_STOP_HITS).alias("flag_stop"),
+    )
+    return flagged.withColumn(
+        "keep",
+        F.least("flag_words", "flag_mwl", "flag_alpha", "flag_stop").cast("int"),
+    )
+
+
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_flags(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_DUCK_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+
+ORACLE_DOC_GOPHER_RULES = f"""
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+           flag_words, flag_mwl, flag_alpha, flag_stop,
+           CAST(least(flag_words, flag_mwl, flag_alpha, flag_stop) AS INT) AS keep
+    FROM (
+        SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+               CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                    THEN 1 ELSE 0 END AS flag_words,
+               CASE WHEN mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                    THEN 1 ELSE 0 END AS flag_mwl,
+               CASE WHEN alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                    THEN 1 ELSE 0 END AS flag_alpha,
+               CASE WHEN stop_hits >= {GOPHER_MIN_STOP_HITS}
+                    THEN 1 ELSE 0 END AS flag_stop
+        FROM (
+            SELECT doc_id,
+                   CAST(len(w) AS INT) AS n_words,
+                   CAST(round(CAST(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                              / greatest(len(w), 1) AS DECIMAL(18,10)), 4)
+                        AS DOUBLE) AS mean_word_len,
+                   CAST(round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                              / greatest(len(w), 1) AS DECIMAL(18,10)), 4)
+                        AS DOUBLE) AS alpha_word_frac,
+                   CAST(len(list_filter({_DUCK_STOP_LIST},
+                                        s -> list_contains(w, s))) AS INT) AS stop_hits
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        )
+    )
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # doc_chunks oracle — both chunker modes as recursive CTEs
 # ---------------------------------------------------------------------------
 
@@ -854,6 +966,7 @@ QUERIES = {
     "doc_lm_score": q_doc_lm_score,
     "top_tokens": q_top_tokens,
     "doc_repetition": q_doc_repetition,
+    "doc_gopher_rules": q_doc_gopher_rules,
     "stratified_sample": q_stratified_sample,
     "transcript_extraction": q_transcript_extraction,
     "doc_clean_basic": q_doc_clean_basic,
@@ -877,5 +990,6 @@ ORACLE_SQL = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "doc_repetition": ORACLE_DOC_REPETITION,
+    "doc_gopher_rules": ORACLE_DOC_GOPHER_RULES,
     # doc_extract_full: intentionally no oracle (UDF pipeline; rows-only)
 }
