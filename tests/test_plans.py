@@ -264,3 +264,24 @@ def test_lm_score_vocab_broadcasts_into_token_stream(spark):
     assert p.count("partial_count") >= 2
     # one row-volume shuffle: the final doc rollup
     assert p.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_gopher_rules_are_narrow(spark):
+    """The Gopher battery is pure per-row array-lambda math — the only
+    Exchange is the presentation ORDER BY (same contract as
+    doc_repetition: these quality signals fuse into one map stage at
+    scale)."""
+    p = plan_of(spark, "doc_gopher_rules")
+    assert p.count("Exchange") == 1
+    assert "Exchange rangepartitioning" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_ann_recall_limits_before_shuffle(spark):
+    """Both recall paths (exact + LSH) must plan a PARTIAL
+    WindowGroupLimit below their query_id shuffle, so only k rows per
+    query leave each partition — the property that makes the recall
+    join O(k·|queries|) at any corpus size."""
+    p = plan_of(spark, "ann_lsh_recall")
+    assert p.count("row_number(), 10, Partial") == 2, p
+    assert p.count("row_number(), 10, Final") == 2, p
