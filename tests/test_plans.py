@@ -278,10 +278,10 @@ def test_gopher_rules_are_narrow(spark):
 
 
 def test_ann_recall_limits_before_shuffle(spark):
-    """Both recall paths (exact + LSH) must plan a PARTIAL
-    WindowGroupLimit below their query_id shuffle, so only k rows per
-    query leave each partition — the property that makes the recall
-    join O(k·|queries|) at any corpus size."""
+    """All three recall paths (exact + one-band LSH + two-band LSH) must
+    plan a PARTIAL WindowGroupLimit below their query_id shuffle, so only
+    k rows per query leave each partition — the property that makes the
+    recall joins O(k·|queries|) at any corpus size."""
     p = plan_of(spark, "ann_lsh_recall")
-    assert p.count("row_number(), 10, Partial") == 2, p
-    assert p.count("row_number(), 10, Final") == 2, p
+    assert p.count("row_number(), 10, Partial") == 3, p
+    assert p.count("row_number(), 10, Final") == 3, p

@@ -627,6 +627,21 @@ def test_ann_lsh_recall_invariants(spark, sf001_dir):
     assert len(rows) == N_BATCH_QUERIES
     for r in rows:
         assert r["n_exact"] == K_RECALL
-        assert 0 <= r["n_hits"] <= K_RECALL
-        assert abs(r["recall_at_k"] - round(r["n_hits"] / r["n_exact"], 4)) < 1e-12
-    assert any(r["recall_at_k"] < 1.0 for r in rows)
+        assert 0 <= r["n_hits_one_band"] <= K_RECALL
+        assert 0 <= r["n_hits_two_band"] <= K_RECALL
+        # OR-ing a second band can only add candidates: recall monotone.
+        assert r["n_hits_two_band"] >= r["n_hits_one_band"]
+        assert (
+            abs(r["recall_one_band"] - round(r["n_hits_one_band"] / r["n_exact"], 4))
+            < 1e-12
+        )
+        assert (
+            abs(r["recall_two_band"] - round(r["n_hits_two_band"] / r["n_exact"], 4))
+            < 1e-12
+        )
+    assert any(r["recall_one_band"] < 1.0 for r in rows)
+    # The second band must actually lift recall somewhere on this corpus,
+    # otherwise the multi-band lever is vacuous here.
+    assert sum(r["n_hits_two_band"] for r in rows) > sum(
+        r["n_hits_one_band"] for r in rows
+    )

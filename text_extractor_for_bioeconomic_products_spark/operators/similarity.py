@@ -192,25 +192,62 @@ def lsh_bucket_column(emb: Column, n_planes: int = N_PLANES,
     return sig
 
 
+# Multi-band OR-ing (round 3): the recall ledger (q_ann_lsh_recall)
+# measured single-band recall@10 at 0.0–0.3 on this corpus, so the ANN
+# path now unions candidates from N_BANDS independent hyperplane
+# families — the same recall lever as the MinHash multi-band work, in
+# the same banded-rows shape: each vector explodes to one row per
+# (band_id, bucket) and the candidate join keys on BOTH, so it stays a
+# single hash join (no OR-join nested loop).  Recall lift is an
+# oracle-checked number in q_ann_lsh_recall, not a claim.
+N_BANDS = 2
+_BAND_PREFIXES = ["plane", "planeB"]
+
+
+def lsh_band_keys(emb: Column) -> Column:
+    """Array of per-band bucket keys (one independent plane family per
+    band) — a narrow per-row expression, like the MinHash signatures."""
+    return F.array(
+        *[
+            lsh_bucket_column(emb, N_PLANES, seed_prefix=p)
+            for p in _BAND_PREFIXES[:N_BANDS]
+        ]
+    )
+
+
 def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID,
                   k: int = TOP_K) -> DataFrame:
-    """ANN: score only vectors sharing the query's hyperplane bucket.
+    """ANN: score only vectors sharing ≥1 of the query's per-band
+    hyperplane buckets.
 
-    At 100 TB: bucket assignment is a narrow map; candidates shuffle on
-    the bucket key (2^N_PLANES buckets — widen planes for finer buckets);
-    per-bucket top-k then a cheap global merge.
+    At 100 TB: band-key assignment is a narrow map; the corpus explodes
+    to N_BANDS rows per vector and candidates join on (band_id, bucket)
+    — one hash join whose key space is N_BANDS × 2^N_PLANES (widen
+    planes for finer buckets, add bands for recall); duplicate
+    candidates (both bands match) collapse on vec_id before scoring, so
+    each candidate is scored once.
     """
-    bucketed = embeddings.withColumn("bucket", lsh_bucket_column(F.col("embedding")))
-    q = (
-        bucketed.filter(F.col("vec_id") == query_vec_id)
-        .select(F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket"))
+    corpus = embeddings.select(
+        "vec_id", "label", "embedding",
+        F.posexplode(lsh_band_keys(F.col("embedding"))).alias("band_id", "bucket"),
     )
-    cands = bucketed.join(
-        F.broadcast(q), bucketed.bucket == F.col("q_bucket")
-    ).filter(F.col("vec_id") != query_vec_id)
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding"),
+        F.posexplode(lsh_band_keys(F.col("embedding"))).alias(
+            "q_band_id", "q_bucket"
+        ),
+    )
+    cands = (
+        corpus.join(
+            F.broadcast(q),
+            (corpus.band_id == q.q_band_id) & (corpus.bucket == q.q_bucket),
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .dropDuplicates(["vec_id"])
+    )
     return (
         cands.select(
-            "vec_id", "label", "bucket",
+            "vec_id", "label",
             F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -237,14 +274,16 @@ def _lsh_sql_duckdb(n_planes: int = N_PLANES, seed_prefix: str = "plane") -> str
 
 ORACLE_ANN_LSH = f"""
     WITH bucketed AS (
-        SELECT vec_id, label, embedding, {_lsh_sql_duckdb()} AS bucket
+        SELECT vec_id, label, embedding,
+               {_lsh_sql_duckdb()} AS b0,
+               {_lsh_sql_duckdb(seed_prefix='planeB')} AS b1
         FROM embeddings
     ),
-    q AS (SELECT embedding, bucket FROM bucketed WHERE vec_id = {QUERY_VEC_ID})
-    SELECT e.vec_id, e.label, e.bucket,
+    q AS (SELECT embedding, b0, b1 FROM bucketed WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
            round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) AS cos_sim
     FROM bucketed e, q
-    WHERE e.bucket = q.bucket AND e.vec_id != {QUERY_VEC_ID}
+    WHERE (e.b0 = q.b0 OR e.b1 = q.b1) AND e.vec_id != {QUERY_VEC_ID}
     ORDER BY cos_sim DESC, e.vec_id ASC
     LIMIT {TOP_K}
 """
@@ -530,11 +569,14 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@k of LSH-bucketed ANN against brute force — the
     "measure, don't guess" companion to ``ann_lsh``: approximate search
     is only shippable with its recall measured on the same corpus.
+    Reported for BOTH one band (the pre-round-3 path; measured 0.0–0.3
+    here) and the shipped two-band union, so the multi-band recall lever
+    is an oracle-checked number, not a claim.
 
-    Plan shape: the query block is broadcast to BOTH paths (exact scoring
-    crossJoin + bucket-equality join); each path keeps k rows per query
-    via WindowGroupLimit before any shuffle, so the final recall join
-    touches ≤ 2·k·|queries| rows regardless of corpus size.  At 100 TB
+    Plan shape: the query block is broadcast to every path (exact
+    scoring crossJoin + banded-bucket joins); each path keeps k rows per
+    query via WindowGroupLimit before any shuffle, so the recall joins
+    touch ≤ 3·k·|queries| rows regardless of corpus size.  At 100 TB
     this runs on a sampled query block the same way.
     """
     from pyspark.sql import Window
@@ -543,7 +585,6 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    qb = q.withColumn("q_bucket", lsh_bucket_column(F.col("q_embedding")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
 
     exact = (
@@ -557,32 +598,71 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= K_RECALL)
         .select("query_id", "vec_id")
     )
-    bucketed = emb.withColumn("bucket", lsh_bucket_column(F.col("embedding")))
-    lsh = (
-        bucketed.join(F.broadcast(qb), bucketed.bucket == qb.q_bucket)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+
+    corpus = emb.select(
+        "vec_id", "embedding",
+        F.posexplode(lsh_band_keys(F.col("embedding"))).alias("band_id", "bucket"),
+    )
+    qb = q.select(
+        "query_id", "q_embedding",
+        F.posexplode(lsh_band_keys(F.col("q_embedding"))).alias(
+            "q_band_id", "q_bucket"
+        ),
+    )
+
+    def lsh_topk(n_bands: int, tag: str) -> DataFrame:
+        c = corpus.filter(F.col("band_id") < n_bands)
+        qq = qb.filter(F.col("q_band_id") < n_bands)
+        return (
+            c.join(
+                F.broadcast(qq),
+                (c.band_id == qq.q_band_id) & (c.bucket == qq.q_bucket),
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "vec_id"])
+            .select(
+                "query_id", "vec_id",
+                F.round(
+                    cosine(F.col("embedding"), F.col("q_embedding")), 4
+                ).alias("cos_sim"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= K_RECALL)
+            .select(
+                F.col("query_id").alias(f"{tag}_qid"),
+                F.col("vec_id").alias(f"{tag}_vid"),
+            )
         )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= K_RECALL)
-        .select(F.col("query_id").alias("l_query_id"), F.col("vec_id").alias("l_vec_id"))
+
+    h1, h2 = lsh_topk(1, "b1"), lsh_topk(N_BANDS, "b2")
+    joined = (
+        exact.join(
+            h1,
+            (exact.query_id == h1.b1_qid) & (exact.vec_id == h1.b1_vid),
+            "left",
+        )
+        .join(
+            h2,
+            (exact.query_id == h2.b2_qid) & (exact.vec_id == h2.b2_vid),
+            "left",
+        )
     )
-    joined = exact.join(
-        lsh,
-        (exact.query_id == lsh.l_query_id) & (exact.vec_id == lsh.l_vec_id),
-        "left",
-    )
-    hit = F.when(F.col("l_vec_id").isNotNull(), 1).otherwise(0)
+    hit1 = F.when(F.col("b1_vid").isNotNull(), 1).otherwise(0)
+    hit2 = F.when(F.col("b2_vid").isNotNull(), 1).otherwise(0)
+
+    def recall(hit):
+        return F.round(
+            (F.sum(hit) / F.count("*")).cast("decimal(18,10)"), 4
+        ).cast("double")
+
     return (
         joined.groupBy("query_id")
         .agg(
             F.count("*").alias("n_exact"),
-            F.sum(hit).alias("n_hits"),
-            F.round(
-                (F.sum(hit) / F.count("*")).cast("decimal(18,10)"), 4
-            ).cast("double").alias("recall_at_k"),
+            F.sum(hit1).alias("n_hits_one_band"),
+            F.sum(hit2).alias("n_hits_two_band"),
+            recall(hit1).alias("recall_one_band"),
+            recall(hit2).alias("recall_two_band"),
         )
         .orderBy("query_id")
     )
@@ -590,11 +670,13 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_LSH_RECALL = f"""
     WITH bucketed AS (
-        SELECT vec_id, embedding, {_lsh_sql_duckdb()} AS bucket
+        SELECT vec_id, embedding,
+               {_lsh_sql_duckdb()} AS b0,
+               {_lsh_sql_duckdb(seed_prefix='planeB')} AS b1
         FROM embeddings
     ),
     q AS (
-        SELECT vec_id AS query_id, embedding, bucket
+        SELECT vec_id AS query_id, embedding, b0, b1
         FROM bucketed WHERE vec_id < {N_BATCH_QUERIES}
     ),
     exact AS (
@@ -609,7 +691,7 @@ ORACLE_ANN_LSH_RECALL = f"""
             WHERE e.vec_id != q.query_id
         ) WHERE rk <= {K_RECALL}
     ),
-    lsh AS (
+    lsh1 AS (
         SELECT query_id, vec_id FROM (
             SELECT q.query_id, e.vec_id,
                    row_number() OVER (
@@ -617,18 +699,36 @@ ORACLE_ANN_LSH_RECALL = f"""
                        ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) DESC,
                                 e.vec_id ASC
                    ) AS rk
-            FROM bucketed e JOIN q ON e.bucket = q.bucket
+            FROM bucketed e JOIN q ON e.b0 = q.b0
+            WHERE e.vec_id != q.query_id
+        ) WHERE rk <= {K_RECALL}
+    ),
+    lsh2 AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) DESC,
+                                e.vec_id ASC
+                   ) AS rk
+            FROM bucketed e JOIN q ON (e.b0 = q.b0 OR e.b1 = q.b1)
             WHERE e.vec_id != q.query_id
         ) WHERE rk <= {K_RECALL}
     )
     -- CAST wraps each sum: DuckDB sum(INTEGER) yields HUGEINT
     SELECT x.query_id,
            CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           CAST(round(CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_at_k
+           CAST(sum(CASE WHEN l1.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits_one_band,
+           CAST(sum(CASE WHEN l2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits_two_band,
+           CAST(round(CAST(sum(CASE WHEN l1.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_one_band,
+           CAST(round(CAST(sum(CASE WHEN l2.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_two_band
     FROM exact x
-    LEFT JOIN lsh l ON x.query_id = l.query_id AND x.vec_id = l.vec_id
+    LEFT JOIN lsh1 l1 ON x.query_id = l1.query_id AND x.vec_id = l1.vec_id
+    LEFT JOIN lsh2 l2 ON x.query_id = l2.query_id AND x.vec_id = l2.vec_id
     GROUP BY x.query_id
     ORDER BY x.query_id
 """
