@@ -32,6 +32,9 @@ from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E
     temporal,
     textstats,
 )
+from text_extractor_for_bioeconomic_products_spark.sources import (  # noqa: E402
+    layout,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -73,6 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    "lineitem_pricing_summary",
     "doc_clean_basic",
     "doc_fingerprint",
     "topk_urgent_orders",
@@ -115,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(normalize.QUERIES)
     q.update(multimodal.QUERIES)
     q.update(conversation.QUERIES)
+    q.update(layout.QUERIES)
     front = {k: v for k, v in q.items() if k not in _DEFERRED_STAPLES}
     front.update({k: q[k] for k in _DEFERRED_STAPLES if k in q})
     return front
@@ -130,4 +135,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(clustering.ORACLE_SQL)
     o.update(temporal.ORACLE_SQL)
     o.update(normalize.ORACLE_SQL)
+    o.update(layout.ORACLE_SQL)
     return o

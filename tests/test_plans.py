@@ -285,3 +285,43 @@ def test_ann_recall_limits_before_shuffle(spark):
     p = plan_of(spark, "ann_lsh_recall")
     assert p.count("row_number(), 10, Partial") == 3, p
     assert p.count("row_number(), 10, Final") == 3, p
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two fact tables bucketed on the orderkey with the same bucket
+    count ⇒ the equi-join is MAP-SIDE: SortMergeJoin with zero Exchange
+    (the write-once-join-many storage layout SCALE.md promises), and an
+    equality filter on the bucket column prunes to one bucket file set
+    before any task launches."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.sources.layout import (
+        N_BUCKETS,
+        colocated_join,
+        ensure_bucketed_orders_lineitem,
+    )
+
+    o_name, l_name = ensure_bucketed_orders_lineitem(
+        spark, "/root/testdata/sf0.001"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, o_name, l_name)
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        # and the join actually produces the fact-fact row count
+        assert j.count() == spark.table(l_name).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # Bucket pruning: autoBucketedScan turns bucketed reads off for
+    # non-join queries, so pin the pruning path with it disabled (at
+    # scale a filter-heavy workload sets this once).
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        pruned = spark.table(o_name).filter(F.col("o_orderkey") == 7)
+        pp = pruned._jdf.queryExecution().executedPlan().toString()
+        assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in pp, pp
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")

@@ -100,7 +100,8 @@ def q_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ⋈ lineitem on orderkey — the one genuinely big shuffle join;
     AQE handles skew/coalescing.  At 100 TB both sides would be bucketed on
-    orderkey to make this co-located (sources/sinks write bucketed)."""
+    orderkey to make this co-located (`sources/layout.py` implements that
+    layout; `bucketed_join_stats` is the shuffle-free twin)."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     return (
