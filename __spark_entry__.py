@@ -77,6 +77,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
     "lineitem_pricing_summary",
+    "revenue_by_priority",
+    "doc_pii_scrub",
     "doc_clean_basic",
     "doc_fingerprint",
     "topk_urgent_orders",

@@ -645,3 +645,31 @@ def test_ann_lsh_recall_invariants(spark, sf001_dir):
     assert sum(r["n_hits_two_band"] for r in rows) > sum(
         r["n_hits_one_band"] for r in rows
     )
+
+
+def test_duplicate_passage_planted_fixture(spark):
+    """Two docs sharing a 6-word passage are both flagged for exactly the
+    two 5-grams inside that passage; the disjoint doc stays at zero, and
+    a doc shorter than the gram width survives with n_grams == 0 (the
+    explode-loss regression this operator guards against)."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        duplicate_passage_stats,
+    )
+
+    shared = "the quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} tail alpha"),
+            (2, f"other beginning {shared} closing words"),
+            (3, "completely unrelated text with many different words here"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicate_passage_stats(docs).collect()}
+    # the 6-word shared passage contributes exactly 2 shared 5-grams
+    assert rows[1]["n_dup_grams"] == 2 and rows[2]["n_dup_grams"] == 2
+    assert rows[3]["n_dup_grams"] == 0 and rows[3]["dup_frac"] == 0.0
+    assert rows[4]["n_grams"] == 0 and rows[4]["dup_frac"] == 0.0
+    for r in (rows[1], rows[2]):
+        assert r["dup_frac"] == round(r["n_dup_grams"] / r["n_grams"], 4)

@@ -893,6 +893,167 @@ def _curation_sql_duckdb() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-passage census (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" — the approximate
+# passage-level analog).  Distinct from the existing family members:
+# `doc_repetition` measures WITHIN-doc repeats; the contamination queries
+# compare against a broadcast benchmark side; this one finds word
+# n-grams shared ACROSS corpus documents — the boilerplate/mirror signal
+# a pretraining pipeline subtracts before training.
+# ---------------------------------------------------------------------------
+
+PASSAGE_N = 5  # words per passage gram (Lee et al. use 50 BPE tokens;
+               # sized down for the short-doc fixture corpus — a knob)
+
+
+def _passage_grams(text_col) -> F.Column:
+    """Per-row DISTINCT word n-grams as an in-row array — a narrow
+    expression (split → slice windows → join), so the corpus-sized
+    explode below carries already-deduped grams and nothing else."""
+    words = F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda w: F.length(w) > 0
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (PASSAGE_N - 1)),
+        lambda i: F.array_join(F.slice(words, i, PASSAGE_N), " "),
+    )
+    # sequence(1, n) DESCENDS when n < 1 — guard short docs to empty
+    return F.array_distinct(
+        F.when(F.size(words) >= PASSAGE_N, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def duplicate_passage_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc count/fraction of passage grams that also occur in ≥1
+    OTHER document.
+
+    Scale shape: grams are deduped in-row (narrow) before the explode;
+    the (doc, gram) stream shuffles ONCE on ``xxhash64(gram)`` (8-byte
+    key, not the passage string) for the document-frequency groupBy
+    (map-side partials — a boilerplate gram held by millions of docs
+    still reduces to one row per partition before the shuffle).  The
+    dup-gram set then hash-joins back against the pair stream on the
+    same 8-byte key (AQE skew-splits hot grams), and the per-doc rollup
+    shuffles only doc_id + counts.  ``n_grams`` is computed in-row
+    before any shuffle, so gram-less docs survive with dup_frac 0.
+    """
+    per_doc = docs.select(
+        "doc_id",
+        _passage_grams(F.col(text_col)).alias("grams"),
+    ).withColumn("n_grams", F.size("grams"))
+    pairs = per_doc.select(
+        "doc_id",
+        # hash in-row BEFORE the explode so the generator emits 8-byte
+        # keys, never passage strings
+        F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias(
+            "gram_h"
+        ),
+    )
+    dup_grams = (
+        pairs.groupBy("gram_h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram_h")
+    )
+    dup_counts = (
+        pairs.join(dup_grams, "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    return (
+        per_doc.join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    (F.col("n_dup_grams") / F.col("n_grams")).cast(
+                        "decimal(18,10)"
+                    ),
+                    4,
+                ).cast("double")
+            ),
+        )
+    )
+
+
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup of the passage census (the dashboard a
+    curation run reads before choosing a removal threshold), plus the
+    flagged-doc count at the 50% level."""
+    docs = load(spark, sf_dir, "documents")
+    stats = duplicate_passage_stats(docs)
+    return stats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_dup_grams").alias("total_dup_grams"),
+        F.round(
+            F.avg(F.col("dup_frac").cast("decimal(18,10)")), 4
+        ).cast("double").alias("mean_dup_frac"),
+        F.sum(
+            F.when(F.col("dup_frac") >= 0.5, 1).otherwise(0)
+        ).alias("n_flagged"),
+    )
+
+
+ORACLE_DUPLICATE_PASSAGES = f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(words) >= {PASSAGE_N}
+                        THEN list_transform(
+                            range(1, len(words) - {PASSAGE_N} + 2),
+                            i -> array_to_string(
+                                list_slice(words, i, i + {PASSAGE_N} - 1), ' ')
+                        )
+                        ELSE [] END
+               ) AS grams
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       w -> len(w) > 0
+                   ) AS words
+            FROM documents
+        )
+    ),
+    sized AS (SELECT doc_id, grams, len(grams) AS n_grams FROM per_doc),
+    pairs AS (SELECT doc_id, unnest(grams) AS gram FROM sized),
+    dup_grams AS (
+        SELECT gram FROM pairs GROUP BY gram HAVING count(*) >= 2
+    ),
+    dup_counts AS (
+        SELECT doc_id, count(*) AS n_dup_grams
+        FROM pairs JOIN dup_grams USING (gram)
+        GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT s.doc_id, s.n_grams,
+               COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+               CASE WHEN s.n_grams = 0 THEN 0.0
+                    ELSE CAST(round(CAST(COALESCE(d.n_dup_grams, 0)::DOUBLE
+                              / s.n_grams AS DECIMAL(18,10)), 4) AS DOUBLE)
+               END AS dup_frac
+        FROM sized s LEFT JOIN dup_counts d USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_dup_grams) AS BIGINT) AS total_dup_grams,
+           CAST(round(avg(CAST(dup_frac AS DECIMAL(18,10))), 4) AS DOUBLE)
+               AS mean_dup_frac,
+           CAST(sum(CASE WHEN dup_frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM stats
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -902,6 +1063,7 @@ QUERIES = {
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "dedup_jaccard_candidates": q_dedup_jaccard_candidates,
     "dup_components": q_dup_components,
+    "duplicate_passages": q_duplicate_passages,
 }
 
 ORACLE_SQL = {
@@ -913,4 +1075,5 @@ ORACLE_SQL = {
     "dedup_simhash_hamming": ORACLE_SIMHASH_HAMMING,
     "dedup_jaccard_candidates": ORACLE_DEDUP_JACCARD,
     "dup_components": ORACLE_DUP_COMPONENTS,
+    "duplicate_passages": ORACLE_DUPLICATE_PASSAGES,
 }

@@ -614,6 +614,40 @@ def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the per-key row-count distribution
+    for events.user_id — the number you measure BEFORE choosing salting
+    granularity or AQE skew thresholds for a new join/agg key at 100 TB
+    (measure, don't guess; SCALE.md's mega-conversation defences were
+    sized from exactly this census on conv_id).
+
+    Shape: one map-side-partial groupBy on the key, then exact
+    percentiles over the |keys|-row count table — tiny relative to the
+    corpus, so the sort-based percentile is fine (swap in
+    approx_percentile when |keys| itself is huge)."""
+    events = load(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count("*").alias("n"))
+
+    def p(q, name):
+        return F.round(
+            F.percentile("n", q).cast("decimal(18,10)"), 4
+        ).cast("double").alias(name)
+
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_per_key"),
+        F.round(
+            (F.sum("n") / F.count("*")).cast("decimal(18,10)"), 4
+        ).cast("double").alias("avg_per_key"),
+        p(0.5, "p50_per_key"),
+        p(0.99, "p99_per_key"),
+        F.round(
+            (F.max("n") * F.count("*") / F.sum("n")).cast("decimal(18,10)"), 4
+        ).cast("double").alias("skew_ratio"),
+    )
+
+
 # --- Approximate distinct (HLL++) — rows-only: sketches are engine-specific;
 # accuracy is pinned by tests/test_search.py::test_approx_distinct_tolerance
 
@@ -640,6 +674,19 @@ ORACLE_SQL = {
                CAST(round(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p95,
                count(*) AS n_orders
         FROM orders
+    """,
+    "key_skew_profile": """
+        WITH per_key AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS total_rows,
+               max(n) AS max_per_key,
+               CAST(round(CAST(sum(n)::DOUBLE / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS avg_per_key,
+               CAST(round(CAST(quantile_cont(n, 0.50) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p50_per_key,
+               CAST(round(CAST(quantile_cont(n, 0.99) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p99_per_key,
+               CAST(round(CAST(max(n)::DOUBLE * count(*) / sum(n) AS DECIMAL(18,10)), 4) AS DOUBLE) AS skew_ratio
+        FROM per_key
     """,
     "big_spenders": f"""
         SELECT o_custkey, n_orders,
@@ -955,6 +1002,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "order_price_percentiles": q_order_price_percentiles,
+    "key_skew_profile": q_key_skew_profile,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
