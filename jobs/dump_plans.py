@@ -45,7 +45,7 @@ def main() -> None:
         ("revenue_by_priority (fact-fact join + agg)",
          "AQE picks broadcast at this scale; at 100 TB both sides are "
          "bucketed on orderkey so the join is co-located (see "
-         "sinks.write_turns_parquet).",
+         "sources/layout.py and the bucketed section below).",
          qs["revenue_by_priority"](spark, SF)),
         ("dedup_minhash_lsh (shuffle-free signatures → band-keyed census)",
          "Round-2 rewrite: minhash signatures are narrow per-row expressions\n"
@@ -75,7 +75,39 @@ def main() -> None:
          "output, and the one row-volume shuffle is the final doc_id\n"
          "rollup.  Pinned by `test_lm_score_vocab_broadcasts_into_token_stream`.",
          qs["doc_lm_score"](spark, SF)),
+        ("duplicate_passages (cross-doc passage census)",
+         "Grams are deduped AND hashed in-row, so the Generate emits\n"
+         "(doc_id, int64) pairs — never passage strings; the gram\n"
+         "document-frequency groupBy has a map-side partial below its\n"
+         "Exchange, and both the dup-gram set and the per-doc dup counts\n"
+         "ride BroadcastExchanges back into the row stream.  Pinned by\n"
+         "`test_duplicate_passages_hashes_before_explode`.",
+         qs["duplicate_passages"](spark, SF)),
     ]
+    # Bucketed co-located join: rendered eagerly under no-broadcast so the
+    # SortMergeJoin-with-zero-Exchange shape (the layout's whole point) is
+    # what's captured, without changing the other sections' planning.
+    from text_extractor_for_bioeconomic_products_spark.sources.layout import (
+        colocated_join,
+        ensure_bucketed_orders_lineitem,
+    )
+
+    o_name, l_name = ensure_bucketed_orders_lineitem(spark, SF)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed_plan = formatted_plan(colocated_join(spark, o_name, l_name))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    sections.append(
+        ("bucketed colocated join (write-once-join-many layout)",
+         "Both fact tables written `bucketBy(orderkey)` — the join plans as\n"
+         "SortMergeJoin with ZERO Exchange (the scans' bucket layout already\n"
+         "satisfies the join's distribution; `Bucketed: true` on both scans).\n"
+         "Captured with broadcast disabled to show the shape that matters at\n"
+         "100 TB, where neither fact side broadcasts.  Pinned by\n"
+         "`test_bucketed_join_no_shuffle`.",
+         bucketed_plan),
+    )
     out = [
         "# PLANS — formatted physical plans of flagship operators\n",
         "Captured with `.explain('formatted')` at sf0.01 (regenerate with\n"
@@ -85,7 +117,8 @@ def main() -> None:
     for title, note, df in sections:
         out.append(f"## {title}\n")
         out.append(note + "\n")
-        out.append("```\n" + formatted_plan(df).rstrip()[:6000] + "\n```\n")
+        plan = df if isinstance(df, str) else formatted_plan(df)
+        out.append("```\n" + plan.rstrip()[:6000] + "\n```\n")
     print("\n".join(out))
     spark.stop()
 

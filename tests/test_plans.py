@@ -325,3 +325,14 @@ def test_bucketed_join_no_shuffle(spark):
         assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in pp, pp
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def test_duplicate_passages_hashes_before_explode(spark):
+    """The passage census must (a) emit 8-byte gram hashes from the
+    generator itself — never passage strings — and (b) give the gram
+    document-frequency shuffle a map-side partial, so boilerplate grams
+    pre-reduce per partition before moving."""
+    p = plan_of(spark, "duplicate_passages")
+    assert "xxhash64" in p and "Generate explode(transform(grams" in p
+    assert "partial_count" in p
+    assert "hashpartitioning(gram_h" in p
