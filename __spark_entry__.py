@@ -79,6 +79,8 @@ _DEFERRED_STAPLES = [
     "lineitem_pricing_summary",
     "revenue_by_priority",
     "doc_pii_scrub",
+    "benchmark_contamination",
+    "top_tokens",
     "doc_clean_basic",
     "doc_fingerprint",
     "topk_urgent_orders",

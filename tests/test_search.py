@@ -673,3 +673,72 @@ def test_duplicate_passage_planted_fixture(spark):
     assert rows[4]["n_grams"] == 0 and rows[4]["dup_frac"] == 0.0
     for r in (rows[1], rows[2]):
         assert r["dup_frac"] == round(r["n_dup_grams"] / r["n_grams"], 4)
+
+
+def test_incremental_dedup_planted_fixture(spark):
+    """Batch admission outcomes, planted: a corpus copy is dropped as
+    dup_vs_corpus (even when normalization differs by whitespace), the
+    second of two identical new arrivals drops as dup_within_batch, and
+    the genuinely new doc is kept."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        incremental_dedup_census,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "standing corpus doc one"), (2, "another old doc")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Standing   corpus doc ONE"),   # normalizes to corpus #1
+            (11, "brand new arrival"),
+            (12, "brand new arrival"),            # within-batch dup of 11
+            (13, "totally distinct content"),
+        ],
+        "doc_id long, text string",
+    )
+    r = incremental_dedup_census(corpus, batch).collect()[0]
+    assert r["n_batch"] == 4
+    assert r["n_dup_vs_corpus"] == 1
+    assert r["n_dup_within"] == 1
+    assert r["n_kept"] == 2
+
+
+def test_quality_weighted_sample_deterministic_extremes(spark, tmp_path):
+    """p = min(1, words/100): a 100+-word doc is ALWAYS kept (u < 1 by
+    construction), a word-less doc NEVER is — and the census is
+    byte-identical under a different input partitioning (no rand() in
+    the coin; a reshuffled rerun must select the same corpus)."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (i, "w " * 120 if i % 3 == 0 else ("###" if i % 3 == 1 else "short doc here"), f"s{i % 2}")
+            for i in range(60)
+        ],
+        "doc_id long, text string, source string",
+    ).withColumn("lang", F.lit("en")).withColumn("n_chars", F.length("text"))
+    p1 = str(tmp_path / "p1")
+    docs.repartition(1).write.parquet(str(tmp_path / "p1" / "documents.parquet"))
+    p8 = str(tmp_path / "p8")
+    docs.repartition(8, "source").write.parquet(str(tmp_path / "p8" / "documents.parquet"))
+    q = entry_mod.queries()["quality_weighted_sample"]
+    a = sorted(map(tuple, q(spark, p1).collect()))
+    b = sorted(map(tuple, q(spark, p8).collect()))
+    assert a == b
+
+    from text_extractor_for_bioeconomic_products_spark.operators.curation import (
+        q_quality_weighted_sample,
+    )
+    # extremes via the census: sources hold mixed docs, so check via a
+    # dedicated frame — all-long docs => kept_frac 1.0; all-empty => 0.0
+    long_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    empty_docs = docs.filter(F.col("doc_id") % 3 == 1)
+    pl = str(tmp_path / "long"); pe = str(tmp_path / "empty")
+    long_docs.write.parquet(pl + "/documents.parquet")
+    empty_docs.write.parquet(pe + "/documents.parquet")
+    for r in q_quality_weighted_sample(spark, pl).collect():
+        assert r["kept_frac"] == 1.0 and r["mean_keep_prob"] == 1.0
+    for r in q_quality_weighted_sample(spark, pe).collect():
+        assert r["kept_frac"] == 0.0 and r["n_kept"] == 0

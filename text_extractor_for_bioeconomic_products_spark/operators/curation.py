@@ -347,6 +347,83 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level importance sampling: keep probability proportional to a
+    quality signal — the per-document companion to the source-level
+    temperature mixing (`source_mix_weights`).  A pretraining pipeline
+    uses exactly this to downsample low-quality documents smoothly
+    instead of hard-filtering at a threshold.
+
+    Keep probability p = min(1, n_words/100); the coin is the same
+    salted-md5 uniform as `train_val_test_split` — a pure function of
+    doc_id, so the SAMPLE ITSELF is deterministic across re-runs,
+    repartitions, and scale changes (no rand(): a reshuffled rerun would
+    silently select a different corpus).  Pure narrow map + one
+    |sources|-row aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )
+    p = F.least(F.lit(1.0), F.size(words) / F.lit(100.0))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qsamp:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+    kept = F.when(u < p, 1).otherwise(0)
+    return (
+        docs.select("source", p.alias("p"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.avg(F.col("p").cast("decimal(18,10)")), 4)
+            .cast("double")
+            .alias("mean_keep_prob"),
+            F.round(
+                (F.sum("kept") / F.count("*")).cast("decimal(18,10)"), 4
+            )
+            .cast("double")
+            .alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_WEIGHTED_SAMPLE = """
+    WITH scored AS (
+        SELECT source,
+               least(1.0, len(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   w -> len(w) > 0)) / 100.0) AS p,
+               CASE WHEN (CAST(('0x' || substr(md5('qsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 1000000) / 1000000.0
+                         < least(1.0, len(list_filter(
+                               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               w -> len(w) > 0)) / 100.0)
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(round(avg(CAST(p AS DECIMAL(18,10))), 4) AS DOUBLE) AS mean_keep_prob,
+           CAST(round(CAST(sum(kept)::DOUBLE / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS kept_frac
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 ORACLE_TRAIN_VAL_TEST_SPLIT = """
     WITH assigned AS (
         SELECT lang,
@@ -372,6 +449,7 @@ ORACLE_TRAIN_VAL_TEST_SPLIT = """
 
 ORACLE_SQL = {
     "train_val_test_split": ORACLE_TRAIN_VAL_TEST_SPLIT,
+    "quality_weighted_sample": ORACLE_QUALITY_WEIGHTED_SAMPLE,
     "source_mix_weights": ORACLE_SOURCE_MIX,
     "sequence_packing": f"""
         -- CAST(sum AS BIGINT): DuckDB sum(BIGINT) yields HUGEINT; Spark yields BIGINT.
@@ -456,6 +534,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "train_val_test_split": q_train_val_test_split,
+    "quality_weighted_sample": q_quality_weighted_sample,
     "source_mix_weights": q_source_mix_weights,
     "sequence_packing": q_sequence_packing,
     "doc_pii_scrub": q_doc_pii_scrub,

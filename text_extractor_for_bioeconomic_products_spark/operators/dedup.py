@@ -1054,6 +1054,99 @@ ORACLE_DUPLICATE_PASSAGES = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental (cross-run) dedup: the daily-ingest operation — a new
+# batch of arrivals is admitted only where its content hash is unseen in
+# the standing corpus AND first-of-hash within the batch.  The reference
+# processes directories batch-at-a-time with no memory across runs
+# (src/core/direct_batch_process.py re-reads everything); at 100 TB the
+# standing corpus IS the state, and the admission check must be a join,
+# not a rescan.
+# ---------------------------------------------------------------------------
+
+NEW_BATCH_MOD = 5  # doc_id % 5 == 0 → the "new arrivals" batch (~20%)
+
+
+def incremental_dedup_census(
+    corpus: DataFrame, batch: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Admission census for a new batch against a standing corpus.
+
+    Scale shape: both sides reduce to 32-hex content hashes (uniform
+    key, no skew).  The membership join and the within-batch keep-first
+    window both key on that SAME hash, so the window reuses the join's
+    hash partitioning — one shuffle of the batch, one of the corpus's
+    distinct hashes (at 100 TB the corpus side is the pre-materialized
+    hash index a real deployment maintains incrementally, not a rescan).
+    """
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    corpus_h = corpus.select(F.md5(norm).alias("h")).distinct()
+    batch_h = batch.select("doc_id", F.md5(norm).alias("h"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")
+    )
+    flagged = (
+        batch_h.join(
+            corpus_h.withColumn("in_corpus", F.lit(1)), "h", "left"
+        )
+        .withColumn("rn", rn)
+        .select(
+            F.when(F.col("in_corpus").isNotNull(), "dup_vs_corpus")
+            .when(F.col("rn") > 1, "dup_within_batch")
+            .otherwise("kept")
+            .alias("outcome"),
+        )
+    )
+    return flagged.agg(
+        F.count("*").alias("n_batch"),
+        F.sum(F.when(F.col("outcome") == "dup_vs_corpus", 1).otherwise(0)).alias(
+            "n_dup_vs_corpus"
+        ),
+        F.sum(
+            F.when(F.col("outcome") == "dup_within_batch", 1).otherwise(0)
+        ).alias("n_dup_within"),
+        F.sum(F.when(F.col("outcome") == "kept", 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents split deterministically into standing corpus
+    (doc_id % NEW_BATCH_MOD != 0) and new arrivals (== 0)."""
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    return incremental_dedup_census(corpus, batch)
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,
+               (doc_id % {NEW_BATCH_MOD} = 0) AS is_batch
+        FROM documents
+    ),
+    corpus_h AS (SELECT DISTINCT h FROM hashed WHERE NOT is_batch),
+    b AS (
+        SELECT doc_id, h,
+               h IN (SELECT h FROM corpus_h) AS in_corpus,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM hashed WHERE is_batch
+    )
+    SELECT count(*) AS n_batch,
+           CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_vs_corpus,
+           CAST(sum(CASE WHEN NOT in_corpus AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_within,
+           CAST(sum(CASE WHEN NOT in_corpus AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -1064,6 +1157,7 @@ QUERIES = {
     "dedup_jaccard_candidates": q_dedup_jaccard_candidates,
     "dup_components": q_dup_components,
     "duplicate_passages": q_duplicate_passages,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLE_SQL = {
@@ -1076,4 +1170,5 @@ ORACLE_SQL = {
     "dedup_jaccard_candidates": ORACLE_DEDUP_JACCARD,
     "dup_components": ORACLE_DUP_COMPONENTS,
     "duplicate_passages": ORACLE_DUPLICATE_PASSAGES,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
 }
