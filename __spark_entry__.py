@@ -81,6 +81,7 @@ _DEFERRED_STAPLES = [
     "doc_pii_scrub",
     "benchmark_contamination",
     "top_tokens",
+    "dedup_simhash",
     "doc_clean_basic",
     "doc_fingerprint",
     "topk_urgent_orders",

@@ -336,3 +336,14 @@ def test_duplicate_passages_hashes_before_explode(spark):
     assert "xxhash64" in p and "Generate explode(transform(grams" in p
     assert "partial_count" in p
     assert "hashpartitioning(gram_h" in p
+
+
+def test_ann_ivf_recall_limits_before_shuffle(spark):
+    """Both corpus-sized recall paths (exact + probed-cell IVF) must plan
+    a PARTIAL WindowGroupLimit below their query_id shuffle — same
+    O(k·|queries|) contract as the LSH ledger.  (The n_probe cell
+    ranking is a third window but runs on the tiny centroid×query
+    frame.)"""
+    p = plan_of(spark, "ann_ivf_recall")
+    assert p.count("row_number(), 10, Partial") == 2, p
+    assert p.count("row_number(), 10, Final") == 2, p

@@ -734,12 +734,160 @@ ORACLE_ANN_LSH_RECALL = f"""
 """
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the IVF path (n_probe nearest cells) vs the
+    exact baseline — the IVF twin of ``ann_lsh_recall``: EVERY
+    approximate path ships with its recall measured on the same corpus,
+    so the n_probe/centroid-quality trade-off is a number, not a claim.
+
+    Plan shape: centroids and the query block are both tiny — the
+    per-query cell ranking runs on a |cells|×|queries| frame; the corpus
+    is touched once per path (exact crossJoin + probed-cell join, both
+    query sides broadcast) and each path WindowGroupLimits to k rows per
+    query before its shuffle, so the recall join is O(k·|queries|) at
+    any corpus size.  Cell-similarity ordering compares the 4-decimal
+    rounded value (engine-portable tie behavior), label as tie-break.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_RECALL)
+        .select("query_id", "vec_id")
+    )
+
+    cents = ivf_centroids(emb)
+    wc = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "label",
+            F.round(cosine(F.col("centroid"), F.col("q_embedding")), 4).alias("c_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("query_id", "label")
+    )
+    ivf = (
+        emb.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_RECALL)
+        .select(
+            F.col("query_id").alias("i_qid"), F.col("vec_id").alias("i_vid")
+        )
+    )
+    joined = exact.join(
+        ivf,
+        (exact.query_id == ivf.i_qid) & (exact.vec_id == ivf.i_vid),
+        "left",
+    )
+    hit = F.when(F.col("i_vid").isNotNull(), 1).otherwise(0)
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(hit).alias("n_hits"),
+            F.round(
+                (F.sum(hit) / F.count("*")).cast("decimal(18,10)"), 4
+            ).cast("double").alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_IVF_RECALL = f"""
+    WITH cents AS (
+        SELECT label, list(m ORDER BY dim) AS centroid
+        FROM (
+            SELECT label, dim, avg(v) AS m
+            FROM (
+                SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings
+            )
+            GROUP BY label, dim
+        )
+        GROUP BY label
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding
+        FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}
+    ),
+    probed AS (
+        SELECT query_id, label FROM (
+            SELECT q.query_id, c.label,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DUCK_CENT_DOT} / ({_DUCK_CENT_NORM} * {_DUCK_NORM_Q}), 4) DESC,
+                                c.label ASC
+                   ) AS rk
+            FROM cents c, q
+        ) WHERE rk <= {N_PROBE}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) DESC,
+                                e.vec_id ASC
+                   ) AS rk
+            FROM embeddings e, q
+            WHERE e.vec_id != q.query_id
+        ) WHERE rk <= {K_RECALL}
+    ),
+    ivf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) DESC,
+                                e.vec_id ASC
+                   ) AS rk
+            FROM embeddings e
+            JOIN probed p ON e.label = p.label
+            JOIN q ON q.query_id = p.query_id
+            WHERE e.vec_id != q.query_id
+        ) WHERE rk <= {K_RECALL}
+    )
+    -- CAST wraps each sum: DuckDB sum(INTEGER) yields HUGEINT
+    SELECT x.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_at_k
+    FROM exact x
+    LEFT JOIN ivf i ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+"""
+
+
 QUERIES = {
     "ann_brute_force": q_ann_brute_force,
     "ann_batch_topk": q_ann_batch_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dup_stats": q_embedding_near_dup_stats,
 }
@@ -750,6 +898,7 @@ ORACLE_SQL = {
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_lsh_recall": ORACLE_ANN_LSH_RECALL,
+    "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
     "embedding_near_dup_stats": ORACLE_EMBEDDING_NEAR_DUP_STATS,
 }
