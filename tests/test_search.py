@@ -513,7 +513,7 @@ def test_lm_score_oov_and_surprisal_behavior(spark, sf001_dir):
     assert hi and lo and statistics.mean(hi) > statistics.mean(lo)
 
 
-def test_train_val_test_split_stable_and_proportioned(spark, sf001_dir):
+def test_train_val_test_split_stable_and_proportioned(spark, sf001_dir, tmp_path):
     """The split is a pure function of doc_id: identical under different
     input partitionings (the no-leakage-over-time property), covers all
     three splits, and lands near 80/10/10."""
@@ -522,10 +522,15 @@ def test_train_val_test_split_stable_and_proportioned(spark, sf001_dir):
 
     q = entry_mod.queries()["train_val_test_split"]
     base = q(spark, sf001_dir).collect()
-    # repartition the source and recompute — byte-identical census
-    docs = load(spark, sf001_dir, "documents").repartition(7)
-    docs.createOrReplaceTempView("_tvs_docs")
-    again = q(spark, sf001_dir).collect()
+    # ACTUALLY reshuffle the source on disk and recompute from the new
+    # layout — byte-identical census.  (An in-memory repartition the
+    # query never reads would make this check vacuous: the query loads
+    # from sf_dir, so the differently-partitioned copy must BE an sf dir.)
+    alt = str(tmp_path / "alt_sf")
+    load(spark, sf001_dir, "documents").repartition(7, "lang").write.parquet(
+        alt + "/documents.parquet"
+    )
+    again = q(spark, alt).collect()
     assert base == again
     totals = {}
     for r in base:

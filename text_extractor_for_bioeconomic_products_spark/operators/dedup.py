@@ -118,12 +118,18 @@ def minhash_band_census(docs: DataFrame) -> DataFrame:
     on the band key — the same scale shape as the one-band version, with b×
     the shuffle rows."""
     sigs = minhash_signatures(docs)
+    # generic over r=LSH_BAND_ROWS so the constants can move without the
+    # key construction (or its oracle twin below) silently desyncing
     bands = F.array(*[
         F.concat(
             F.lit(f"{b}:"),
-            F.substring(f"sig_{LSH_BAND_ROWS * b}", 1, 8),
-            F.lit("|"),
-            F.substring(f"sig_{LSH_BAND_ROWS * b + 1}", 1, 8),
+            F.concat_ws(
+                "|",
+                *[
+                    F.substring(f"sig_{LSH_BAND_ROWS * b + j}", 1, 8)
+                    for j in range(LSH_BAND_ROWS)
+                ],
+            ),
         )
         for b in range(N_LSH_BANDS)
     ])
@@ -155,10 +161,16 @@ def _minhash_sql_duckdb(n_hashes: int = N_MINHASH) -> str:
 
 
 def _minhash_band_union_sql() -> str:
+    # stride mirrors the Spark side's LSH_BAND_ROWS (NOT a literal 2):
+    # both sides iterate the same r rows per band by construction
     selects = [
-        f"""SELECT '{b}:' || substr(sig_{2 * b}, 1, 8) || '|' ||
-                   substr(sig_{2 * b + 1}, 1, 8) AS band
-            FROM sigs"""
+        "SELECT '{}:' || {} AS band FROM sigs".format(
+            b,
+            " || '|' || ".join(
+                f"substr(sig_{LSH_BAND_ROWS * b + j}, 1, 8)"
+                for j in range(LSH_BAND_ROWS)
+            ),
+        )
         for b in range(N_LSH_BANDS)
     ]
     return " UNION ALL ".join(selects)
@@ -1131,8 +1143,13 @@ ORACLE_INCREMENTAL_DEDUP = f"""
     ),
     corpus_h AS (SELECT DISTINCT h FROM hashed WHERE NOT is_batch),
     b AS (
+        -- EXISTS, not IN: 'h IN (...)' is NULL (not false) when h is
+        -- NULL or corpus_h holds a NULL (a NULL-text doc), which would
+        -- silently drop rows from every outcome bucket; EXISTS with an
+        -- equality matches Spark's left-join-miss semantics exactly
         SELECT doc_id, h,
-               h IN (SELECT h FROM corpus_h) AS in_corpus,
+               EXISTS (SELECT 1 FROM corpus_h c WHERE c.h = hashed.h)
+                   AS in_corpus,
                row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
         FROM hashed WHERE is_batch
     )

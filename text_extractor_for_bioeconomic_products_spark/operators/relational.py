@@ -202,7 +202,10 @@ def q_user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-summation-order divergence between engines)."""
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dec = F.round(F.col("value"), 4).cast("decimal(18,4)")
+    # decimal(18,10) BEFORE the round — the repo's cross-engine idiom
+    # (rounding the raw double can flip the 4th decimal vs the oracle's
+    # decimal-chain on boundary values)
+    dec = F.round(F.col("value").cast("decimal(18,10)"), 4).cast("decimal(18,4)")
     return (
         events.select(
             "user_id",

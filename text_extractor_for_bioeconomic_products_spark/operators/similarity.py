@@ -565,6 +565,46 @@ ORACLE_ANN_IVF = f"""
 K_RECALL = 10
 
 
+def _recall_query_block(emb: DataFrame) -> DataFrame:
+    """The broadcast-sized query block both ledgers evaluate against."""
+    return emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+
+
+def _recall_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+
+
+def _exact_topk(emb: DataFrame, q: DataFrame) -> DataFrame:
+    """Exact per-query top-k baseline — shared by BOTH recall ledgers so
+    the ground truth (scoring, rounding, tie-break) can never
+    desynchronize between them."""
+    w = _recall_window()
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_RECALL)
+        .select("query_id", "vec_id")
+    )
+
+
+def _recall_expr(hit) -> Column:
+    """The shared recall ratio rounding (decimal-chain, engine-portable)."""
+    return F.round(
+        (F.sum(hit) / F.count("*")).cast("decimal(18,10)"), 4
+    ).cast("double")
+
+
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@k of LSH-bucketed ANN against brute force — the
     "measure, don't guess" companion to ``ann_lsh``: approximate search
@@ -579,25 +619,10 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch ≤ 3·k·|queries| rows regardless of corpus size.  At 100 TB
     this runs on a sampled query block the same way.
     """
-    from pyspark.sql import Window
-
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-
-    exact = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= K_RECALL)
-        .select("query_id", "vec_id")
-    )
+    q = _recall_query_block(emb)
+    w = _recall_window()
+    exact = _exact_topk(emb, q)
 
     corpus = emb.select(
         "vec_id", "embedding",
@@ -649,11 +674,7 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit1 = F.when(F.col("b1_vid").isNotNull(), 1).otherwise(0)
     hit2 = F.when(F.col("b2_vid").isNotNull(), 1).otherwise(0)
-
-    def recall(hit):
-        return F.round(
-            (F.sum(hit) / F.count("*")).cast("decimal(18,10)"), 4
-        ).cast("double")
+    recall = _recall_expr
 
     return (
         joined.groupBy("query_id")
@@ -751,22 +772,9 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-
-    exact = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= K_RECALL)
-        .select("query_id", "vec_id")
-    )
+    q = _recall_query_block(emb)
+    w = _recall_window()
+    exact = _exact_topk(emb, q)
 
     cents = ivf_centroids(emb)
     wc = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("label"))
@@ -805,9 +813,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_exact"),
             F.sum(hit).alias("n_hits"),
-            F.round(
-                (F.sum(hit) / F.count("*")).cast("decimal(18,10)"), 4
-            ).cast("double").alias("recall_at_k"),
+            _recall_expr(hit).alias("recall_at_k"),
         )
         .orderBy("query_id")
     )

@@ -170,7 +170,12 @@ def q_purchase_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_purchase = pairs.groupBy("purchase_id").agg(
         F.count("*").alias("n_followups"),
-        F.sum(F.round(F.col("match.value"), 4).cast("decimal(18,4)")).alias("_vsum"),
+        # decimal(18,10) before the round: the cross-engine rounding idiom
+        F.sum(
+            F.round(F.col("match.value").cast("decimal(18,10)"), 4).cast(
+                "decimal(18,4)"
+            )
+        ).alias("_vsum"),
     )
     return (
         purchases.join(per_purchase, "purchase_id", "left")
@@ -214,7 +219,9 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof.event_id").alias("touch_event_id"),
             F.col("asof.event_type").alias("touch_type"),
             F.col("asof.ts").alias("touch_ts"),
-            F.round(F.col("asof.value"), 4).alias("touch_value"),
+            F.round(F.col("asof.value").cast("decimal(18,10)"), 4)
+            .cast("double")
+            .alias("touch_value"),
         )
         .orderBy("purchase_id")
     )

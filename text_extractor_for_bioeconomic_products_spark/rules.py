@@ -18,6 +18,7 @@ environment, or filesystem.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 import html as _html
 import re
 from functools import lru_cache as _lru_cache
@@ -928,7 +929,16 @@ SPAN_FIELDS = [
 ]
 
 
-@_lru_cache(maxsize=32768)
+# Keyed by md5 DIGEST of the paragraph, not the paragraph itself: an
+# lru_cache on the raw string would pin up to 32768 full paragraph
+# texts per executor worker for the process lifetime (GBs on a
+# large-paragraph corpus).  16-byte keys + small tuples keep the same
+# hit-rate win at bounded memory; on overflow the cache epoch-resets
+# (paragraph repetition is bursty/local, so a clear loses little).
+_PARA_CACHE: Dict[bytes, Tuple[Tuple[str, ...], Tuple[str, ...]]] = {}
+_PARA_CACHE_MAX = 32768
+
+
 def _paragraph_features(para_lower: str) -> Tuple[Tuple[str, ...], Tuple[str, ...]]:
     """Per-paragraph use types (VALID_USE_TYPES order) and validated
     Pan-Amazon countries, cached ACROSS rows — conversation corpora repeat
@@ -942,6 +952,10 @@ def _paragraph_features(para_lower: str) -> Tuple[Tuple[str, ...], Tuple[str, ..
     over paragraphs equals the whole-document scan
     (tests/test_rules.py::test_paragraph_cache_matches_document_scan).
     """
+    key = _hashlib.md5(para_lower.encode("utf-8", "surrogatepass")).digest()
+    hit = _PARA_CACHE.get(key)
+    if hit is not None:
+        return hit
     uses = tuple(
         u for u in VALID_USE_TYPES[:-1]
         if _USE_CONTEXT_LOWER_RES[u].search(para_lower)
@@ -954,7 +968,11 @@ def _paragraph_features(para_lower: str) -> Tuple[Tuple[str, ...], Tuple[str, ..
     countries.update(
         canon for form, canon in PT_COUNTRY_FORMS.items() if form in para_lower
     )
-    return uses, tuple(sorted(countries))
+    result = (uses, tuple(sorted(countries)))
+    if len(_PARA_CACHE) >= _PARA_CACHE_MAX:
+        _PARA_CACHE.clear()
+    _PARA_CACHE[key] = result
+    return result
 
 
 def tag_product_spans(clean_text: Optional[str]) -> List[Dict[str, Any]]:

@@ -68,11 +68,22 @@ def ensure_bucketed_orders_lineitem(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str]:
     """Materialize orders + lineitem bucketed on the orderkey, once per
-    scale factor (external tables under the system temp dir so repeated
-    query runs overwrite deterministically instead of accreting)."""
+    (session, scale factor) — the write-once half of the layout's
+    pay-the-shuffle-once contract: repeat calls (every correctness-sweep
+    run of `bucketed_join_stats`) find the catalog entry and skip
+    straight to the shuffle-free join.
+
+    The external path includes the Spark applicationId so concurrent
+    sessions (parallel pytest workers, a sweep next to dump_plans) never
+    overwrite each other's bucket files mid-read."""
     tag = _sf_tag(sf_dir)
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", tag)
     o_name, l_name = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    if spark.catalog.tableExists(o_name) and spark.catalog.tableExists(l_name):
+        return o_name, l_name
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bucketed", app_id, tag
+    )
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     write_bucketed(orders, o_name, "o_orderkey", path=os.path.join(base, "orders"))
