@@ -278,13 +278,29 @@ def test_gopher_rules_are_narrow(spark):
 
 
 def test_ann_recall_limits_before_shuffle(spark):
-    """All three recall paths (exact + one-band LSH + two-band LSH) must
-    plan a PARTIAL WindowGroupLimit below their query_id shuffle, so only
-    k rows per query leave each partition — the property that makes the
-    recall joins O(k·|queries|) at any corpus size."""
+    """All four recall paths (exact + one-band LSH + two-band LSH +
+    Hamming-1 multi-probe) must plan a PARTIAL WindowGroupLimit below
+    their query_id shuffle, so only k rows per query leave each partition
+    — the property that makes the recall joins O(k·|queries|) at any
+    corpus size."""
     p = plan_of(spark, "ann_lsh_recall")
-    assert p.count("row_number(), 10, Partial") == 3, p
-    assert p.count("row_number(), 10, Final") == 3, p
+    assert p.count("row_number(), 10, Partial") == 4, p
+    assert p.count("row_number(), 10, Final") == 4, p
+
+
+def test_ann_multiprobe_corpus_not_exploded(spark):
+    """ann_lsh_multiprobe's scale contract: the probe fan-out lives on
+    the broadcast (query) side ONLY.  The corpus plan keeps one row per
+    vector — any Generate/explode in the plan must sit under the
+    BroadcastExchange, never on the streamed corpus side — and the
+    candidate join is a single BroadcastHashJoin."""
+    p = plan_of(spark, "ann_lsh_multiprobe")
+    assert "BroadcastHashJoin" in p, p
+    # exactly one explode (the probe keys), planned below the broadcast
+    assert p.count("Generate explode") == 1, p
+    bcast_pos = p.find("BroadcastExchange")
+    gen_pos = p.find("Generate explode")
+    assert bcast_pos != -1 and gen_pos > bcast_pos, (bcast_pos, gen_pos, p)
 
 
 def test_bucketed_join_no_shuffle(spark):

@@ -644,10 +644,28 @@ def test_ann_lsh_recall_invariants(spark, sf001_dir):
             abs(r["recall_two_band"] - round(r["n_hits_two_band"] / r["n_exact"], 4))
             < 1e-12
         )
+        assert 0 <= r["n_hits_multiprobe"] <= K_RECALL
+        # Hamming-1 probes include the exact bucket, so the multiprobe
+        # candidate set is a superset of the one-band set; with a fixed k
+        # and true-score ranking, recall@k is monotone in the candidate
+        # set (anything that displaces a hit scores higher, so it is
+        # itself an exact-top-k member).
+        assert r["n_hits_multiprobe"] >= r["n_hits_one_band"]
+        assert (
+            abs(
+                r["recall_multiprobe"]
+                - round(r["n_hits_multiprobe"] / r["n_exact"], 4)
+            )
+            < 1e-12
+        )
     assert any(r["recall_one_band"] < 1.0 for r in rows)
     # The second band must actually lift recall somewhere on this corpus,
     # otherwise the multi-band lever is vacuous here.
     assert sum(r["n_hits_two_band"] for r in rows) > sum(
+        r["n_hits_one_band"] for r in rows
+    )
+    # ... and so must the probe fan-out, else multiprobe is vacuous here.
+    assert sum(r["n_hits_multiprobe"] for r in rows) > sum(
         r["n_hits_one_band"] for r in rows
     )
 

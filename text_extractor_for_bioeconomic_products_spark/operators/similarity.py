@@ -259,6 +259,74 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load(spark, sf_dir, "embeddings"))
 
 
+# Multi-probe LSH (round 3, late): the OTHER recall lever.  Multi-band
+# OR-ing buys recall by exploding the CORPUS (N_BANDS rows per vector —
+# at 100 TB that doubles the bucketed table and its shuffle).  Multi-probe
+# buys recall by exploding the QUERY side instead: each query probes its
+# own bucket plus every Hamming-1 neighbor (flip one plane bit), i.e. the
+# buckets a borderline vector most plausibly fell into (Lv et al.,
+# "Multi-Probe LSH", VLDB'07).  Corpus stays ONE row per vector; the probe
+# fan-out multiplies only the broadcast-sized query block.  Probe keys are
+# 1+N_PLANES distinct ints, and each corpus row carries exactly one
+# bucket, so a candidate can match at most one probe — no dedup shuffle
+# needed before scoring.
+PROBE_XORS = [0] + [1 << p for p in range(N_PLANES)]
+
+
+def lsh_probe_keys(bucket: Column) -> Column:
+    """Array of Hamming-≤1 probe buckets for a query's bucket key."""
+    return F.array(*[bucket.bitwiseXOR(F.lit(x)) for x in PROBE_XORS])
+
+
+def ann_lsh_multiprobe_topk(
+    embeddings: DataFrame, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """ANN via single-band LSH with Hamming-1 multi-probe on the query.
+
+    At 100 TB: the corpus-side plan is a narrow map to (vec_id, bucket)
+    — half the exploded footprint of the two-band path — and ONE
+    broadcast hash join against (1+N_PLANES)·|queries| probe rows.
+    Candidate volume per query ≈ (1+N_PLANES)·corpus/2^N_PLANES; widen
+    N_PLANES to keep buckets bounded, and the probe count stays the
+    recall dial that costs no corpus bytes.
+    """
+    corpus = embeddings.select(
+        "vec_id", "label", "embedding",
+        lsh_bucket_column(F.col("embedding")).alias("bucket"),
+    )
+    q = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("embedding").alias("q_embedding"),
+            lsh_bucket_column(F.col("embedding")).alias("qb"),
+        )
+        .select(
+            "q_embedding",
+            F.explode(lsh_probe_keys(F.col("qb"))).alias("probe"),
+        )
+    )
+    cands = corpus.join(
+        F.broadcast(q), corpus.bucket == q.probe
+    ).filter(F.col("vec_id") != query_vec_id)
+    return (
+        cands.select(
+            "vec_id", "label",
+            F.round(cosine(F.col("embedding"), F.col("q_embedding")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_multiprobe_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _probe_predicate_sql(lhs: str = "e.b0", rhs: str = "q.b0") -> str:
+    """OR-of-xors membership test mirroring ``lsh_probe_keys``."""
+    return " OR ".join(f"{lhs} = xor({rhs}, {x})" for x in PROBE_XORS)
+
+
 def _lsh_sql_duckdb(n_planes: int = N_PLANES, seed_prefix: str = "plane") -> str:
     planes = _hyperplanes(n_planes, seed_prefix=seed_prefix)
     terms = []
@@ -284,6 +352,22 @@ ORACLE_ANN_LSH = f"""
            round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) AS cos_sim
     FROM bucketed e, q
     WHERE (e.b0 = q.b0 OR e.b1 = q.b1) AND e.vec_id != {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+ORACLE_ANN_LSH_MULTIPROBE = f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding,
+               {_lsh_sql_duckdb()} AS b0
+        FROM embeddings
+    ),
+    q AS (SELECT embedding, b0 FROM bucketed WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) AS cos_sim
+    FROM bucketed e, q
+    WHERE ({_probe_predicate_sql()}) AND e.vec_id != {QUERY_VEC_ID}
     ORDER BY cos_sim DESC, e.vec_id ASC
     LIMIT {TOP_K}
 """
@@ -609,9 +693,10 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@k of LSH-bucketed ANN against brute force — the
     "measure, don't guess" companion to ``ann_lsh``: approximate search
     is only shippable with its recall measured on the same corpus.
-    Reported for BOTH one band (the pre-round-3 path; measured 0.0–0.3
-    here) and the shipped two-band union, so the multi-band recall lever
-    is an oracle-checked number, not a claim.
+    Reported for one band (the pre-round-3 path; measured 0.0–0.3
+    here), the shipped two-band union, AND the Hamming-1 multi-probe
+    path, so both recall levers (more corpus rows vs more query probes)
+    are oracle-checked numbers side by side, not claims.
 
     Plan shape: the query block is broadcast to every path (exact
     scoring crossJoin + banded-bucket joins); each path keeps k rows per
@@ -659,6 +744,41 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # third path: single-band Hamming-1 multi-probe (ann_lsh_multiprobe's
+    # plan) — corpus NOT exploded, probe fan-out on the broadcast side
+    # only.  Probe keys are distinct and each corpus row has one bucket,
+    # so no dedup is needed before the top-k window.
+    cmp_ = emb.select(
+        "vec_id", "embedding",
+        lsh_bucket_column(F.col("embedding")).alias("bucket"),
+    )
+    qmp = (
+        q.select(
+            "query_id", "q_embedding",
+            lsh_bucket_column(F.col("q_embedding")).alias("qb"),
+        )
+        .select(
+            "query_id", "q_embedding",
+            F.explode(lsh_probe_keys(F.col("qb"))).alias("probe"),
+        )
+    )
+    h3 = (
+        cmp_.join(F.broadcast(qmp), cmp_.bucket == qmp.probe)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                cosine(F.col("embedding"), F.col("q_embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_RECALL)
+        .select(
+            F.col("query_id").alias("mp_qid"),
+            F.col("vec_id").alias("mp_vid"),
+        )
+    )
+
     h1, h2 = lsh_topk(1, "b1"), lsh_topk(N_BANDS, "b2")
     joined = (
         exact.join(
@@ -671,9 +791,15 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (exact.query_id == h2.b2_qid) & (exact.vec_id == h2.b2_vid),
             "left",
         )
+        .join(
+            h3,
+            (exact.query_id == h3.mp_qid) & (exact.vec_id == h3.mp_vid),
+            "left",
+        )
     )
     hit1 = F.when(F.col("b1_vid").isNotNull(), 1).otherwise(0)
     hit2 = F.when(F.col("b2_vid").isNotNull(), 1).otherwise(0)
+    hit3 = F.when(F.col("mp_vid").isNotNull(), 1).otherwise(0)
     recall = _recall_expr
 
     return (
@@ -682,8 +808,10 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_exact"),
             F.sum(hit1).alias("n_hits_one_band"),
             F.sum(hit2).alias("n_hits_two_band"),
+            F.sum(hit3).alias("n_hits_multiprobe"),
             recall(hit1).alias("recall_one_band"),
             recall(hit2).alias("recall_two_band"),
+            recall(hit3).alias("recall_multiprobe"),
         )
         .orderBy("query_id")
     )
@@ -735,6 +863,18 @@ ORACLE_ANN_LSH_RECALL = f"""
             FROM bucketed e JOIN q ON (e.b0 = q.b0 OR e.b1 = q.b1)
             WHERE e.vec_id != q.query_id
         ) WHERE rk <= {K_RECALL}
+    ),
+    lshmp AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q}), 4) DESC,
+                                e.vec_id ASC
+                   ) AS rk
+            FROM bucketed e JOIN q ON ({_probe_predicate_sql()})
+            WHERE e.vec_id != q.query_id
+        ) WHERE rk <= {K_RECALL}
     )
     -- CAST wraps each sum: DuckDB sum(INTEGER) yields HUGEINT
     SELECT x.query_id,
@@ -743,13 +883,18 @@ ORACLE_ANN_LSH_RECALL = f"""
                AS n_hits_one_band,
            CAST(sum(CASE WHEN l2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_hits_two_band,
+           CAST(sum(CASE WHEN lm.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits_multiprobe,
            CAST(round(CAST(sum(CASE WHEN l1.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
                       / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_one_band,
            CAST(round(CAST(sum(CASE WHEN l2.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_two_band
+                      / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_two_band,
+           CAST(round(CAST(sum(CASE WHEN lm.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_multiprobe
     FROM exact x
     LEFT JOIN lsh1 l1 ON x.query_id = l1.query_id AND x.vec_id = l1.vec_id
     LEFT JOIN lsh2 l2 ON x.query_id = l2.query_id AND x.vec_id = l2.vec_id
+    LEFT JOIN lshmp lm ON x.query_id = lm.query_id AND x.vec_id = lm.vec_id
     GROUP BY x.query_id
     ORDER BY x.query_id
 """
@@ -891,6 +1036,7 @@ QUERIES = {
     "ann_brute_force": q_ann_brute_force,
     "ann_batch_topk": q_ann_batch_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -902,6 +1048,7 @@ ORACLE_SQL = {
     "ann_brute_force": ORACLE_ANN_BRUTE_FORCE,
     "ann_batch_topk": ORACLE_ANN_BATCH_TOPK,
     "ann_lsh": ORACLE_ANN_LSH,
+    "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_lsh_recall": ORACLE_ANN_LSH_RECALL,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
