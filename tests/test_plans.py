@@ -303,6 +303,15 @@ def test_ann_multiprobe_corpus_not_exploded(spark):
     assert bcast_pos != -1 and gen_pos > bcast_pos, (bcast_pos, gen_pos, p)
 
 
+def test_semantic_dedup_pair_join_cluster_local(spark):
+    """semantic_dedup's scale contract: the duplicate-pair join shuffles
+    on the CLUSTER key (pair work is cluster-local, never all-pairs) and
+    the tiny cluster-size table reaches the output via broadcast."""
+    p = plan_of(spark, "semantic_dedup")
+    assert "hashpartitioning(cluster" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
 def test_bucketed_join_no_shuffle(spark):
     """Two fact tables bucketed on the orderkey with the same bucket
     count ⇒ the equi-join is MAP-SIDE: SortMergeJoin with zero Exchange

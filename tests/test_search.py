@@ -370,6 +370,52 @@ def test_interval_join_rejects_empty_window():
 
 # --- clustering.kmeans (Lloyd's, driver state O(k·dim)) -------------------
 
+def test_semantic_dedup_planted_fixture(spark):
+    """Two clean clusters with one planted near-duplicate pair: the
+    higher-id twin is dropped, its lower-id original and everything
+    merely same-topic (cosine below threshold) is kept, and
+    max_sim_lower reports the deciding similarity.  Exercises the
+    keep-the-first rule, the NULL path (cluster-minimum vec_ids), and
+    the cluster_size ledger on a corpus where the answer is derivable
+    by hand."""
+    from text_extractor_for_bioeconomic_products_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),   # cluster A seed
+            (1, [0.0, 1.0, 0.0, 0.0], 1),   # cluster B seed
+            (2, [0.99, 0.14, 0.0, 0.0], 0),  # near-dup of 0 (cos ≈ .99)
+            (3, [0.0, 0.7, 0.7, 0.0], 1),    # same topic as 1, cos = .7
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, k=2, iters=2, threshold=0.9).collect()
+    }
+    assert len(rows) == 4
+    assert [rows[i]["keep"] for i in range(4)] == [1, 1, 0, 1]
+    # cluster-minimum ids have no lower-id mate → NULL ledger entry
+    assert rows[0]["max_sim_lower"] is None
+    assert rows[1]["max_sim_lower"] is None
+    assert rows[2]["max_sim_lower"] > 0.99  # the deciding similarity
+    # cos = 0.7 / √(0.7² + 0.7²) = 1/√2 — kept: < 0.9
+    assert abs(rows[3]["max_sim_lower"] - 0.7071) < 1e-3
+    assert all(r["cluster_size"] == 2 for r in rows.values())
+    assert rows[0]["cluster"] == rows[2]["cluster"]
+    assert rows[1]["cluster"] == rows[3]["cluster"]
+    assert rows[0]["cluster"] != rows[1]["cluster"]
+    # empty corpus (no vectors to seed centroids) → empty, typed result,
+    # not an unevaluable array_min(array()) plan
+    empty = semantic_dedup(emb.filter("vec_id < 0"), k=2, iters=2)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "vec_id", "cluster", "cluster_size", "max_sim_lower", "keep",
+    ]
+
+
 def test_kmeans_sse_monotone_and_full_clusters(spark, sf001_dir):
     """Lloyd's invariant: mean squared distance to the assigned centroid
     is non-increasing across assignment passes; with the smallest-vec_id

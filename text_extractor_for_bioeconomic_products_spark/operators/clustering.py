@@ -54,10 +54,10 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-def assign_clusters(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
-    """Nearest-centroid assignment — a pure narrow map (centroids are
-    literals, no shuffle).  Ties on distance take the smaller cid."""
-    best = F.array_min(
+def _nearest(centroids: dict[int, list[float]]) -> Column:
+    """(dist, cid) struct of the nearest centroid — argmin with ties to
+    the smaller cid via struct ordering."""
+    return F.array_min(
         F.array(
             *[
                 F.struct(
@@ -68,6 +68,22 @@ def assign_clusters(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFr
             ]
         )
     )
+
+
+def assign_clusters(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """Nearest-centroid assignment — a pure narrow map (centroids are
+    literals, no shuffle).  Ties on distance take the smaller cid.
+    An empty centroid set (empty/filtered-out corpus — a legitimate
+    partition-level state at scale) yields an empty, correctly-typed
+    frame instead of an unevaluable ``array_min(array())``."""
+    if not centroids:
+        return emb.select(
+            "vec_id",
+            "label",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("dist"),
+        ).where(F.lit(False))
+    best = _nearest(centroids)
     return emb.select(
         "vec_id",
         "label",
@@ -103,22 +119,112 @@ def update_centroids(emb: DataFrame, asg: DataFrame) -> dict[int, list[float]]:
     }
 
 
-def kmeans_fit_predict(
+def kmeans_fit(
     emb: DataFrame, k: int = K, iters: int = ITERS
-) -> DataFrame:
-    """``iters`` Lloyd assignment passes with ``iters-1`` centroid
-    updates in between; init = the k smallest vec_ids' vectors."""
+) -> dict[int, list[float]]:
+    """Fit ``iters`` Lloyd assignment passes with ``iters-1`` centroid
+    updates in between (init = the k smallest vec_ids' vectors) and
+    return the FINAL centroid dict — the O(k·dim) model state, so
+    callers can re-derive the final assignment as a narrow map that
+    keeps whatever columns they need (e.g. the embedding itself for
+    semantic dedup) without re-running the fit."""
     init_rows = (
         emb.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
     )
     centroids = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in init_rows
     }
-    asg = assign_clusters(emb, centroids)
     for _ in range(iters - 1):
-        centroids = update_centroids(emb, asg)
         asg = assign_clusters(emb, centroids)
-    return asg
+        centroids = update_centroids(emb, asg)
+    return centroids
+
+
+def kmeans_fit_predict(
+    emb: DataFrame, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """``iters`` Lloyd assignment passes with ``iters-1`` centroid
+    updates in between; init = the k smallest vec_ids' vectors."""
+    return assign_clusters(emb, kmeans_fit(emb, k, iters))
+
+
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): k-means
+# buckets the corpus by topic, then duplicates are detected ONLY within a
+# cluster — the pair join is cluster-local, so the all-pairs O(n²) the
+# naive formulation needs collapses to O(Σ c_i²).  At 100 TB the knob is
+# k: grow it with the corpus (k ≈ n / target_cluster_size) so per-cluster
+# pair work stays bounded; cluster_size ships in the output so skew is
+# observable, not guessed (same discipline as the near-dup ledgers).
+# Threshold 0.28 = this corpus's "suspiciously close" tail, shared with
+# similarity.NEAR_DUP_THRESHOLD.
+SEM_DUP_THRESHOLD = 0.28
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = K,
+    iters: int = ITERS,
+    threshold: float = SEM_DUP_THRESHOLD,
+) -> DataFrame:
+    """Per-vector keep/drop decision: drop a vector when a SAME-CLUSTER
+    vector with a smaller vec_id is closer than ``threshold`` cosine —
+    the deterministic "keep the first" rule the exact-dedup family uses,
+    applied to semantic (embedding-space) duplicates.
+
+    Plan: final k-means assignment is a narrow map (centroid literals);
+    the pair join shuffles both sides once on the cluster key and the
+    per-victim max aggregates on vec_id.  Output: one row per vector
+    with its cluster, the cluster's size, the max cosine to any
+    lower-id cluster-mate (NULL when none), and the keep flag.
+    """
+    from .similarity import cosine
+
+    centroids = kmeans_fit(emb, k, iters)
+    if not centroids:  # empty corpus → empty, correctly-typed result
+        cluster = F.lit(None).cast("int").alias("cluster")
+        keyed = emb.select("vec_id", "embedding", cluster).where(F.lit(False))
+    else:
+        keyed = emb.select(
+            "vec_id", "embedding", _nearest(centroids)["cid"].alias("cluster")
+        )
+    sizes = keyed.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    a = keyed.select(
+        "cluster",
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = keyed.select(
+        "cluster",
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sim = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4)
+    lower_max = (
+        a.join(b, "cluster")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select(F.col("vid_b").alias("vec_id"), sim.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("max_sim_lower"))
+    )
+    return (
+        keyed.select("vec_id", "cluster")
+        .join(F.broadcast(sizes), "cluster")
+        .join(lower_max, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "cluster_size",
+            "max_sim_lower",
+            F.when(F.col("max_sim_lower") > threshold, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,10 +296,61 @@ ORACLE_KMEANS = (
 """
 )
 
+# the shared Lloyd CTE chain (init → a1 → c2 → a2 → c3 → a3), reused by
+# the semantic-dedup oracle so the two queries can never disagree on the
+# clustering itself
+_LLOYD_CTES = (
+    "WITH init AS (\n"
+    f"    SELECT vec_id AS cid, embedding::DOUBLE[] AS c\n"
+    f"    FROM embeddings WHERE vec_id < {K}\n"
+    "),"
+    + _ASSIGN.format(n=1, dist=_D, cents="init")
+    + ","
+    + _UPDATE.format(n=2, prev=1, dimp1=DIM + 1)
+    + ","
+    + _ASSIGN.format(n=2, dist=_D, cents="c2")
+    + ","
+    + _UPDATE.format(n=3, prev=2, dimp1=DIM + 1)
+    + ","
+    + _ASSIGN.format(n=3, dist=_D, cents="c3")
+)
+
+_SEM_DOT = (
+    "list_sum(list_transform(list_zip(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]),"
+    " x -> x[1] * x[2]))"
+)
+_SEM_NA = "sqrt(list_sum(list_transform(ea.embedding::DOUBLE[], x -> x*x)))"
+_SEM_NB = "sqrt(list_sum(list_transform(eb.embedding::DOUBLE[], x -> x*x)))"
+
+ORACLE_SEMANTIC_DEDUP = (
+    _LLOYD_CTES
+    + f"""
+    , sized AS (SELECT cid, count(*) AS cluster_size FROM a3 GROUP BY cid),
+    pairs AS (
+        SELECT b.vec_id AS vec_id,
+               round({_SEM_DOT} / ({_SEM_NA} * {_SEM_NB}), 4) AS s
+        FROM a3 a
+        JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    lm AS (SELECT vec_id, max(s) AS max_sim_lower FROM pairs GROUP BY vec_id)
+    SELECT k.vec_id, k.cid AS cluster, s.cluster_size, lm.max_sim_lower,
+           CASE WHEN lm.max_sim_lower > {SEM_DUP_THRESHOLD} THEN 0 ELSE 1 END
+               AS keep
+    FROM a3 k
+    JOIN sized s ON s.cid = k.cid
+    LEFT JOIN lm ON lm.vec_id = k.vec_id
+    ORDER BY k.vec_id
+"""
+)
+
 ORACLE_SQL = {
     "kmeans_clusters": ORACLE_KMEANS,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
 }
 
 QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
 }
