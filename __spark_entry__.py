@@ -81,6 +81,7 @@ _DEFERRED_STAPLES = [
     # untouched since
     "doc_quality",
     "dedup_keep_first",
+    "doc_lang_detect",
     "lineitem_pricing_summary",
     "revenue_by_priority",
     "doc_pii_scrub",

@@ -83,6 +83,27 @@ def main() -> None:
          "ride BroadcastExchanges back into the row stream.  Pinned by\n"
          "`test_duplicate_passages_hashes_before_explode`.",
          qs["duplicate_passages"](spark, SF)),
+        ("ann_lsh_multiprobe (query-side Hamming-1 probing)",
+         "The corpus side is a narrow map to one (vec_id, bucket) row per\n"
+         "vector — the only Generate (the probe-key explode) sits under\n"
+         "the BroadcastExchange, so probe fan-out costs no corpus bytes;\n"
+         "one BroadcastHashJoin selects candidates, TakeOrderedAndProject\n"
+         "keeps k.  Pinned by `test_ann_multiprobe_corpus_not_exploded`.",
+         qs["ann_lsh_multiprobe"](spark, SF)),
+        ("semantic_dedup (cluster-local embedding near-dup removal)",
+         "K-means assignment is a narrow map (centroid literals — no\n"
+         "Exchange); the duplicate-pair self-join shuffles ONLY on the\n"
+         "cluster key (pair work cluster-local, never all-pairs) and the\n"
+         "8-row cluster-size table rides a BroadcastExchange.  Pinned by\n"
+         "`test_semantic_dedup_pair_join_cluster_local`.",
+         qs["semantic_dedup"](spark, SF)),
+        ("ann_ivf_kmeans (IVF over the learned quantizer)",
+         "Cell assignment is a narrow map over the scan; the probed-cell\n"
+         "set (n_probe rows) and the query vector reach the corpus via\n"
+         "broadcast; no hashpartitioning anywhere — at 100 TB the cell\n"
+         "becomes a partition column and the probe prunes at the scan.\n"
+         "Pinned by `test_ann_ivf_kmeans_corpus_never_hash_shuffles`.",
+         qs["ann_ivf_kmeans"](spark, SF)),
     ]
     # Bucketed co-located join: rendered eagerly under no-broadcast so the
     # SortMergeJoin-with-zero-Exchange shape (the layout's whole point) is

@@ -312,6 +312,16 @@ def test_semantic_dedup_pair_join_cluster_local(spark):
     assert "BroadcastHashJoin" in p, p
 
 
+def test_ann_ivf_kmeans_corpus_never_hash_shuffles(spark):
+    """ann_ivf_kmeans's scale contract: cell assignment is a narrow map
+    (centroid literals), the probed-cell set and the query vector reach
+    the corpus via broadcast, and the final top-k is
+    TakeOrderedAndProject — the corpus is never hash-partitioned."""
+    p = plan_of(spark, "ann_ivf_kmeans")
+    assert "TakeOrderedAndProject" in p, p
+    assert "hashpartitioning" not in p, p
+
+
 def test_bucketed_join_no_shuffle(spark):
     """Two fact tables bucketed on the orderkey with the same bucket
     count ⇒ the equi-join is MAP-SIDE: SortMergeJoin with zero Exchange

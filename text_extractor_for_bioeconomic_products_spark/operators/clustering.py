@@ -227,6 +227,82 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load(spark, sf_dir, "embeddings"))
 
 
+# IVF over the LEARNED quantizer: similarity.ann_ivf probes cells derived
+# from the label column, standing in for "k-means assignments computed
+# once offline" (its own docstring).  This query closes that loop: the
+# coarse quantizer IS the Lloyd fit above (same oracle-exact centroids),
+# so the claim is an implemented, driver-checked path, not a comment.
+N_PROBE_KMEANS = 2
+TOP_K_KMEANS = 10
+
+
+def ann_ivf_kmeans_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    topk: int = TOP_K_KMEANS,
+    k: int = K,
+    iters: int = ITERS,
+    n_probe: int = N_PROBE_KMEANS,
+) -> DataFrame:
+    """IVF ANN with a k-means coarse quantizer: fit k cells (O(k·dim)
+    driver state), assign the corpus as a NARROW map (centroid
+    literals), rank cells against the query (k-row frame, broadcast),
+    exact-search only the n_probe nearest cells.
+
+    At 100 TB: the fit runs once offline; per query the corpus is
+    touched only for rows whose cell survives the probe — the scan
+    prunes on the cell key when the assignment is materialized as a
+    partition column.
+    """
+    from .similarity import cosine
+
+    cents = kmeans_fit(emb, k, iters)
+    if not cents:  # empty corpus → empty, correctly-typed result
+        return emb.select(
+            "vec_id",
+            "label",
+            F.lit(None).cast("double").alias("cos_sim"),
+        ).where(F.lit(False))
+    asg = emb.select(
+        "vec_id", "label", "embedding", _nearest(cents)["cid"].alias("cell")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    cents_df = emb.sparkSession.createDataFrame(
+        [(cid, cents[cid]) for cid in sorted(cents)],
+        "cell int, centroid array<double>",
+    )
+    probed = (
+        cents_df.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            cosine(F.col("centroid"), F.col("q_embedding")).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    cands = asg.join(F.broadcast(probed), "cell").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            F.round(
+                cosine(F.col("embedding"), F.col("q_embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(topk)
+    )
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_kmeans_topk(load(spark, sf_dir, "embeddings"))
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector cluster assignment after 3 Lloyd iterations (k=8,
     deterministic smallest-vec_id init)."""
@@ -345,12 +421,53 @@ ORACLE_SEMANTIC_DEDUP = (
 """
 )
 
+# c3's centroid column is `c` (DOUBLE[]); q's is embeddings.embedding
+_IVFK_CENT_DOT = (
+    "list_sum(list_transform(list_zip(c.c, q.embedding::DOUBLE[]),"
+    " x -> x[1] * x[2]))"
+)
+_IVFK_CENT_NORM = "sqrt(list_sum(list_transform(c.c, x -> x*x)))"
+_IVFK_Q_NORM = (
+    "sqrt(list_sum(list_transform(q.embedding::DOUBLE[], x -> x*x)))"
+)
+_IVFK_DOT = (
+    "list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.embedding::DOUBLE[]),"
+    " x -> x[1] * x[2]))"
+)
+_IVFK_E_NORM = (
+    "sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))"
+)
+
+ORACLE_ANN_IVF_KMEANS = (
+    _LLOYD_CTES
+    + f"""
+    , q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    probed AS (
+        SELECT c.cid AS cell
+        FROM c3 c, q
+        ORDER BY {_IVFK_CENT_DOT} / ({_IVFK_CENT_NORM} * {_IVFK_Q_NORM}) DESC,
+                 c.cid ASC
+        LIMIT {N_PROBE_KMEANS}
+    )
+    SELECT e.vec_id, e.label,
+           round({_IVFK_DOT} / ({_IVFK_E_NORM} * {_IVFK_Q_NORM}), 4) AS cos_sim
+    FROM a3 a
+    JOIN probed p ON a.cid = p.cell
+    JOIN embeddings e ON e.vec_id = a.vec_id, q
+    WHERE e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {TOP_K_KMEANS}
+"""
+)
+
 ORACLE_SQL = {
     "kmeans_clusters": ORACLE_KMEANS,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
 }
 
 QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
 }
