@@ -101,12 +101,15 @@ def test_connected_components_long_chain(spark):
 
 
 def test_approx_distinct_tolerance(spark, sf01_dir):
-    """HLL++ sketch within its declared 2% rsd (allow 3σ) of exact."""
+    """HLL++ sketch within its declared 2% rsd (allow 3σ) of exact — the
+    query now carries the bound check in its hashed output, so the oracle
+    verifies it per-group; this test pins that the flag is computed and
+    actually TRUE on the sf0.01 corpus (non-vacuous)."""
     import __spark_entry__ as e
     rows = e.queries()["approx_distinct_users"](spark, sf01_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.06 * r["exact_users"])
+        assert r["approx_within_bound"] is True, r
 
 
 def test_span_validation_columns_equal_scalar(spark):

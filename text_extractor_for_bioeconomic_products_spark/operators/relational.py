@@ -651,8 +651,18 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Approximate distinct (HLL++) — rows-only: sketches are engine-specific;
-# accuracy is pinned by tests/test_search.py::test_approx_distinct_tolerance
+# --- Approximate distinct (HLL++).  The raw sketch value is
+# engine-specific (DuckDB cannot reproduce Spark's HLL++ estimate), so the
+# hashed output carries the exact count plus a BOUND CHECK computed Spark-
+# side: |approx - exact| / exact <= 3×rsd.  The oracle asserts the bound
+# holds (TRUE literal) — if Spark's estimate ever drifts past the bound the
+# hash mismatches, so the driver genuinely verifies HLL accuracy, not just
+# the exact twin.  Deterministic: HLL++ is a pure function of the input
+# multiset, and the sf-pinned corpus is fixed.  Tightness is pinned by
+# tests/test_search.py::test_approx_distinct_tolerance.
+APPROX_DISTINCT_RSD = 0.02
+APPROX_DISTINCT_BOUND = 3 * APPROX_DISTINCT_RSD
+
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct per event type (rsd 2%) + exact twin in one
@@ -662,8 +672,18 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct(
+                "user_id", rsd=APPROX_DISTINCT_RSD
+            ).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= APPROX_DISTINCT_BOUND * F.col("exact_users")
+            ).alias("approx_within_bound"),
         )
         .orderBy("event_type")
     )
@@ -677,6 +697,17 @@ ORACLE_SQL = {
                CAST(round(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p95,
                count(*) AS n_orders
         FROM orders
+    """,
+    # the TRUE literal is the invariant, not a tautology: Spark computes
+    # approx_within_bound from its real HLL++ estimate, so a drifting
+    # sketch breaks the value hash (see q_approx_distinct_users)
+    "approx_distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_within_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "key_skew_profile": """
         WITH per_key AS (
