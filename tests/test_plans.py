@@ -382,3 +382,47 @@ def test_ann_ivf_recall_limits_before_shuffle(spark):
     p = plan_of(spark, "ann_ivf_recall")
     assert p.count("row_number(), 10, Partial") == 2, p
     assert p.count("row_number(), 10, Final") == 2, p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level pruning: when a selective dim-side filter feeds a
+    shuffle join, Catalyst injects a bloom_filter_agg subquery on the dim
+    side and a might_contain() filter directly above the FACT scan — rows
+    that can't join die before the exchange.  At 100 TB this is the
+    difference between shuffling the full lineitem table and shuffling
+    the ~20% that survives the orders filter.  Thresholds are lowered so
+    the injection fires at sandbox scale (defaults gate on a 10 GB
+    application-side scan — the mechanism, not the thresholds, is what
+    carries to the cluster); broadcast is disabled because a broadcast
+    join already achieves the same pruning for free and suppresses the
+    bloom path."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "1KB")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_orderpriority")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        # the might_contain filter must sit on the lineitem (fact) branch
+        fact_side = plan[plan.find("might_contain"):]
+        assert "l_orderkey" in fact_side[:200]
+        # and the filtered join still returns the right rows
+        assert j.count() == li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
