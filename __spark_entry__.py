@@ -115,6 +115,9 @@ _DEFERRED_STAPLES = [
     "customers_per_nation",
     "american_suppliers",
     "events_hourly",
+    # deferred to make window room for events_day_pruned (new, never
+    # driver-verified); green in r1 AND r2, untouched since
+    "order_price_buckets",
 ]
 
 

@@ -717,3 +717,70 @@ def test_stream_stream_interval_join_matches_batch(spark, sf001_dir, tmp_path):
     got = {(r["purchase_id"], r["event_id"]) for r in streamed.collect()}
     want = {(r["purchase_id"], r["match"]["event_id"]) for r in batch.collect()}
     assert got == want and len(want) > 100
+
+
+def test_spark_submit_pyfiles_job(spark, transcripts_df, tmp_path):
+    """North-rule submission mechanics, evidenced with the REAL path: the
+    extraction job runs under ``spark-submit --py-files engine.zip`` with
+    the job script COPIED outside the repo tree, cwd outside the repo,
+    and PYTHONPATH stripped — so the package is importable ONLY from the
+    zip, for the driver and the forked Python workers alike (the cluster
+    analog of session.py's local PYTHONPATH export).  A second submission
+    into the same output proves the manifest resume contract survives
+    full process death: a fresh driver JVM skips every completed bucket."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
+        write_transcripts,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    input_dir = str(tmp_path / "transcripts")
+    write_transcripts(transcripts_df, input_dir)
+    n_turns_expected = transcripts_df.count()
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "package_pyfiles", os.path.join(repo, "jobs", "package_pyfiles.py"))
+    pkg_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pkg_mod)
+    zip_path = pkg_mod.build(str(tmp_path / "engine.zip"))
+
+    job_copy = tmp_path / "jobs_copy"
+    job_copy.mkdir()
+    shutil.copy(os.path.join(repo, "jobs", "run_extraction.py"),
+                job_copy / "run_extraction.py")
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    out_dir = str(tmp_path / "warehouse")
+
+    def submit(run_id: str) -> dict:
+        cmd = [
+            "spark-submit", "--master", "local[4]",
+            "--py-files", zip_path,
+            str(job_copy / "run_extraction.py"),
+            "--input", input_dir, "--output", out_dir,
+            "--run-id", run_id, "--buckets", "8", "--master", "local[4]",
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env,
+            cwd=str(tmp_path), timeout=420,
+        )
+        assert out.returncode == 0, out.stderr[-4000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    first = submit("sub1")
+    # only non-empty buckets are processed (20 convs over 8 hash buckets)
+    assert first["buckets_processed"] > 0 and first["buckets_skipped"] == 0
+    assert first["n_turns"] == n_turns_expected
+
+    second = submit("sub2")
+    assert second["buckets_processed"] == 0
+    assert second["buckets_skipped"] == first["buckets_processed"]
+
+    got = spark.read.parquet(f"{out_dir}/turns_extracted")
+    assert got.count() == n_turns_expected

@@ -426,3 +426,48 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_day_partition_prunes_scan(spark):
+    """The day predicate over the date-partitioned layout must resolve at
+    file-listing time: it appears as a PartitionFilter on the scan (not a
+    data filter), and the files actually opened are exactly the one day's
+    directory."""
+    from text_extractor_for_bioeconomic_products_spark.sources.layout import (
+        PRUNE_DAY,
+        ensure_date_partitioned_events,
+    )
+    from pyspark.sql import functions as F
+
+    path = ensure_date_partitioned_events(spark, SF)
+    df = spark.read.parquet(path).filter(
+        F.col("event_day") == F.lit(PRUNE_DAY).cast("date")
+    ).select("event_type", "value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_day" in plan
+    assert "(event_day" in plan.split("PartitionFilters:")[1][:120]
+    # the predicate is fully consumed by pruning — nothing pushed as a
+    # row-group filter, and only the pruned columns are read
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+    # physical proof, not just plan text: after execution the scan's own
+    # metrics show ONE file / ONE partition read of the 30 on disk
+    # (inputFiles() can't be used here — it lists the relation pre-pruning)
+    df.collect()
+    scan = [n for n in _iter_nodes(df._jdf.queryExecution().executedPlan())
+            if n.nodeName().startswith("Scan parquet")]
+    assert scan, plan
+    metrics = scan[0].metrics()
+    n_files = metrics.apply("numFiles").value()
+    n_parts = metrics.apply("numPartitions").value()
+    assert (n_files, n_parts) == (1, 1), (n_files, n_parts)
+    # layout changes the plan, not the answer
+    flat = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.to_date("ts") == F.lit(PRUNE_DAY).cast("date")).count()
+    assert df.count() == flat > 0
+
+
+def _iter_nodes(jplan):
+    """Depth-first walk of a JVM SparkPlan tree."""
+    yield jplan
+    for i in range(jplan.children().size()):
+        yield from _iter_nodes(jplan.children().apply(i))

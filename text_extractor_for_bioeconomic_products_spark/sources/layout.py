@@ -121,8 +121,63 @@ def q_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Partition-directory pruning: the scan-side twin of bucketing.
+# Bucketing kills the JOIN shuffle; partitioning-by-ingest-day kills the
+# SCAN itself for time-sliced queries.  At 100 TB with daily ingest, a
+# one-day query over a day-partitioned table launches tasks for 1/365th
+# of the files — the directory listing does the filtering before any
+# byte is read (PartitionFilters in the scan node, plan-pinned by
+# tests/test_plans.py::test_day_partition_prunes_scan).
+
+PRUNE_DAY = "2024-01-01"  # first ingest day of the deterministic corpus
+
+
+def ensure_date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events partitioned by event_day (date of ts), once per
+    (application, scale factor) — same write-once contract and same
+    concurrent-session isolation (applicationId in the path) as the
+    bucketed layout above."""
+    tag = _sf_tag(sf_dir)
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_partitioned", app_id, tag, "events"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        (
+            events.withColumn("event_day", F.to_date("ts"))
+            .repartition("event_day")  # one writer wave, one file per day
+            .write.mode("overwrite")
+            .partitionBy("event_day")
+            .parquet(path)
+        )
+    return path
+
+
+def q_events_day_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type census of ONE ingest day read through the day-partitioned
+    layout.  The answer is layout-independent (the oracle filters the flat
+    table); the layout changes the PLAN — the day predicate becomes a
+    PartitionFilter resolved at file-listing time, so only that day's
+    directory is ever scanned."""
+    path = ensure_date_partitioned_events(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("event_day") == F.lit(PRUNE_DAY).cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 4
+            ).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "bucketed_join_stats": q_bucketed_join_stats,
+    "events_day_pruned": q_events_day_pruned,
 }
 
 ORACLE_SQL = {
@@ -134,5 +189,15 @@ ORACLE_SQL = {
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
+    """,
+    "events_day_pruned": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+                 AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }
