@@ -119,6 +119,56 @@ def main() -> None:
         bucketed_plan = formatted_plan(colocated_join(spark, o_name, l_name))
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # Runtime bloom filter: needs broadcast off (a broadcast join already
+    # prunes for free) and the sandbox-scale application threshold.
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", "1KB")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        bloom_plan = formatted_plan(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select("l_orderkey", "o_orderpriority"))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold")
+    sections.append(
+        ("runtime bloom-filter fact-scan pruning",
+         "A selective dim filter feeds the join, so Catalyst injects\n"
+         "`bloom_filter_agg` on the dim side and `might_contain()` directly\n"
+         "above the FACT scan — non-joining rows die before the Exchange.\n"
+         "Captured with broadcast off and the application-side threshold\n"
+         "lowered to sandbox scale (the defaults fire at 10 GB scans — the\n"
+         "regime this exists for).  Pinned by\n"
+         "`test_runtime_bloom_filter_prunes_fact_scan`.",
+         bloom_plan),
+    )
+
+    from text_extractor_for_bioeconomic_products_spark.sources.layout import (
+        ensure_date_partitioned_events,
+        PRUNE_DAY,
+    )
+
+    day_path = ensure_date_partitioned_events(spark, SF)
+    day_df = spark.read.parquet(day_path).filter(
+        F.col("event_day") == F.lit(PRUNE_DAY).cast("date")
+    ).select("event_type", "value")
+    sections.append(
+        ("day-partitioned scan pruning (events_day_pruned)",
+         "The day predicate is consumed ENTIRELY at file-listing time:\n"
+         "`PartitionFilters` on the scan, empty `PushedFilters`, 1 of 30 day\n"
+         "directories opened (physically pinned via the scan's numFiles/\n"
+         "numPartitions metrics in `test_day_partition_prunes_scan`).",
+         day_df),
+    )
+
     sections.append(
         ("bucketed colocated join (write-once-join-many layout)",
          "Both fact tables written `bucketBy(orderkey)` — the join plans as\n"
