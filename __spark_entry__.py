@@ -76,6 +76,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    # deferred late round 3 to make window room for
+    # conversation_context_pack + heavy_keys_sketch (both new, never
+    # driver-verified); green in r2 with the code untouched since
+    "doc_token_stats",
+    "dedup_exact",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since
@@ -149,5 +154,6 @@ def oracle_sql() -> dict[str, str]:
     o.update(clustering.ORACLE_SQL)
     o.update(temporal.ORACLE_SQL)
     o.update(normalize.ORACLE_SQL)
+    o.update(conversation.ORACLE_SQL)
     o.update(layout.ORACLE_SQL)
     return o

@@ -103,3 +103,62 @@ def test_stateful_tracker_stream(spark, transcripts_df, tmp_path):
     for r in joined:
         assert r["turns_seen"] == r["bt"]
         assert r["spans_seen"] == r["bs"]
+
+
+def test_greedy_pack_boundaries_and_oversize(spark):
+    """Hand-computed greedy fold: fill resets at overflow, a turn never
+    splits, an oversize turn gets its own example and the flag."""
+    from text_extractor_for_bioeconomic_products_spark.operators.conversation import (
+        greedy_pack_turns,
+    )
+
+    rows = [
+        # ctx=10: [4,5] fill 9 | [3,6] 9 | [30 oversize] | [2]
+        ("a", 0, 4), ("a", 1, 5), ("a", 2, 3), ("a", 3, 6),
+        ("a", 4, 30), ("a", 5, 2),
+        # exact fit: 10 stays, next starts new
+        ("b", 0, 10), ("b", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens long")
+    got = {
+        (r["conv_id"], r["example_id"]): (
+            r["n_turns"], r["example_tokens"], r["n_oversize"]
+        )
+        for r in greedy_pack_turns(df, ctx=10).collect()
+    }
+    assert got == {
+        ("a", 0): (2, 9, 0),
+        ("a", 1): (2, 9, 0),
+        ("a", 2): (1, 30, 1),
+        ("a", 3): (1, 2, 0),
+        ("b", 0): (1, 10, 0),
+        ("b", 1): (1, 1, 0),
+    }
+    # stateful fold is a pure function of (conv_id, turn_idx) order:
+    # identical under a different input partitioning
+    got_rep = {
+        (r["conv_id"], r["example_id"]): (
+            r["n_turns"], r["example_tokens"], r["n_oversize"]
+        )
+        for r in greedy_pack_turns(df.repartition(7), ctx=10).collect()
+    }
+    assert got_rep == got
+
+
+def test_context_pack_query_nonvacuous(spark, sf001_dir):
+    """The driver query must exercise both the multi-example split and
+    the planted oversize path on the real corpus."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["conversation_context_pack"](
+        spark, sf001_dir
+    ).collect()
+    assert any(r["example_id"] > 0 for r in rows), "no conversation split"
+    assert any(r["n_oversize"] > 0 for r in rows), "oversize path never driven"
+    from text_extractor_for_bioeconomic_products_spark.operators.conversation import (
+        PACK_CTX_TOKENS,
+    )
+    for r in rows:
+        # no example exceeds the window unless it contains an oversize turn
+        if r["n_oversize"] == 0:
+            assert r["example_tokens"] <= PACK_CTX_TOKENS, r

@@ -814,3 +814,51 @@ def test_quality_weighted_sample_deterministic_extremes(spark, tmp_path):
         assert r["kept_frac"] == 1.0 and r["mean_keep_prob"] == 1.0
     for r in q_quality_weighted_sample(spark, pe).collect():
         assert r["kept_frac"] == 0.0 and r["n_kept"] == 0
+
+
+def test_misra_gries_bounds_and_summary_size(spark):
+    """Per-partition summaries are ≤ k rows; merged estimates obey the
+    proven MG bounds (est ≤ true, est ≥ true − n/k) under different
+    partitionings; a key heavier than n/(k+1) always surfaces."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        misra_gries_partition_summaries,
+    )
+
+    k = 4
+    # 600 rows: key 0 ×300 (heavy, > n/(k+1)=120), keys 1..30 ×10 each
+    vals = [0] * 300 + [i for i in range(1, 31) for _ in range(10)]
+    df = spark.createDataFrame([(v,) for v in vals], "key long")
+    n = len(vals)
+    exact = {0: 300, **{i: 10 for i in range(1, 31)}}
+    for parts in (1, 3, 8):
+        keyed = df.repartition(parts)
+        summaries = misra_gries_partition_summaries(keyed, k=k)
+        per_part = (
+            summaries.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().collect()
+        )
+        assert all(r["count"] <= k for r in per_part), per_part
+        merged = {
+            r["key"]: r["est"]
+            for r in summaries.groupBy("key").agg(F.sum("est").alias("est")).collect()
+        }
+        assert merged.get(0, 0) > 0, f"heavy key evicted at parts={parts}"
+        for key, true in exact.items():
+            est = merged.get(key, 0)
+            assert est <= true, (parts, key, est, true)
+            assert est >= true - n // k, (parts, key, est, true)
+
+
+def test_heavy_keys_sketch_query_detects_planted_key(spark, sf001_dir):
+    """The folded sentinel key 0 is the only is_heavy row and every
+    bound check holds (the TRUE the oracle asserts is earned)."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["heavy_keys_sketch"](spark, sf001_dir).collect()
+    assert rows[0]["key"] == 0 and rows[0]["is_heavy"]
+    assert all(r["within_bound"] for r in rows)
+    # the sentinel fold concentrates ~1/5 of all rows on key 0 — it must
+    # dominate every natural key by a wide margin
+    assert rows[0]["n_exact"] > 2 * rows[1]["n_exact"]

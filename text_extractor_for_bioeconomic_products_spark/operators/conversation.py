@@ -99,6 +99,132 @@ def q_conversation_echo_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# greedy chat-example assembly: a turn that would overflow the context
+# window starts a new example; turns never split across examples
+PACK_CTX_TOKENS = 256
+# every 83rd doc is inflated past the window so the oversize path (a
+# single turn larger than the whole context) is exercised non-vacuously
+_PACK_OVERSIZE_MOD = 83
+_PACK_OVERSIZE_REPEAT = 8
+
+PACK_SCHEMA = (
+    "conv_id string, example_id bigint, n_turns bigint, "
+    "example_tokens bigint, n_oversize bigint"
+)
+
+
+def greedy_pack_turns(
+    turns: DataFrame,
+    ctx: int = PACK_CTX_TOKENS,
+    max_turns_per_group: int = 100_000,
+) -> DataFrame:
+    """Greedy chat-example assembly — the training-example builder for
+    multi-turn transcripts (reference analog: the chunker's respect-
+    boundaries mode, `src/utils/helpers.py` TextChunker, lifted from
+    characters-within-a-document to turns-within-a-conversation).
+
+    Unlike ``q_sequence_packing``'s fixed cumulative bins, the boundary
+    is *stateful*: a turn that would overflow ``ctx`` starts a new
+    example and the fill counter resets, so no example (except a single
+    oversize turn, which gets its own example and is flagged) exceeds
+    the window.  That running reset is not expressible as a window
+    function — it is the canonical per-group stateful fold, so the
+    Spark idiom is one ``applyInPandas`` per conversation (one shuffle
+    on conv_id; mega-conversations hard-capped like
+    ``consecutive_turn_similarity``) and the DuckDB oracle is a
+    recursive CTE stepping turn-by-turn.
+
+    Input needs (conv_id, turn_idx, n_tokens); output one row per
+    (conv_id, example_id) with turn/token/oversize counts."""
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx").head(max_turns_per_group)
+        conv = pdf["conv_id"].iloc[0]
+        examples: list[list[int]] = []  # [n_turns, tokens, n_oversize]
+        fill = 0
+        for n in pdf["n_tokens"].astype("int64"):
+            n = int(n)
+            if not examples or fill + n > ctx:
+                examples.append([0, 0, 0])
+                fill = 0
+            examples[-1][0] += 1
+            examples[-1][1] += n
+            examples[-1][2] += 1 if n > ctx else 0
+            fill += n
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "example_id": range(len(examples)),
+                "n_turns": [e[0] for e in examples],
+                "example_tokens": [e[1] for e in examples],
+                "n_oversize": [e[2] for e in examples],
+            }
+        )
+
+    return (
+        turns.select("conv_id", "turn_idx", "n_tokens")
+        .groupBy("conv_id")
+        .applyInPandas(per_conv, schema=PACK_SCHEMA)
+    )
+
+
+def q_conversation_context_pack(spark, sf_dir: str) -> DataFrame:
+    """Documents mapped to the transcript shape (conv_id=source,
+    turn_idx=doc_id), token counts by the len//4 estimate, greedily
+    packed into 256-token training examples.  Every 83rd turn is
+    deterministically inflated past the window so the oversize flag is
+    driven on both engines."""
+    from ..sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    inflated = F.when(
+        F.col("doc_id") % _PACK_OVERSIZE_MOD == 0,
+        F.expr(f"repeat(text, {_PACK_OVERSIZE_REPEAT})"),
+    ).otherwise(F.col("text"))
+    turns = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        (F.length(inflated) / F.lit(4)).cast("bigint").alias("n_tokens"),
+    )
+    return greedy_pack_turns(turns).orderBy("conv_id", "example_id")
+
+
+ORACLE_SQL = {
+    # the greedy reset is a per-group stateful fold — the oracle steps
+    # turn-by-turn with a recursive CTE (same idiom as doc_chunks)
+    "conversation_context_pack": f"""
+        WITH RECURSIVE t AS (
+            SELECT source AS conv_id,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+                   length(CASE WHEN doc_id % {_PACK_OVERSIZE_MOD} = 0
+                               THEN repeat(text, {_PACK_OVERSIZE_REPEAT})
+                               ELSE text END) // 4 AS n_tokens
+            FROM documents
+        ),
+        pack AS (
+            SELECT conv_id, rn, n_tokens,
+                   CAST(0 AS BIGINT) AS example_id, n_tokens AS fill
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.conv_id, t.rn, t.n_tokens,
+                   CASE WHEN p.fill + t.n_tokens > {PACK_CTX_TOKENS}
+                        THEN p.example_id + 1 ELSE p.example_id END,
+                   CASE WHEN p.fill + t.n_tokens > {PACK_CTX_TOKENS}
+                        THEN t.n_tokens ELSE p.fill + t.n_tokens END
+            FROM pack p JOIN t ON t.conv_id = p.conv_id AND t.rn = p.rn + 1
+        )
+        SELECT conv_id, example_id,
+               count(*) AS n_turns,
+               CAST(sum(n_tokens) AS BIGINT) AS example_tokens,
+               CAST(sum(CASE WHEN n_tokens > {PACK_CTX_TOKENS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oversize
+        FROM pack
+        GROUP BY conv_id, example_id
+        ORDER BY conv_id, example_id
+    """,
+}
+
 QUERIES = {
     "conversation_echo_stats": q_conversation_echo_stats,
+    "conversation_context_pack": q_conversation_context_pack,
 }

@@ -651,6 +651,105 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Misra-Gries heavy-key sketch.  key_skew_profile above answers "how
+# skewed is this key" with an exact per-key groupBy — at 100 TB that is
+# itself a full shuffle of the key space, which is what you were trying
+# to avoid sizing blind.  The MG sketch finds every key heavier than
+# n/k with k counters PER PARTITION and NO shuffle of the data: each
+# task streams its rows once, emits at most k (key, est) summary rows,
+# and the summaries merge by summation (the sketch is mergeable, the
+# whole point).  Guarantee (Misra & Gries 1982): per partition
+# true_p − n_p/(k+1) ≤ est_p ≤ true_p, so summed over partitions
+# true − n/(k+1) ≤ Σest ≤ true — every key with true > n/(k+1)
+# surfaces, and the estimate's error is bounded by n/k.
+#
+# The synthetic events corpus is deliberately uniform (~67 rows/key),
+# so the query folds every user_id ≡ 0 (mod 5) into a sentinel key 0
+# first — the classic "default/anonymous id" hot-key shape (~20% of all
+# rows on one key), deterministic and reproducible in the oracle.
+#
+# Oracle-ability follows the HLL idiom: the raw MG estimate depends on
+# partition layout (DuckDB cannot reproduce it), so the output carries
+# the exact count plus within_bound computed Spark-side from the real
+# sketch; the oracle asserts TRUE.  A sketch that drifts past its
+# proven bound breaks the value hash.
+MG_K = 16
+_MG_SENTINEL_MOD = 5
+
+_MG_SCHEMA = "key bigint, est bigint"
+
+
+def misra_gries_partition_summaries(keys: DataFrame, k: int = MG_K) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a single `key` column:
+    at most k (key, est) rows per partition, merged downstream by
+    groupBy(key).sum(est).  mapInPandas keeps ONE counter dict across
+    all Arrow batches of a partition (the stream is the partition)."""
+
+    def per_partition(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for key in pdf["key"].astype("int64"):
+                key = int(key)
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    # decrement-all: drains one unit from every counter
+                    # (the arriving key's implicit counter included)
+                    for c in list(counters):
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            del counters[c]
+        if counters:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"key": list(counters), "est": list(counters.values())}
+            )
+
+    return keys.mapInPandas(per_partition, schema=_MG_SCHEMA)
+
+
+def q_heavy_keys_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key detection with bounded memory and bounded shuffle: the
+    pre-join census you run at 100 TB to pick salting keys, where the
+    exact key_skew_profile groupBy is too expensive.  Shuffle volume is
+    ≤ partitions×k summary rows instead of |keys|.  Output: top keys by
+    exact count with the sketch's error bound checked in-band."""
+    events = load(spark, sf_dir, "events")
+    key = F.when(
+        F.col("user_id") % _MG_SENTINEL_MOD == 0, F.lit(0)
+    ).otherwise(F.col("user_id")).cast("bigint")
+    keyed = events.select(key.alias("key"))
+
+    merged = (
+        misra_gries_partition_summaries(keyed)
+        .groupBy("key")
+        .agg(F.sum("est").alias("est"))
+    )
+    exact = keyed.groupBy("key").agg(F.count("*").alias("n_exact"))
+    # stream length n as a broadcast 1-row aggregate (no eager action);
+    # cast-from-double truncates in Spark, matching DuckDB's // floor
+    total = keyed.agg(F.count("*").alias("_total"))
+    slack = (F.col("_total") / F.lit(MG_K)).cast("bigint")
+    heavy_thr = (F.col("_total") / F.lit(MG_K + 1)).cast("bigint")
+    est0 = F.coalesce(F.col("est"), F.lit(0))
+    return (
+        exact.join(merged, "key", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_exact",
+            (F.col("n_exact") > heavy_thr).alias("is_heavy"),
+            ((est0 <= F.col("n_exact")) & (est0 >= F.col("n_exact") - slack))
+            .alias("within_bound"),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("key"))
+        .limit(10)
+    )
+
+
 # --- Approximate distinct (HLL++).  The raw sketch value is
 # engine-specific (DuckDB cannot reproduce Spark's HLL++ estimate), so the
 # hashed output carries the exact count plus a BOUND CHECK computed Spark-
@@ -708,6 +807,25 @@ ORACLE_SQL = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+# is_heavy is exact arithmetic (both engines floor-divide); within_bound
+# follows the HLL idiom — Spark computes it from the real MG estimates,
+# the oracle asserts the proven Misra-Gries bound holds (TRUE literal),
+# so a sketch drifting past ±n/k breaks the value hash
+    "heavy_keys_sketch": f"""
+        WITH keyed AS (
+            SELECT CASE WHEN user_id % {_MG_SENTINEL_MOD} = 0 THEN 0
+                        ELSE user_id END AS key
+            FROM events
+        ),
+        exact AS (SELECT key, count(*) AS n_exact FROM keyed GROUP BY key),
+        tot AS (SELECT count(*) AS t FROM keyed)
+        SELECT key, n_exact,
+               n_exact > t // {MG_K + 1} AS is_heavy,
+               TRUE AS within_bound
+        FROM exact, tot
+        ORDER BY n_exact DESC, key ASC
+        LIMIT 10
     """,
     "key_skew_profile": """
         WITH per_key AS (
@@ -1037,6 +1155,7 @@ ORACLE_SQL = {
 QUERIES = {
     "order_price_percentiles": q_order_price_percentiles,
     "key_skew_profile": q_key_skew_profile,
+    "heavy_keys_sketch": q_heavy_keys_sketch,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
