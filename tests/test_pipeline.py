@@ -784,3 +784,56 @@ def test_spark_submit_pyfiles_job(spark, transcripts_df, tmp_path):
 
     got = spark.read.parquet(f"{out_dir}/turns_extracted")
     assert got.count() == n_turns_expected
+
+
+def test_streaming_merge_upsert_restart_effectively_once(
+    spark, transcripts_df, tmp_path
+):
+    """Stream → foreachBatch keyed MERGE, crash injected AFTER a merge
+    commits but BEFORE its streaming offset commit — the replay window.
+    On restart the batch re-applies; the keyed upsert makes that a
+    no-op, so the final table equals the batch pipeline exactly and
+    holds no duplicate keys."""
+    from pyspark.sql import functions as F
+    from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
+        write_transcripts,
+    )
+    from text_extractor_for_bioeconomic_products_spark.streaming.pipeline import (
+        run_streaming_merge_upsert,
+    )
+
+    in_dir = str(tmp_path / "in")
+    turns_dir = str(tmp_path / "turns_merged")
+    ckpt = str(tmp_path / "ckpt")
+    # several input files → several micro-batches (maxFilesPerTrigger=1);
+    # shuffled=False keeps the explicit 4-way repartition (the default
+    # global sort lets AQE coalesce back to one file = one batch)
+    write_transcripts(transcripts_df.repartition(4), in_dir, shuffled=False)
+
+    total = transcripts_df.count()
+    with pytest.raises(Exception) as exc_info:
+        run_streaming_merge_upsert(
+            spark, in_dir, turns_dir, ckpt, crash_after_batches=2
+        )
+    assert "InjectedCrash" in str(exc_info.value) or "after batch" in str(
+        exc_info.value
+    )
+    partial = spark.read.parquet(turns_dir).count()
+    assert 0 < partial < total, (partial, total)
+
+    # restart with the same checkpoint: replays the uncommitted batch
+    # (double-merge) then drains the rest
+    stats = run_streaming_merge_upsert(spark, in_dir, turns_dir, ckpt)
+    assert stats["batches"] >= 1
+
+    got = spark.read.parquet(turns_dir).drop("bucket")
+    batch = extract_turns(transcripts_df).drop("spans")
+    assert got.count() == total
+    assert (
+        got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+        == 0
+    )
+    # full content equality, both directions
+    cols = [c for c in batch.columns]
+    assert got.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(got.select(cols)).count() == 0

@@ -187,6 +187,71 @@ def run_streaming_dedup_extraction(
         q.stop()
 
 
+class InjectedCrash(RuntimeError):
+    """Test hook: simulates the driver dying between a completed merge
+    and the streaming checkpoint commit — the window where a naive sink
+    would double-apply the batch on restart."""
+
+
+def run_streaming_merge_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    turns_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+    max_files_per_trigger: int = 1,
+    crash_after_batches: int | None = None,
+    timeout_sec: int = 300,
+) -> dict:
+    """Stream transcripts → extract → **keyed MERGE upsert** via
+    foreachBatch — the streaming face of ``plans.pipeline.merge_turns``
+    (the Iceberg ``MERGE INTO`` analog; reference's batch-only SQLite
+    upsert is `src/storage/database_manager.py`, lifted here to a
+    continuously-maintained table).
+
+    Delivery semantics: the file-source checkpoint gives at-least-once
+    foreachBatch invocations (a batch whose merge succeeded but whose
+    offset commit did not is REPLAYED with identical content on
+    restart); ``merge_turns`` is a keyed upsert, so re-applying the same
+    rows rewrites the same values — effectively-once table state without
+    a transactional sink.  That idempotent-merge-under-replay property
+    is exactly what ``crash_after_batches`` lets the tests drive.
+
+    At 100 TB the shape holds: each micro-batch merge touches only the
+    hash buckets containing its keys (bounded read-modify-write), and
+    bucket count scales with the table, not the stream rate.
+    """
+    from ..plans.pipeline import merge_turns
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    turns = extract_turns(stream).drop("spans")
+    seen = {"batches": 0, "rows": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = merge_turns(spark, turns_dir, batch_df, n_buckets=n_buckets)
+        seen["batches"] += 1
+        seen["rows"] += res["n_upserted"]
+        if (
+            crash_after_batches is not None
+            and seen["batches"] >= crash_after_batches
+        ):
+            # merge done, checkpoint commit for this batch never happens
+            raise InjectedCrash(f"after batch {batch_id}")
+
+    q = (
+        turns.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return seen
+
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, "
     "event_type string, value double"
