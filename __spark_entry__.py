@@ -77,10 +77,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
     # deferred late round 3 to make window room for
-    # conversation_context_pack + heavy_keys_sketch (both new, never
-    # driver-verified); green in r2 with the code untouched since
+    # conversation_context_pack + heavy_keys_sketch + salted_hot_key_join
+    # (all new, never driver-verified); green in r2 with the implementing
+    # function untouched since
     "doc_token_stats",
     "dedup_exact",
+    "stratified_sample",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since

@@ -471,3 +471,16 @@ def _iter_nodes(jplan):
     yield jplan
     for i in range(jplan.children().size()):
         yield from _iter_nodes(jplan.children().apply(i))
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark, sf001_dir):
+    """The physical join must be a shuffle join keyed on (key, salt) —
+    a broadcast would bypass the salt, and a salt-less shuffle would
+    put the hot key back on one reducer."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["salted_hot_key_join"](spark, sf001_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan

@@ -862,3 +862,41 @@ def test_heavy_keys_sketch_query_detects_planted_key(spark, sf001_dir):
     # the sentinel fold concentrates ~1/5 of all rows on key 0 — it must
     # dominate every natural key by a wide margin
     assert rows[0]["n_exact"] > 2 * rows[1]["n_exact"]
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    """The salt is output-invisible (salted == plain join exactly) and
+    the hot key's fact rows really scatter over >1 salt while non-heavy
+    keys stay on salt 0 (no dim blow-up for the cold tail)."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        _SALT_COL,
+        salted_equi_join,
+    )
+
+    rows = [(0, i, float(i)) for i in range(200)] + [
+        (k, 1000 + k, float(k)) for k in range(1, 20)
+    ]
+    fact = spark.createDataFrame(rows, "key long, event_id long, value double")
+    dim = fact.select("key").distinct().withColumn(
+        "segment", F.col("key") % 3
+    )
+    salted = salted_equi_join(fact, dim, "key", "event_id", heavy_keys=[0])
+    plain = fact.join(dim, "key")
+    cols = sorted(plain.columns)
+    assert salted.select(cols).exceptAll(plain.select(cols)).count() == 0
+    assert plain.select(cols).exceptAll(salted.select(cols)).count() == 0
+
+    heavy = F.col("key").isin([0])
+    f_s = fact.withColumn(
+        _SALT_COL,
+        F.when(heavy, F.pmod(F.xxhash64(F.col("event_id")), F.lit(8)))
+        .otherwise(F.lit(0)).cast("int"),
+    )
+    spread = f_s.groupBy("key").agg(
+        F.countDistinct(_SALT_COL).alias("n_salts")
+    ).collect()
+    by_key = {r["key"]: r["n_salts"] for r in spread}
+    assert by_key[0] > 4, by_key[0]
+    assert all(v == 1 for k, v in by_key.items() if k != 0)

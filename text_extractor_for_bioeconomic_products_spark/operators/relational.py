@@ -750,6 +750,90 @@ def q_heavy_keys_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Explicit hot-key salting.  AQE's skew-join split handles skew it
+# can SEE (post-shuffle partition sizes); explicit salting is the tool
+# when you know the hot keys up front — which is precisely what
+# heavy_keys_sketch above produces.  The two compose: sketch → heavy-key
+# list → salted join.
+_SALT_COL = "__salt"
+
+
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    heavy_keys: list,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join where ``heavy_keys`` on the fact side are scattered over
+    ``n_salts`` sub-keys and the dim side replicates those keys once per
+    salt — the hot key's rows land on n_salts reducers instead of one.
+    Non-heavy keys keep salt 0 (no dim blow-up).  ``salt_src`` must be a
+    deterministic per-row column (an id), so the salt — and therefore
+    the physical plan's row placement — is reproducible run-to-run.
+
+    Use when the dim side is too big to broadcast (per-entity profiles
+    at 10^9 keys) and the fact side has known mega-keys: the sentinel /
+    anonymous-id shape where one key carries percent-scale row mass."""
+    heavy = F.col(key).isin(heavy_keys)
+    f = fact.withColumn(
+        _SALT_COL,
+        F.when(heavy, F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    d = dim.withColumn(
+        _SALT_COL,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(heavy, F.lit(n_salts - 1)).otherwise(F.lit(0)),
+            )
+        ),
+    )
+    # shuffle_hash: the whole point is exercising the shuffle path — a
+    # broadcast of the (small at test scale) dim would bypass the salt
+    return f.join(d.hint("shuffle_hash"), [key, _SALT_COL]).drop(_SALT_COL)
+
+
+_SEG_MOD = 7
+
+
+def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch→salt pipeline end-to-end: events with the sentinel
+    hot key (same fold as heavy_keys_sketch, ~20% of rows on key 0)
+    joined to a per-key dim under explicit salting, aggregated per
+    segment.  The salt is internal — output must equal the plain join,
+    which is exactly what the oracle (an unsalted SQL join) asserts."""
+    events = load(spark, sf_dir, "events")
+    key = F.when(
+        F.col("user_id") % _MG_SENTINEL_MOD == 0, F.lit(0)
+    ).otherwise(F.col("user_id")).cast("bigint")
+    fact = events.select(
+        key.alias("key"), "event_id", "event_type", "value"
+    )
+    dim = (
+        fact.select("key")
+        .distinct()
+        .withColumn("segment", F.col("key") % _SEG_MOD)
+    )
+    joined = salted_equi_join(
+        fact, dim, key="key", salt_src="event_id", heavy_keys=[0]
+    )
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("key").alias("n_keys"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
 # --- Approximate distinct (HLL++).  The raw sketch value is
 # engine-specific (DuckDB cannot reproduce Spark's HLL++ estimate), so the
 # hashed output carries the exact count plus a BOUND CHECK computed Spark-
@@ -826,6 +910,24 @@ ORACLE_SQL = {
         FROM exact, tot
         ORDER BY n_exact DESC, key ASC
         LIMIT 10
+    """,
+    # unsalted join: the salt must be output-invisible, so the oracle is
+    # the plain SQL join the salted plan must reproduce exactly
+    "salted_hot_key_join": f"""
+        WITH keyed AS (
+            SELECT CASE WHEN user_id % {_MG_SENTINEL_MOD} = 0 THEN 0
+                        ELSE user_id END AS key,
+                   event_type, value
+            FROM events
+        ),
+        dim AS (SELECT DISTINCT key, key % {_SEG_MOD} AS segment FROM keyed)
+        SELECT d.segment,
+               count(*) AS n_events,
+               count(DISTINCT k.key) AS n_keys,
+               CAST(round(sum(k.value::DECIMAL(18,6)), 4) AS DOUBLE) AS total_value
+        FROM keyed k JOIN dim d ON k.key = d.key
+        GROUP BY d.segment
+        ORDER BY d.segment
     """,
     "key_skew_profile": """
         WITH per_key AS (
@@ -1156,6 +1258,7 @@ QUERIES = {
     "order_price_percentiles": q_order_price_percentiles,
     "key_skew_profile": q_key_skew_profile,
     "heavy_keys_sketch": q_heavy_keys_sketch,
+    "salted_hot_key_join": q_salted_hot_key_join,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
