@@ -83,6 +83,7 @@ _DEFERRED_STAPLES = [
     "doc_token_stats",
     "dedup_exact",
     "stratified_sample",
+    "curation_pipeline",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since

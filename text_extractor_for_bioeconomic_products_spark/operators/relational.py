@@ -597,6 +597,52 @@ def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Approximate percentiles (GK sketch) with in-band rank-error check.
+# order_price_percentiles below is the exact path: a full sort-based
+# aggregate.  At 100 TB the exact quantile needs the whole column through
+# one aggregation; percentile_approx's Greenwald-Khanna sketch is
+# mergeable with rank error ≤ n/accuracy, so each partition ships a
+# bounded summary.  Oracle-ability follows the HLL/MG idiom: the sketch
+# value itself is engine-specific, so the output carries the EXACT
+# percentiles plus per-quantile bound flags computed Spark-side — the
+# approx value must land between the exact interpolated quantiles at
+# q ± 2/accuracy (2× the proven rank slack absorbs interpolation
+# off-by-ones).  The oracle asserts TRUE; sketch drift breaks the hash.
+_APPROX_PCT_ACCURACY = 100  # ε = 1% rank error
+_PCT_QS = [0.25, 0.50, 0.75, 0.95]
+
+
+def q_order_price_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    eps = 2.0 / _APPROX_PCT_ACCURACY
+    lo_qs = [max(q - eps, 0.0) for q in _PCT_QS]
+    hi_qs = [min(q + eps, 1.0) for q in _PCT_QS]
+    agg = orders.agg(
+        F.percentile_approx(
+            "o_totalprice", _PCT_QS, F.lit(_APPROX_PCT_ACCURACY)
+        ).alias("apx"),
+        F.percentile("o_totalprice", _PCT_QS).alias("exact"),
+        F.percentile("o_totalprice", lo_qs).alias("lo"),
+        F.percentile("o_totalprice", hi_qs).alias("hi"),
+        F.count("*").alias("n_orders"),
+    )
+    cols = [
+        F.round(F.col("exact")[i].cast("decimal(18,10)"), 4)
+        .cast("double")
+        .alias(f"p{int(q * 100)}")
+        for i, q in enumerate(_PCT_QS)
+    ] + [
+        (
+            (F.col("apx")[i] >= F.col("lo")[i])
+            & (F.col("apx")[i] <= F.col("hi")[i])
+        ).alias(f"p{int(q * 100)}_within_bound")
+        for i, q in enumerate(_PCT_QS)
+    ]
+    return agg.select(*cols, "n_orders")
+
+
 # --- Exact interpolated percentiles (the scale-analytics quantile op) -------
 
 def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,6 +956,18 @@ ORACLE_SQL = {
         FROM exact, tot
         ORDER BY n_exact DESC, key ASC
         LIMIT 10
+    """,
+    "order_price_percentiles_approx": """
+        SELECT CAST(round(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p25,
+               CAST(round(CAST(quantile_cont(o_totalprice, 0.50) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p50,
+               CAST(round(CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p75,
+               CAST(round(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p95,
+               TRUE AS p25_within_bound,
+               TRUE AS p50_within_bound,
+               TRUE AS p75_within_bound,
+               TRUE AS p95_within_bound,
+               count(*) AS n_orders
+        FROM orders
     """,
     # unsalted join: the salt must be output-invisible, so the oracle is
     # the plain SQL join the salted plan must reproduce exactly
@@ -1259,6 +1317,7 @@ QUERIES = {
     "key_skew_profile": q_key_skew_profile,
     "heavy_keys_sketch": q_heavy_keys_sketch,
     "salted_hot_key_join": q_salted_hot_key_join,
+    "order_price_percentiles_approx": q_order_price_percentiles_approx,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
