@@ -484,3 +484,31 @@ def test_salted_join_shuffles_on_key_plus_salt(spark, sf001_dir):
     assert "__salt" in plan
     assert "ShuffledHashJoin" in plan, plan[:2000]
     assert "BroadcastHashJoin" not in plan
+
+
+def test_write_target_sized_files(spark, sf01_dir, tmp_path):
+    """Sizing from measured bytes/row: the write splits into >1 file,
+    every file lands within a sane band of the target, and row content
+    survives exactly."""
+    import glob
+    import os
+
+    from text_extractor_for_bioeconomic_products_spark.sources.layout import (
+        write_target_sized,
+    )
+
+    df = spark.read.parquet(os.path.join(sf01_dir, "lineitem.parquet"))
+    out = str(tmp_path / "sized")
+    target = 256 * 1024
+    stats = write_target_sized(df, out, target_file_bytes=target)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert stats["n_files"] == len(files) and len(files) > 1, stats
+    sizes = [os.path.getsize(f) for f in files]
+    # round-robin repartition → near-uniform; the band is wide because
+    # the sample's compression ratio differs from the full table's
+    assert max(sizes) < 4 * target, (stats, max(sizes))
+    assert min(sizes) > target // 8, (stats, min(sizes))
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    cols = sorted(df.columns)
+    assert back.select(cols).exceptAll(df.select(cols)).count() == 0

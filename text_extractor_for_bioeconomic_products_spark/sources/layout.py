@@ -175,6 +175,67 @@ def q_events_day_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Target-sized output files -----------------------------------------
+#
+# The third layout failure mode (after re-shuffled joins and unpruned
+# time scans): output file sizing.  A 1000-executor job writing one file
+# per task emits 100k tiny files per run (NameNode/listing pressure,
+# unsplittable overhead per scan task); a coalesce(1)-style write emits
+# multi-GB monsters that serialize downstream parallelism.  The fix is
+# to size the partition count from MEASURED bytes-per-row, not guesses.
+
+SIZE_SAMPLE_ROWS = 2048
+
+
+def estimate_row_bytes(df: DataFrame, sample_rows: int = SIZE_SAMPLE_ROWS) -> float:
+    """Measured parquet bytes/row: write a bounded sample through the
+    real encoder (dictionary+compression included — a to_json length
+    estimate misses both) and divide.  Cost is one tiny local write,
+    amortized over the full-table write it sizes."""
+    with tempfile.TemporaryDirectory() as tmp:
+        sample_path = os.path.join(tmp, "sample")
+        sample = df.limit(sample_rows).coalesce(1)
+        sample.write.mode("overwrite").parquet(sample_path)
+        n = max(
+            1,
+            sample.sparkSession.read.parquet(sample_path).count(),
+        )
+        nbytes = sum(
+            os.path.getsize(os.path.join(sample_path, f))
+            for f in os.listdir(sample_path)
+            if f.endswith(".parquet")
+        )
+    return nbytes / n
+
+
+def write_target_sized(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    row_bytes: float | None = None,
+) -> dict:
+    """Write ``df`` as parquet files of ≈``target_file_bytes`` each:
+    n_files = ceil(rows × measured_bytes_per_row / target), round-robin
+    repartition (even sizes regardless of input skew), one write.
+
+    At 100 TB with a 128 MB target this yields ~800k evenly-sized files
+    — splittable, listable, and sized to one scan-task each; the
+    repartition is the one extra shuffle this costs, which is the price
+    of decoupling output layout from whatever partitioning the job
+    ended on.  Returns the sizing telemetry so callers can log it."""
+    if row_bytes is None:
+        row_bytes = estimate_row_bytes(df)
+    n_rows = df.count()
+    n_files = max(1, -(-int(n_rows * row_bytes) // target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return {
+        "n_rows": n_rows,
+        "row_bytes_est": round(row_bytes, 2),
+        "n_files": n_files,
+        "target_file_bytes": target_file_bytes,
+    }
+
+
 QUERIES = {
     "bucketed_join_stats": q_bucketed_join_stats,
     "events_day_pruned": q_events_day_pruned,
