@@ -97,6 +97,19 @@ def main() -> None:
          "8-row cluster-size table rides a BroadcastExchange.  Pinned by\n"
          "`test_semantic_dedup_pair_join_cluster_local`.",
          qs["semantic_dedup"](spark, SF)),
+        ("salted_hot_key_join (explicit hot-key salting)",
+         "The sketch→salt pipeline's join: both sides exchange on\n"
+         "(key, __salt) — the hot key's fact rows scatter over n_salts\n"
+         "reducers while the dim side's Generate replicates only heavy\n"
+         "keys; ShuffledHashJoin (hinted) so no broadcast bypasses the\n"
+         "salt.  Pinned by `test_salted_join_shuffles_on_key_plus_salt`.",
+         qs["salted_hot_key_join"](spark, SF)),
+        ("conversation_context_pack (per-group stateful fold)",
+         "Greedy packing is one FlatMapGroupsInPandas over the conv_id\n"
+         "Exchange — the running fill-reset can't be a Window, so the\n"
+         "plan's shape IS the operator: shuffle once on the group key,\n"
+         "fold inside Arrow batches, nothing else.",
+         qs["conversation_context_pack"](spark, SF)),
         ("ann_ivf_kmeans (IVF over the learned quantizer)",
          "Cell assignment is a narrow map over the scan; the probed-cell\n"
          "set (n_probe rows) and the query vector reach the corpus via\n"

@@ -927,3 +927,38 @@ def test_percentile_approx_bounds_nonvacuous(spark, sf01_dir):
         F.percentile("v", [0.52]).alias("hi"),
     ).collect()[0]
     assert got["lo"][0] <= got["apx"][0] <= got["hi"][0], got
+
+
+def test_event_streaks_gaps_and_islands(spark):
+    """Hand-computed streaks: runs split on type change, resume later
+    (gaps-and-islands, not global counts), ties broken by event_id."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: A A A B A A  -> max streak 3 (As split by the B)
+    for i, et in enumerate(["a", "a", "a", "b", "a", "a"]):
+        rows.append((i, base + dt.timedelta(seconds=i), 1, et, 0.0, "{}"))
+    # user 2: B B  -> max streak 2
+    for i, et in enumerate(["b", "b"]):
+        rows.append((10 + i, base + dt.timedelta(seconds=i), 2, et, 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    pq = df  # q_event_streaks loads from dir; test the same logic inline
+    from text_extractor_for_bioeconomic_products_spark.operators import (
+        relational,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["max_streak"]: r["n_users"]
+            for r in relational.q_event_streaks(spark, d).collect()
+        }
+    assert got == {3: 1, 2: 1}, got

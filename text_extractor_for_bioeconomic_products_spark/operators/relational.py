@@ -597,6 +597,41 @@ def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Gaps-and-islands (consecutive-run analysis) ---------------------------
+
+def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-event-type run per user → corpus census
+    of max streak lengths.  The gaps-and-islands pattern: a change flag
+    via lag(), a running sum numbering each island, then two cheap
+    aggregates.  Both window passes share ONE partitioning (user_id) so
+    the whole pattern costs a single row-volume shuffle; the island
+    aggregates are user-cardinality-sized.  (Behavioral analog: max
+    consecutive same-role turns in a transcript — loop detection.)"""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = events.select(
+        "user_id",
+        "event_type",
+        F.sum(chg).over(run).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    per_user = runs.groupBy("user_id").agg(
+        F.max("run_len").alias("max_streak")
+    )
+    return (
+        per_user.groupBy("max_streak")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("max_streak")
+    )
+
+
 # --- Approximate percentiles (GK sketch) with in-band rank-error check.
 # order_price_percentiles below is the exact path: a full sort-based
 # aggregate.  At 100 TB the exact quantile needs the whole column through
@@ -956,6 +991,33 @@ ORACLE_SQL = {
         FROM exact, tot
         ORDER BY n_exact DESC, key ASC
         LIMIT 10
+    """,
+    "event_streaks": """
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+            SELECT user_id,
+                   CAST(sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS island
+            FROM flagged
+        ),
+        runs AS (
+            SELECT user_id, island, count(*) AS run_len
+            FROM islands GROUP BY user_id, island
+        ),
+        per_user AS (
+            SELECT user_id, max(run_len) AS max_streak FROM runs GROUP BY user_id
+        )
+        SELECT max_streak, count(*) AS n_users
+        FROM per_user GROUP BY max_streak ORDER BY max_streak
     """,
     "order_price_percentiles_approx": """
         SELECT CAST(round(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p25,
@@ -1318,6 +1380,7 @@ QUERIES = {
     "heavy_keys_sketch": q_heavy_keys_sketch,
     "salted_hot_key_join": q_salted_hot_key_join,
     "order_price_percentiles_approx": q_order_price_percentiles_approx,
+    "event_streaks": q_event_streaks,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
