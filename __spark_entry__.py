@@ -85,6 +85,7 @@ _DEFERRED_STAPLES = [
     "stratified_sample",
     "curation_pipeline",
     "benchmark_contamination_ngram",
+    "dedup_simhash_hamming",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since

@@ -837,3 +837,28 @@ def test_streaming_merge_upsert_restart_effectively_once(
     cols = [c for c in batch.columns]
     assert got.select(cols).exceptAll(batch.select(cols)).count() == 0
     assert batch.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_fuzzy_dedup_apply_drops_non_canonical(spark, tmp_path):
+    """Census → action: in a planted near-dup pair only the higher
+    doc_id drops; the unique doc and the canonical survive."""
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        q_fuzzy_dedup_apply,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [dup, dup, "completely different words entirely unrelated content here"],
+        "lang": ["en"] * 3,
+        "source": ["s0", "s0", "s1"],
+        "n_chars": [len(dup), len(dup), 59],
+    })
+    rows.to_parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: (r["n_docs"], r["n_dropped"], r["n_kept"])
+        for r in q_fuzzy_dedup_apply(spark, str(tmp_path)).collect()
+    }
+    assert got == {"s0": (2, 1, 1), "s1": (1, 0, 1)}, got

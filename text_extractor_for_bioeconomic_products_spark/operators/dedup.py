@@ -791,6 +791,91 @@ ORACLE_DUP_COMPONENTS = f"""
 """
 
 
+def q_fuzzy_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census → ACTION: materialize the fuzzy-dedup decision.  Every doc
+    in a `dup_components` cluster except the canonical (minimum) member
+    is a victim; the kept corpus is an anti-join against that victim
+    set.  Victim extraction runs over the CLUSTER table (corpus-scale
+    independent — clusters are the small side by construction), so at
+    100 TB this adds one broadcast anti-join to the corpus scan on top
+    of the clustering cost.  Output: per-source kept/dropped census —
+    the number a curation run reports before committing the drop."""
+    docs = load(spark, sf_dir, "documents")
+    clusters = q_dup_components(spark, sf_dir)
+    victims = (
+        clusters.select(
+            "component",
+            F.explode(F.split("members", ",")).alias("member"),
+        )
+        .select("component", F.col("member").cast("bigint").alias("doc_id"))
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_victim", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(victims), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_victim"), F.lit(0))).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_victim").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_FUZZY_DEDUP_APPLY = f"""
+    WITH RECURSIVE cand AS (
+        SELECT doc_a, doc_b FROM ({_JACCARD_BODY_SQL})
+        WHERE jaccard >= {DUP_EDGE_THRESHOLD}
+    ),
+    bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM bidir
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+    ),
+    lab AS (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    sigs2 AS ({_minhash_sql_duckdb()}),
+    banded AS (
+        SELECT doc_id,
+               substr(sig_0, 1, 8) || '|' || substr(sig_1, 1, 8) AS band
+        FROM sigs2
+    ),
+    mega_nodes AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY band) AS component,
+               count(*) OVER (PARTITION BY band) AS n
+        FROM banded
+    ),
+    victims AS (
+        SELECT node AS doc_id FROM lab WHERE node <> component
+        UNION
+        SELECT doc_id FROM mega_nodes
+        WHERE n > {MAX_BAND_DOCS} AND doc_id <> component
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN v.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM documents d LEFT JOIN victims v ON d.doc_id = v.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Keep-first canonical selection (the dedup output a pipeline consumes)
 # ---------------------------------------------------------------------------
@@ -1173,6 +1258,7 @@ QUERIES = {
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "dedup_jaccard_candidates": q_dedup_jaccard_candidates,
     "dup_components": q_dup_components,
+    "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
     "duplicate_passages": q_duplicate_passages,
     "incremental_dedup": q_incremental_dedup,
 }
@@ -1186,6 +1272,7 @@ ORACLE_SQL = {
     "dedup_simhash_hamming": ORACLE_SIMHASH_HAMMING,
     "dedup_jaccard_candidates": ORACLE_DEDUP_JACCARD,
     "dup_components": ORACLE_DUP_COMPONENTS,
+    "fuzzy_dedup_apply": ORACLE_FUZZY_DEDUP_APPLY,
     "duplicate_passages": ORACLE_DUPLICATE_PASSAGES,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
 }
