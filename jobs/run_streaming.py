@@ -8,6 +8,8 @@
 ``dedup``    at-least-once input → exactly-once-per-key output
 ``tracker``  applyInPandasWithState running conversation totals
 ``counts``   watermarked 10-min windowed span counts
+``merge``    foreachBatch keyed MERGE upsert into the bucketed turns
+             table (effectively-once under checkpoint replay)
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="extract",
-                    choices=["extract", "dedup", "tracker", "counts"])
+                    choices=["extract", "dedup", "tracker", "counts", "merge"])
     ap.add_argument("--timeout-sec", type=int, default=300)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -39,8 +41,19 @@ def main() -> None:
         "dedup": sp.run_streaming_dedup_extraction,
         "tracker": sp.run_stateful_conversation_tracker,
         "counts": sp.streaming_conversation_counts,
-    }[args.mode]
-    runner(spark, args.input, args.output, timeout_sec=args.timeout_sec)
+    }
+    if args.mode == "merge":
+        sp.run_streaming_merge_upsert(
+            spark, args.input,
+            os.path.join(args.output, "turns_merged"),
+            os.path.join(args.output, "_merge_checkpoint"),
+            timeout_sec=args.timeout_sec,
+        )
+        n = spark.read.parquet(os.path.join(args.output, "turns_merged")).count()
+        print(json.dumps({"mode": args.mode, "output_rows": n}))
+        spark.stop()
+        return
+    runner[args.mode](spark, args.input, args.output, timeout_sec=args.timeout_sec)
     out_sub = {
         "extract": "turns_extracted_stream",
         "dedup": "turns_dedup_stream",
