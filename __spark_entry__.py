@@ -86,6 +86,7 @@ _DEFERRED_STAPLES = [
     "curation_pipeline",
     "benchmark_contamination_ngram",
     "dedup_simhash_hamming",
+    "sequence_packing",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since

@@ -862,3 +862,37 @@ def test_fuzzy_dedup_apply_drops_non_canonical(spark, tmp_path):
         for r in q_fuzzy_dedup_apply(spark, str(tmp_path)).collect()
     }
     assert got == {"s0": (2, 1, 1), "s1": (1, 0, 1)}, got
+
+
+def test_pca_matches_numpy_oracle(spark, sf001_dir):
+    """The distributed moment pipeline + driver eigh must equal plain
+    numpy PCA on the collected corpus: eigenvalues, trace, and the
+    projection (up to per-component sign, which eigh leaves free)."""
+    import numpy as np
+
+    from text_extractor_for_bioeconomic_products_spark.operators.clustering import (
+        PCA_K,
+        pca_fit,
+        pca_project,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+    fit = pca_fit(emb)
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    ref_vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert fit["n"] == len(rows)
+    assert abs(fit["trace"] - float(np.trace(cov))) < 1e-8 * fit["trace"]
+    np.testing.assert_allclose(
+        fit["eigvals"][:PCA_K], ref_vals[:PCA_K], rtol=1e-8, atol=1e-12
+    )
+    # projection: centered @ components.T, sign-free per component
+    got = {r["vec_id"]: np.array(r["pc"]) for r in pca_project(emb, fit).collect()}
+    centered = m - m.mean(axis=0)
+    ref = centered @ fit["components"].T
+    ids = [r["vec_id"] for r in rows]
+    got_m = np.stack([got[i] for i in ids])
+    np.testing.assert_allclose(got_m, ref, rtol=1e-8, atol=1e-10)
+    # variance captured along PC1 equals the top eigenvalue
+    assert abs(got_m[:, 0].var() - fit["eigvals"][0]) < 1e-6 * fit["eigvals"][0]

@@ -460,13 +460,161 @@ ORACLE_ANN_IVF_KMEANS = (
 """
 )
 
+# ---------------------------------------------------------------------------
+# Distributed PCA (moment aggregation on the cluster, eigh on the driver)
+# ---------------------------------------------------------------------------
+#
+# The MLlib RowMatrix.computePrincipalComponents design: the corpus never
+# leaves the executors — each partition folds its rows into (n, Σx, ΣxxT)
+# with one Arrow pass, the d+d² moment entries reduce by a position-keyed
+# sum (≤ (d²+d)·partitions tiny rows through the shuffle, never vectors),
+# and only the d×d covariance reaches the driver for numpy's eigh.
+# Driver state is O(d²), corpus-size-independent.  At 100 TB this is the
+# only sane PCA: d=64 ⇒ 4160 doubles per partition summary.
+
+PCA_DIM = 64
+PCA_K = 8
+
+
+def pca_fit(emb: DataFrame, dim: int = PCA_DIM, k: int = PCA_K) -> dict:
+    """Fit PCA over an `embedding` array column.  Returns mean, top-k
+    components (rows = components), eigenvalues (descending), the
+    covariance trace, and n — everything downstream projection and
+    whitening need."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            ss += m.T @ m
+        if n:
+            # n rides as moment position 0, so ONE position-keyed sum
+            # reduces count and moments together (single job)
+            yield pd.DataFrame(
+                {
+                    "moments": [
+                        np.concatenate([[float(n)], s, ss.ravel()]).tolist()
+                    ]
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        partial, schema="moments array<double>"
+    )
+    # position-keyed reduce: the shuffle carries moment ENTRIES, not vectors
+    reduced = (
+        parts.select(F.posexplode("moments").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    if not reduced:
+        raise ValueError("pca_fit: empty input")
+    flat = np.zeros(1 + dim + dim * dim)
+    for r in reduced:
+        flat[r["pos"]] = r["v"]
+    n = int(flat[0])
+    s, ss = flat[1 : 1 + dim], flat[1 + dim :].reshape(dim, dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    trace = float(np.trace(cov))
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1]
+    eigvals = np.maximum(eigvals[order], 0.0)
+    components = eigvecs[:, order].T[:k]  # (k, dim)
+    return {
+        "n": n,
+        "mean": mean,
+        "trace": trace,
+        "eigvals": eigvals,
+        "components": components,
+    }
+
+
+def pca_project(emb: DataFrame, fit: dict) -> DataFrame:
+    """Narrow map: vec_id + the k-dim projection (centered · componentsᵀ).
+    Components/mean ride as task-closure constants — no shuffle, no join."""
+    import numpy as np
+    import pandas as pd
+
+    comps = fit["components"]
+    mean = fit["mean"]
+
+    def project(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            pc = (m - mean) @ comps.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "pc": list(pc)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, schema="vec_id long, pc array<double>"
+    )
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embeddings table.  Oracle-ability follows the sketch
+    idiom: the eigendecomposition is driver-side numpy (DuckDB has no
+    linalg), so the hashed output carries what BOTH engines can compute
+    exactly — n and the covariance TRACE (= Σ per-dim population
+    variance, which end-to-end validates the distributed moment
+    pipeline the eigensolve consumes) — plus invariant flags computed
+    from the real spectrum: eigenvalues non-increasing, Σλ == trace
+    (1e-6 relative), and top-k capturing a sane (0,1] variance share.
+    The eigen math itself is pinned by the numpy-oracle pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    fit = pca_fit(emb)
+    ev = fit["eigvals"]
+    noninc = bool(all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1)))
+    sum_ok = bool(abs(float(ev.sum()) - fit["trace"]) <= 1e-6 * max(fit["trace"], 1e-12))
+    evr_k = float(ev[:PCA_K].sum() / fit["trace"]) if fit["trace"] > 0 else 0.0
+    evr_ok = bool(0.0 < evr_k <= 1.0 + 1e-9)
+    return spark.createDataFrame(
+        [(fit["n"], round(fit["trace"], 4), noninc, sum_ok, evr_ok)],
+        "n_vectors long, total_variance double, eig_nonincreasing boolean, "
+        "eig_sum_matches_trace boolean, topk_evr_in_unit boolean",
+    )
+
+
+def _pca_trace_sql_duckdb(dim: int = PCA_DIM) -> str:
+    # population variance per dim from the same raw moments the Spark
+    # side folds: Σx²/n − mean² (NOT var_samp/var_pop built-ins, whose
+    # Welford accumulation order could diverge in the 4th decimal)
+    terms = " + ".join(
+        f"(sum(embedding[{i + 1}]::DOUBLE * embedding[{i + 1}]::DOUBLE) / count(*)"
+        f" - pow(sum(embedding[{i + 1}]::DOUBLE) / count(*), 2))"
+        for i in range(dim)
+    )
+    return terms
+
+
+ORACLE_EMBEDDING_PCA = f"""
+    SELECT count(*) AS n_vectors,
+           CAST(round(CAST({_pca_trace_sql_duckdb()} AS DECIMAL(18,10)), 4)
+                AS DOUBLE) AS total_variance,
+           TRUE AS eig_nonincreasing,
+           TRUE AS eig_sum_matches_trace,
+           TRUE AS topk_evr_in_unit
+    FROM embeddings
+"""
+
+
 ORACLE_SQL = {
+    "embedding_pca": ORACLE_EMBEDDING_PCA,
     "kmeans_clusters": ORACLE_KMEANS,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
 }
 
 QUERIES = {
+    "embedding_pca": q_embedding_pca,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
