@@ -896,3 +896,42 @@ def test_pca_matches_numpy_oracle(spark, sf001_dir):
     np.testing.assert_allclose(got_m, ref, rtol=1e-8, atol=1e-10)
     # variance captured along PC1 equals the top eigenvalue
     assert abs(got_m[:, 0].var() - fit["eigvals"][0]) < 1e-6 * fit["eigvals"][0]
+
+
+def test_run_curation_end_to_end(spark, sf001_dir, tmp_path):
+    """The composed job: every input row is accounted to exactly one
+    fate (quality-dropped, dedup-dropped, or written to one split), the
+    written splits are disjoint and deterministic, and re-running
+    yields the identical assignment."""
+    import glob
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_curation import run_curation
+
+    out = str(tmp_path / "curated")
+    lineage = run_curation(spark, sf001_dir, out)
+    assert lineage["n_in"] > 0
+    assert (
+        lineage["dropped_quality"] + lineage["dropped_dedup"]
+        + lineage["n_written"] == lineage["n_in"]
+    )
+    ids = {}
+    for split in ("train", "val", "test"):
+        files = glob.glob(os.path.join(out, split, "*.parquet"))
+        assert files, split
+        ids[split] = {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(out, split)).collect()
+        }
+        assert len(ids[split]) == lineage["splits"][split]["n_rows"]
+    assert not (ids["train"] & ids["val"]) and not (ids["train"] & ids["test"])
+    # determinism: a second run lands every doc in the same split
+    out2 = str(tmp_path / "curated2")
+    lineage2 = run_curation(spark, sf001_dir, out2)
+    assert lineage2["splits"]["train"]["n_rows"] == lineage["splits"]["train"]["n_rows"]
+    ids2_val = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out2, "val")).collect()
+    }
+    assert ids2_val == ids["val"]

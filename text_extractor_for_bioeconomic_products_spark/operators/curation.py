@@ -297,17 +297,9 @@ ORACLE_SOURCE_MIX = f"""
 """
 
 
-def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/10/10 train/val/test assignment + stratification
-    census: the split is a pure function of doc_id (salted md5 bucket
-    mod 100 — content- and partitioning-independent, so re-runs, scale
-    changes, and late-arriving shards never move a document between
-    splits, the property that prevents train/test leakage over time),
-    and the output is the per-(split, lang) census with within-split
-    shares a user audits for stratification balance.  Narrow map +
-    one ~|splits×langs|-row aggregate; hex→bigint via the same
-    cross-engine md5 idiom as the minhash/simhash oracles."""
-    docs = load(spark, sf_dir, "documents")
+def split_assignment() -> "F.Column":
+    """The deterministic 80/10/10 split column (pure function of doc_id;
+    see q_train_val_test_split for why that property matters)."""
     bucket = (
         F.conv(
             F.substring(
@@ -320,9 +312,23 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 100
     )
-    split = (
+    return (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment + stratification
+    census: the split is a pure function of doc_id (salted md5 bucket
+    mod 100 — content- and partitioning-independent, so re-runs, scale
+    changes, and late-arriving shards never move a document between
+    splits, the property that prevents train/test leakage over time),
+    and the output is the per-(split, lang) census with within-split
+    shares a user audits for stratification balance.  Narrow map +
+    one ~|splits×langs|-row aggregate; hex→bigint via the same
+    cross-engine md5 idiom as the minhash/simhash oracles."""
+    docs = load(spark, sf_dir, "documents")
+    split = split_assignment()
     agg = (
         docs.select(split.alias("split"), "lang")
         .groupBy("split", "lang")

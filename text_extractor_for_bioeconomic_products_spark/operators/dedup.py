@@ -791,6 +791,25 @@ ORACLE_DUP_COMPONENTS = f"""
 """
 
 
+def fuzzy_dedup_victims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids to DROP under the fuzzy-dedup decision: every
+    `dup_components` cluster member except the canonical (minimum).
+    Extraction runs over the cluster table — the small side by
+    construction — so consumers broadcast-anti-join it against the
+    corpus scan."""
+    clusters = q_dup_components(spark, sf_dir)
+    return (
+        clusters.select(
+            "component",
+            F.explode(F.split("members", ",")).alias("member"),
+        )
+        .select("component", F.col("member").cast("bigint").alias("doc_id"))
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def q_fuzzy_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Census → ACTION: materialize the fuzzy-dedup decision.  Every doc
     in a `dup_components` cluster except the canonical (minimum) member
@@ -801,16 +820,8 @@ def q_fuzzy_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the clustering cost.  Output: per-source kept/dropped census —
     the number a curation run reports before committing the drop."""
     docs = load(spark, sf_dir, "documents")
-    clusters = q_dup_components(spark, sf_dir)
     victims = (
-        clusters.select(
-            "component",
-            F.explode(F.split("members", ",")).alias("member"),
-        )
-        .select("component", F.col("member").cast("bigint").alias("doc_id"))
-        .filter(F.col("doc_id") != F.col("component"))
-        .select("doc_id")
-        .distinct()
+        fuzzy_dedup_victims(spark, sf_dir)
         .withColumn("is_victim", F.lit(1))
     )
     return (
