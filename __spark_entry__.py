@@ -87,6 +87,9 @@ _DEFERRED_STAPLES = [
     "benchmark_contamination_ngram",
     "dedup_simhash_hamming",
     "sequence_packing",
+    "doc_repetition",
+    "doc_chunks",
+    "doc_extract_full",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since

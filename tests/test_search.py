@@ -962,3 +962,81 @@ def test_event_streaks_gaps_and_islands(spark):
             for r in relational.q_event_streaks(spark, d).collect()
         }
     assert got == {3: 1, 2: 1}, got
+
+
+def test_referential_integrity_detects_planted_orphans(spark, sf001_dir):
+    """The simulated dim loss must surface as orphans on exactly the
+    orders->customer edge; the intact edges must pass clean."""
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        r["fk"]: r
+        for r in entry_mod.queries()["referential_integrity"](
+            spark, sf001_dir
+        ).collect()
+    }
+    assert rows["orders->customer"]["n_orphans"] > 0
+    assert rows["lineitem->orders"]["n_orphans"] == 0
+    assert rows["customer->nation"]["n_orphans"] == 0
+    assert all(r["n_child_rows"] > 0 for r in rows.values())
+
+
+def test_mad_outliers_flag_spikes_not_noise(spark, tmp_path):
+    """A user with tight values + one spike flags exactly the spike; a
+    constant-value user flags nothing (MAD=0 edge)."""
+    import datetime as dt
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        q_user_value_outliers,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    vals_u1 = [10.0, 10.5, 9.5, 10.2, 9.8, 500.0]  # spike at the end
+    for i, v in enumerate(vals_u1):
+        rows.append((i, base + dt.timedelta(seconds=i), 1, "a", v, "{}"))
+    for i in range(5):  # constant user
+        rows.append((100 + i, base + dt.timedelta(seconds=i), 2, "b", 7.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["event_type"]: (r["n_events"], r["n_outliers"])
+            for r in q_user_value_outliers(spark, d).collect()
+        }
+    assert got == {"a": (6, 1), "b": (5, 0)}, got
+
+
+def test_token_pmi_planted_collocation_ranks_first(spark, tmp_path):
+    """Two tokens that always co-occur (and appear in half the docs)
+    must out-PMI the background tokens present everywhere."""
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        q_token_pmi,
+    )
+
+    texts = []
+    for i in range(20):
+        base = "alpha beta gamma delta epsilon"
+        texts.append(base + (" zig zag" if i % 2 == 0 else ""))
+    rows = pd.DataFrame({
+        "doc_id": range(20),
+        "text": texts,
+        "lang": ["en"] * 20,
+        "source": ["s"] * 20,
+        "n_chars": [len(t) for t in texts],
+    })
+    rows.to_parquet(str(tmp_path / "documents.parquet"))
+    got = q_token_pmi(spark, str(tmp_path)).collect()
+    top = got[0]
+    assert (top["t1"], top["t2"]) == ("zag", "zig")
+    # pmi = ln(20·10/(10·10)) = ln 2
+    assert abs(top["pmi"] - 0.6931) < 1e-9
+    assert all(r["pmi"] <= top["pmi"] for r in got)

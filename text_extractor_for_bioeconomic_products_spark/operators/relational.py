@@ -597,6 +597,92 @@ def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Referential-integrity audit (ingest validation) -----------------------
+#
+# The data-quality gate a pipeline runs before trusting a new snapshot:
+# per FK edge, how many child rows point at a missing parent.  Each edge
+# is one broadcast-semi-join-shaped anti count (the parent KEY SET is the
+# small side; at 100 TB a too-big parent side falls back to a shuffle
+# semi join, same semantics).  The corpus is referentially intact by
+# construction, so the audit simulates partial dim loss — customers with
+# c_custkey ≡ 0 (mod 997) "deleted" — making the orphan path non-vacuous
+# on both engines; the other edges prove the clean-pass path.
+_RI_DROP_MOD = 997
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % _RI_DROP_MOD != 0
+    )
+    nation = load(spark, sf_dir, "nation")
+
+    def edge(name: str, child: DataFrame, ckey: str, parent: DataFrame,
+             pkey: str) -> DataFrame:
+        keys = parent.select(F.col(pkey).alias(ckey)).distinct()
+        orphans = child.join(F.broadcast(keys), ckey, "left_anti")
+        return child.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").alias("n_child_rows"),
+        ).crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+
+    return (
+        edge("orders->customer", orders, "o_custkey", customer, "c_custkey")
+        .unionByName(
+            edge("lineitem->orders", lineitem, "l_orderkey", orders,
+                 "o_orderkey")
+        )
+        .unionByName(
+            edge("customer->nation", customer, "c_nationkey", nation,
+                 "n_nationkey")
+        )
+        .orderBy("fk")
+    )
+
+
+# --- Robust outlier detection (median/MAD) ---------------------------------
+#
+# Quality gating on a metric column without assuming normality: a value
+# is anomalous when its absolute deviation from the per-user median
+# exceeds 3 robust standard deviations (MAD × 1.4826).  Median and MAD
+# are per-user aggregates — everything stays keyed on user_id (two
+# group-aggs + two joins on the same key, so AQE coalesces the
+# partitioning), and the census output is event_type-sized.  The
+# boundary comparison routes through DECIMAL(18,10)→round(6) so float
+# ulps at the threshold can't flip a flag between engines.
+_MAD_SIGMA = 1.4826
+_MAD_CUTOFF = 3.0
+
+
+def q_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    med = events.groupBy("user_id").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = events.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
+    margin = F.round(
+        (
+            F.col("adev") - F.lit(_MAD_CUTOFF * _MAD_SIGMA) * F.col("mad")
+        ).cast("decimal(18,10)"),
+        6,
+    )
+    flagged = dev.join(mad, "user_id").withColumn(
+        "is_outlier", F.when(margin > 0, 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_outlier").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- Gaps-and-islands (consecutive-run analysis) ---------------------------
 
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,6 +1078,48 @@ ORACLE_SQL = {
         ORDER BY n_exact DESC, key ASC
         LIMIT 10
     """,
+    "user_value_outliers": f"""
+        WITH med AS (
+            SELECT user_id, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY user_id
+        ),
+        dev AS (
+            SELECT e.user_id, e.event_type, abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (user_id)
+        ),
+        mad AS (
+            SELECT user_id, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY user_id
+        )
+        SELECT d.event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN round(CAST(d.adev - {_MAD_CUTOFF * _MAD_SIGMA} * m.mad
+                                             AS DECIMAL(18,10)), 6) > 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (user_id)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    "referential_integrity": f"""
+        WITH cust AS (
+            SELECT * FROM customer WHERE c_custkey % {_RI_DROP_MOD} <> 0
+        )
+        SELECT 'orders->customer' AS fk,
+               (SELECT count(*) FROM orders) AS n_child_rows,
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM cust)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT count(*) FROM cust),
+               (SELECT count(*) FROM cust
+                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        ORDER BY fk
+    """,
     "event_streaks": """
         WITH flagged AS (
             SELECT user_id, event_type, ts, event_id,
@@ -1381,6 +1509,8 @@ QUERIES = {
     "salted_hot_key_join": q_salted_hot_key_join,
     "order_price_percentiles_approx": q_order_price_percentiles_approx,
     "event_streaks": q_event_streaks,
+    "referential_integrity": q_referential_integrity,
+    "user_value_outliers": q_user_value_outliers,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,

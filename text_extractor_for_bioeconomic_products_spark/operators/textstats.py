@@ -460,6 +460,106 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PMI collocations (corpus lexical statistics) ---------------------------
+#
+# Pointwise mutual information of token pairs by document co-occurrence:
+# pmi(x,y) = ln(N·n_xy / (n_x·n_y)) over presence counts — the classic
+# collocation/phrase-mining signal.  Spark-first shape: the pair set is
+# generated IN-ROW from each doc's sorted distinct token array (nested
+# transform over array slices — the duplicate_passages idiom), so there
+# is NO doc-keyed self-join; the only shuffles are the two map-side
+# partial counts (pairs, unigrams) and both are vocabulary²-/vocabulary-
+# sized.  At 100 TB the knob is capping per-doc distinct tokens (top-N
+# by tf) before pairing, which bounds in-row pair fan-out at N²/2.
+# Scores are 4-decimal-rounded before ranking (libm-vs-JVM ln ulps, the
+# tf-idf precedent) with the pair as tie-break.
+PMI_MIN_PAIR_DOCS = 5
+PMI_TOP_K = 20
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 0,
+            )
+        )
+    )
+    with_toks = docs.select("doc_id", toks.alias("toks"))
+    pairs = with_toks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(toks, (x, i) -> "
+                "transform(slice(toks, i + 2, size(toks)), "
+                "y -> named_struct('t1', x, 't2', y))))"
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    n_xy = pairs.groupBy("t1", "t2").agg(F.count("*").alias("n_xy"))
+    uni = (
+        with_toks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n_t"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        n_xy.filter(F.col("n_xy") >= PMI_MIN_PAIR_DOCS)
+        .join(F.broadcast(uni.withColumnRenamed("t", "t1")
+                          .withColumnRenamed("n_t", "n_x")), "t1")
+        .join(F.broadcast(uni.withColumnRenamed("t", "t2")
+                          .withColumnRenamed("n_t", "n_y")), "t2")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_docs") * F.col("n_xy")
+                    / (F.col("n_x") * F.col("n_y"))
+                ).cast("decimal(18,10)"),
+                4,
+            ).cast("double"),
+        )
+    )
+    return (
+        scored.select("t1", "t2", "n_xy", "pmi")
+        .orderBy(F.desc("pmi"), "t1", "t2")
+        .limit(PMI_TOP_K)
+    )
+
+
+ORACLE_TOKEN_PMI = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, term
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+            FROM documents
+        )
+        WHERE length(term) > 0
+    ),
+    pair AS (
+        SELECT a.term AS t1, b.term AS t2, count(*) AS n_xy
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+        HAVING count(*) >= {PMI_MIN_PAIR_DOCS}
+    ),
+    uni AS (SELECT term, count(*) AS n_t FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT p.t1, p.t2, p.n_xy,
+           CAST(round(CAST(ln(n.n_docs * 1.0 * p.n_xy / (x.n_t * 1.0 * y.n_t))
+                           AS DECIMAL(18,10)), 4) AS DOUBLE) AS pmi
+    FROM pair p
+    JOIN uni x ON p.t1 = x.term
+    JOIN uni y ON p.t2 = y.term
+    CROSS JOIN n
+    ORDER BY pmi DESC, t1, t2
+    LIMIT {PMI_TOP_K}
+"""
+
+
 ORACLE_TFIDF_TOP_TERMS = f"""
     WITH tok AS (
         SELECT doc_id, term
@@ -962,6 +1062,7 @@ ORACLE_DOC_CHUNKS = f"""
 
 
 QUERIES = {
+    "token_pmi": q_token_pmi,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
     "top_tokens": q_top_tokens,
@@ -979,6 +1080,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "token_pmi": ORACLE_TOKEN_PMI,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "doc_lm_score": ORACLE_DOC_LM_SCORE,
     "top_tokens": ORACLE_TOP_TOKENS,
