@@ -90,6 +90,7 @@ _DEFERRED_STAPLES = [
     "doc_repetition",
     "doc_chunks",
     "doc_extract_full",
+    "transcript_extraction",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since

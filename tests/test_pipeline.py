@@ -935,3 +935,30 @@ def test_run_curation_end_to_end(spark, sf001_dir, tmp_path):
         for r in spark.read.parquet(os.path.join(out2, "val")).collect()
     }
     assert ids2_val == ids["val"]
+
+
+def test_pq_codes_shape_and_adc_sanity(spark, sf001_dir):
+    """PQ encoding: every vector gets M in-range codes, the code table
+    is deterministic across repartitionings, and the ADC ledger reports
+    recall in [0,1] with the exact side always k rows."""
+    from text_extractor_for_bioeconomic_products_spark.operators.clustering import (
+        PQ_CODEBOOK_K,
+        PQ_SUB,
+        pq_encode,
+        pq_fit,
+        q_ann_pq_recall,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+    books = pq_fit(emb)
+    assert len(books) == PQ_SUB
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        for m in range(PQ_SUB):
+            assert 0 <= r[f"code_{m}"] < PQ_CODEBOOK_K
+    codes2 = pq_encode(emb.repartition(7), books).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, codes2))
+    ledger = q_ann_pq_recall(spark, sf001_dir).collect()
+    assert ledger and all(r["n_exact"] == 10 for r in ledger)
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in ledger)

@@ -461,6 +461,267 @@ ORACLE_ANN_IVF_KMEANS = (
 )
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN with asymmetric distance (ADC)
+# ---------------------------------------------------------------------------
+#
+# Jégou et al., "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split the vector into M subspaces, k-means each subspace
+# into a tiny codebook, store each vector as M one-byte codes.  At 100 TB
+# this is THE memory lever — 64 float32 (256 B) → M=4 codes (4 B), 64×
+# compression — and ADC scoring reads only the code table: the query
+# computes one M×k distance table, every corpus distance is M lookups.
+# Codebooks are the oracle-exact Lloyd fit per subspace (the learned-
+# quantizer discipline ann_ivf_kmeans established: quality of the
+# quantizer IS the recall lever), and like every approximate path in
+# this engine it ships with measured recall (ann_pq_recall), not claims.
+PQ_SUB = 4
+PQ_SUBDIM = DIM // PQ_SUB
+PQ_CODEBOOK_K = 8
+PQ_ITERS = 2
+
+
+def _sq_dist_cols(a: Column, b: Column) -> Column:
+    """Σ(a−b)² between two array columns, summed left-to-right — the
+    zip_with idiom the DuckDB oracles reproduce bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_fit(emb: DataFrame) -> list[dict[int, list[float]]]:
+    """One Lloyd codebook per subspace, each fit on the sliced vectors
+    (same init/update/parity rules as kmeans_fit — driver state is
+    M·k·subdim floats)."""
+    books = []
+    for m in range(PQ_SUB):
+        sub = emb.select(
+            "vec_id",
+            F.lit(0).alias("label"),
+            F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        books.append(kmeans_fit(sub, k=PQ_CODEBOOK_K, iters=PQ_ITERS))
+    return books
+
+
+def pq_encode(emb: DataFrame, books: list[dict[int, list[float]]]) -> DataFrame:
+    """vec_id + M code columns — a pure narrow map (codebooks ride as
+    literals; nearest codeword per subspace, ties to the smaller cid)."""
+    cols = []
+    for m, book in enumerate(books):
+        sl = F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist(sl, book[cid]).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid in sorted(book)
+                ]
+            )
+        )
+        cols.append(best["cid"].alias(f"code_{m}"))
+    return emb.select("vec_id", *cols)
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of PQ-ADC search vs the exact L2 baseline (PQ
+    approximates Euclidean distance, so its ledger's ground truth is L2
+    — scoring/rounding/tie conventions otherwise identical to the
+    cosine ledgers).  Plan shape: codebook fit collects only M·k·subdim
+    floats; encoding is narrow; ADC scoring is a broadcast crossJoin of
+    the query block against the CODE table (M ints per corpus row — the
+    corpus vectors themselves are never re-read at query time, PQ's
+    whole point); both paths WindowGroupLimit to k rows per query
+    before the recall join."""
+    from .similarity import K_RECALL, N_BATCH_QUERIES
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_fit(emb)
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+
+    adc = None
+    for m, book in enumerate(books):
+        qs = F.slice("q_embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        branch = None
+        for cid in sorted(book):
+            d_m = _sq_dist(qs, book[cid])
+            branch = (
+                F.when(F.col(f"code_{m}") == cid, d_m)
+                if branch is None
+                else branch.when(F.col(f"code_{m}") == cid, d_m)
+            )
+        adc = branch if adc is None else adc + branch
+    pq_top = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(adc, 4).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_RECALL)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _sq_dist_cols(F.col("embedding"), F.col("q_embedding")), 4
+            ).alias("d"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_RECALL)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(pq_top, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            F.round(
+                (
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    / F.count("*")
+                ).cast("decimal(18,10)"),
+                4,
+            ).cast("double").alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pq_chain_sql(m: int) -> str:
+    """The per-subspace Lloyd chain (init → assign → update → assign),
+    over list_slice of the embedding — the ORACLE_KMEANS templates
+    specialized to subspace m."""
+    lo = m * PQ_SUBDIM + 1
+    hi = (m + 1) * PQ_SUBDIM
+    sl = f"list_slice(e.embedding::DOUBLE[], {lo}, {hi})"
+    dist = (
+        f"list_sum(list_transform(list_zip({sl}, c.c),"
+        " x -> (x[1]-x[2])*(x[1]-x[2])))"
+    )
+    return f"""
+    init{m} AS (
+        SELECT vec_id AS cid, list_slice(embedding::DOUBLE[], {lo}, {hi}) AS c
+        FROM embeddings WHERE vec_id < {PQ_CODEBOOK_K}
+    ),
+    d{m}_1 AS (
+        SELECT e.vec_id, c.cid, {dist} AS d
+        FROM embeddings e CROSS JOIN init{m} c
+    ),
+    a{m}_1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM d{m}_1
+        ) WHERE rn = 1
+    ),
+    b{m} AS (
+        SELECT cid, list(mn ORDER BY dim) AS c FROM (
+            SELECT a.cid AS cid, r.range AS dim,
+                   CAST(SUM(CAST(round(e.embedding[r.range + {lo - 1}]::DOUBLE, 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mn
+            FROM a{m}_1 a
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            CROSS JOIN range(1, {PQ_SUBDIM + 1}) r
+            GROUP BY a.cid, r.range
+        ) GROUP BY cid
+    ),
+    d{m}_2 AS (
+        SELECT e.vec_id, c.cid, {dist} AS d
+        FROM embeddings e CROSS JOIN b{m} c
+    ),
+    a{m}_2 AS (
+        SELECT vec_id, cid AS code_{m} FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM d{m}_2
+        ) WHERE rn = 1
+    )"""
+
+
+def _pq_oracle_sql() -> str:
+    from .similarity import K_RECALL, N_BATCH_QUERIES
+
+    chains = ",".join(_pq_chain_sql(m) for m in range(PQ_SUB))
+    code_joins = " ".join(
+        f"JOIN a{m}_2 USING (vec_id)" for m in range(1, PQ_SUB)
+    )
+    adc_terms = " + ".join(
+        f"list_sum(list_transform(list_zip("
+        f"list_slice(q.embedding::DOUBLE[], {m * PQ_SUBDIM + 1}, {(m + 1) * PQ_SUBDIM}),"
+        f" bb{m}.c), x -> (x[1]-x[2])*(x[1]-x[2])))"
+        for m in range(PQ_SUB)
+    )
+    book_joins = " ".join(
+        f"JOIN b{m} bb{m} ON bb{m}.cid = cd.code_{m}" for m in range(PQ_SUB)
+    )
+    exact_d = (
+        "list_sum(list_transform(list_zip(e.embedding::DOUBLE[],"
+        " q.embedding::DOUBLE[]), x -> (x[1]-x[2])*(x[1]-x[2])))"
+    )
+    return f"""
+    WITH {chains},
+    codes AS (
+        SELECT * FROM a0_2 {code_joins}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding
+        FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}
+    ),
+    pq_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, cd.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({adc_terms}, 4) ASC, cd.vec_id ASC
+                   ) AS rk
+            FROM codes cd {book_joins}
+            CROSS JOIN q
+            WHERE cd.vec_id != q.query_id
+        ) WHERE rk <= {K_RECALL}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({exact_d}, 4) ASC, e.vec_id ASC
+                   ) AS rk
+            FROM embeddings e, q
+            WHERE e.vec_id != q.query_id
+        ) WHERE rk <= {K_RECALL}
+    )
+    SELECT x.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(round(CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*) AS DECIMAL(18,10)), 4) AS DOUBLE) AS recall_at_k
+    FROM exact x
+    LEFT JOIN pq_top p ON x.query_id = p.query_id AND x.vec_id = p.vec_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA (moment aggregation on the cluster, eigh on the driver)
 # ---------------------------------------------------------------------------
 #
@@ -608,6 +869,7 @@ ORACLE_EMBEDDING_PCA = f"""
 
 ORACLE_SQL = {
     "embedding_pca": ORACLE_EMBEDDING_PCA,
+    "ann_pq_recall": _pq_oracle_sql(),
     "kmeans_clusters": ORACLE_KMEANS,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
@@ -615,6 +877,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "embedding_pca": q_embedding_pca,
+    "ann_pq_recall": q_ann_pq_recall,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
