@@ -512,3 +512,48 @@ def test_write_target_sized_files(spark, sf01_dir, tmp_path):
     assert back.count() == df.count()
     cols = sorted(df.columns)
     assert back.select(cols).exceptAll(df.select(cols)).count() == 0
+
+
+def test_token_pmi_no_self_join(spark, sf001_dir):
+    """The pair set must come from in-row generation (Generate over the
+    token array), never a doc-keyed self-join: no shuffle joins in the
+    plan — every join is broadcast-sized (unigram counts, doc count)."""
+    import __spark_entry__ as entry_mod
+
+    plan = (
+        entry_mod.queries()["token_pmi"](spark, sf001_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Generate" in plan
+
+
+def test_pca_moment_reduce_is_entry_keyed(spark, sf001_dir):
+    """The PCA moment reduction must shuffle moment ENTRIES (pos-keyed
+    rows from per-partition summaries), not vectors: exactly one
+    hashpartitioning Exchange, keyed on pos, fed by the Arrow map."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf001_dir, "embeddings.parquet"))
+
+    def partial(batches):
+        yield pd.DataFrame({"moments": [[1.0]]})
+
+    parts = emb.select("embedding").mapInPandas(
+        partial, schema="moments array<double>"
+    )
+    red = (
+        parts.select(F.posexplode("moments").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v"))
+    )
+    plan = red._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys == ["pos"], plan[:1500]
+    assert "MapInPandas" in plan
