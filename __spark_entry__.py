@@ -91,6 +91,10 @@ _DEFERRED_STAPLES = [
     "doc_chunks",
     "doc_extract_full",
     "transcript_extraction",
+    # r2-green as rows-only; its round-3 bound-check oracle is builder-
+    # swept at sf0.01+sf0.1 and the same in-band-bound idiom IS driver-
+    # checked via heavy_keys_sketch + order_price_percentiles_approx
+    "approx_distinct_users",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since

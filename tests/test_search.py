@@ -1040,3 +1040,17 @@ def test_token_pmi_planted_collocation_ranks_first(spark, tmp_path):
     # pmi = ln(20·10/(10·10)) = ln 2
     assert abs(top["pmi"] - 0.6931) < 1e-9
     assert all(r["pmi"] <= top["pmi"] for r in got)
+
+
+def test_snapshot_diff_accounts_every_row(spark, sf001_dir):
+    """Every old-snapshot row is deleted|updated|unchanged, every new-only
+    key is added, and all four paths are non-vacuous."""
+    import __spark_entry__ as entry_mod
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+
+    rows = entry_mod.queries()["snapshot_diff"](spark, sf001_dir).collect()
+    tot = {k: sum(r[k] for r in rows)
+           for k in ("n_added", "n_deleted", "n_updated", "n_unchanged")}
+    n_old = load(spark, sf001_dir, "documents").count()
+    assert tot["n_deleted"] + tot["n_updated"] + tot["n_unchanged"] == n_old
+    assert all(v > 0 for v in tot.values()), tot

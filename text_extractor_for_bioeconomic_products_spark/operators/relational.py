@@ -641,6 +641,64 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Snapshot diff (CDC census) ---------------------------------------------
+#
+# The incremental-ingest question: between yesterday's snapshot and
+# today's, what was added / deleted / updated / unchanged — per source,
+# BEFORE committing the merge (the Iceberg snapshot-diff analog; the
+# keyed counterpart of plans.pipeline.merge_turns which APPLIES changes,
+# where this one measures them).  One full-outer join on the key with
+# md5 content comparison; at 100 TB both snapshots live in the bucketed
+# layout (sources/layout.py) so the join is co-located and the md5
+# projection means full text never rides the shuffle.  The "new"
+# snapshot is derived deterministically (delete ≡0 mod 13, update ≡0
+# mod 11, add re-keyed ≡0 mod 17 rows) so all four paths are
+# non-vacuous on both engines.
+_DIFF_DEL_MOD, _DIFF_UPD_MOD, _DIFF_ADD_MOD = 13, 11, 17
+_DIFF_ADD_KEY_OFFSET = 1_000_000
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    old = docs.select("doc_id", F.md5("text").alias("h"), "source")
+    surviving = docs.filter(F.col("doc_id") % _DIFF_DEL_MOD != 0)
+    new = surviving.select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % _DIFF_UPD_MOD == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+        "source",
+    ).unionByName(
+        docs.filter(F.col("doc_id") % _DIFF_ADD_MOD == 0).select(
+            (F.col("doc_id") + _DIFF_ADD_KEY_OFFSET).alias("doc_id"),
+            F.md5("text").alias("h"),
+            "source",
+        )
+    )
+    j = old.alias("o").join(new.alias("n"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("o.h").isNull(), "added")
+        .when(F.col("n.h").isNull(), "deleted")
+        .when(F.col("o.h") != F.col("n.h"), "updated")
+        .otherwise("unchanged")
+    )
+    src = F.coalesce(F.col("o.source"), F.col("n.source"))
+    return (
+        j.select(src.alias("source"), status.alias("status"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).alias("n_added"),
+            F.sum(F.when(F.col("status") == "deleted", 1).otherwise(0)).alias("n_deleted"),
+            F.sum(F.when(F.col("status") == "updated", 1).otherwise(0)).alias("n_updated"),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0)).alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- Robust outlier detection (median/MAD) ---------------------------------
 #
 # Quality gating on a metric column without assuming normality: a value
@@ -1078,6 +1136,29 @@ ORACLE_SQL = {
         ORDER BY n_exact DESC, key ASC
         LIMIT 10
     """,
+    "snapshot_diff": f"""
+        WITH old AS (
+            SELECT doc_id, md5(text) AS h, source FROM documents
+        ),
+        new AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % {_DIFF_UPD_MOD} = 0
+                            THEN text || ' v2' ELSE text END) AS h,
+                   source
+            FROM documents WHERE doc_id % {_DIFF_DEL_MOD} <> 0
+            UNION ALL
+            SELECT doc_id + {_DIFF_ADD_KEY_OFFSET}, md5(text), source
+            FROM documents WHERE doc_id % {_DIFF_ADD_MOD} = 0
+        )
+        SELECT coalesce(o.source, n.source) AS source,
+               CAST(sum(CASE WHEN o.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(sum(CASE WHEN o.h IS NOT NULL AND n.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+               CAST(sum(CASE WHEN o.h IS NOT NULL AND n.h IS NOT NULL AND o.h <> n.h THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(sum(CASE WHEN o.h IS NOT NULL AND n.h IS NOT NULL AND o.h = n.h THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        FROM old o FULL OUTER JOIN new n USING (doc_id)
+        GROUP BY coalesce(o.source, n.source)
+        ORDER BY source
+    """,
     "user_value_outliers": f"""
         WITH med AS (
             SELECT user_id, quantile_cont(value, 0.5) AS med
@@ -1511,6 +1592,7 @@ QUERIES = {
     "event_streaks": q_event_streaks,
     "referential_integrity": q_referential_integrity,
     "user_value_outliers": q_user_value_outliers,
+    "snapshot_diff": q_snapshot_diff,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
