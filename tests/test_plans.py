@@ -557,3 +557,23 @@ def test_pca_moment_reduce_is_entry_keyed(spark, sf001_dir):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys == ["pos"], plan[:1500]
     assert "MapInPandas" in plan
+
+
+def test_write_target_sized_empty_input(spark, sf001_dir, tmp_path):
+    """An empty split (run_curation hits this on tiny corpora) must
+    still produce a readable dataset: one file, zero rows, schema
+    intact — not a crash and not a missing directory."""
+    import os
+
+    from text_extractor_for_bioeconomic_products_spark.sources.layout import (
+        write_target_sized,
+    )
+
+    df = spark.read.parquet(os.path.join(sf001_dir, "lineitem.parquet"))
+    empty = df.filter("l_orderkey < 0")
+    out = str(tmp_path / "empty_sized")
+    stats = write_target_sized(empty, out)
+    assert stats["n_rows"] == 0 and stats["n_files"] == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert back.columns == df.columns
