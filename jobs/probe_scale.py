@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""100× scale probes for the round-3 operators — synthetic inputs ~100×
+the sf0.1 tier, measuring the property each op's SCALE.md row claims.
+
+    python jobs/probe_scale.py mg       # Misra-Gries vs exact groupBy
+    python jobs/probe_scale.py pack     # greedy context pack (stateful fold)
+
+Deterministic inputs built from spark.range — no external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ROWS = 10_000_000
+N_KEYS = 1_000_000  # exact path must shuffle this many distinct keys
+
+
+def probe_mg(spark):
+    """Sketch vs exact heavy-key detection on 10M rows / 1M keys with a
+    sentinel hot key carrying ~20% of rows.  The claim under test: the
+    sketch's shuffle is ≤ partitions×k rows while exact shuffles the
+    whole key space — and the hot key still surfaces."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        MG_K,
+        misra_gries_partition_summaries,
+    )
+
+    keyed = (
+        spark.range(N_ROWS)
+        .select(
+            F.when(F.col("id") % 5 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_KEYS)))
+            .cast("bigint")
+            .alias("key")
+        )
+        .repartition(64)
+        .persist()
+    )
+    keyed.count()  # materialize input outside the timed region
+
+    t0 = time.monotonic()
+    merged = (
+        misra_gries_partition_summaries(keyed)
+        .groupBy("key")
+        .agg(F.sum("est").alias("est"))
+    )
+    sketch_rows = merged.count()
+    hot_est = merged.filter("key = 0").collect()
+    t_sketch = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    exact = keyed.groupBy("key").agg(F.count("*").alias("n"))
+    exact_keys = exact.count()
+    t_exact = time.monotonic() - t1
+
+    hot = hot_est[0]["est"] if hot_est else 0
+    return {
+        "probe": "mg_vs_exact",
+        "n_rows": N_ROWS,
+        "n_keys_exact": exact_keys,
+        "sketch_merged_rows": sketch_rows,
+        "sketch_rows_bound": 64 * MG_K,
+        "hot_key_est": int(hot),
+        "hot_key_surfaced": bool(hot > 0),
+        "sketch_sec": round(t_sketch, 1),
+        "exact_sec": round(t_exact, 1),
+    }
+
+
+def probe_pack(spark):
+    """Greedy context pack over 500k conversations × 20 turns (10M rows):
+    one conv_id shuffle feeding the applyInPandas fold."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.conversation import (
+        greedy_pack_turns,
+    )
+
+    turns = (
+        spark.range(N_ROWS)
+        .select(
+            F.concat(F.lit("c"), (F.col("id") % 500_000).cast("string")).alias(
+                "conv_id"
+            ),
+            (F.col("id") / 500_000).cast("bigint").alias("turn_idx"),
+            (F.pmod(F.xxhash64("id"), F.lit(120)) + 8).alias("n_tokens"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    turns.count()
+
+    t0 = time.monotonic()
+    packed = greedy_pack_turns(turns)
+    n_examples = packed.count()
+    dt = time.monotonic() - t0
+    return {
+        "probe": "context_pack",
+        "n_rows": N_ROWS,
+        "n_convs": 500_000,
+        "n_examples": n_examples,
+        "sec": round(dt, 1),
+        "rows_per_sec": round(N_ROWS / dt),
+    }
+
+
+def main() -> None:
+    from text_extractor_for_bioeconomic_products_spark.session import get_spark
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "mg"
+    spark = get_spark(
+        app_name=f"probe_{which}", master="local[32]", shuffle_partitions=64
+    )
+    out = {"mg": probe_mg, "pack": probe_pack}[which](spark)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

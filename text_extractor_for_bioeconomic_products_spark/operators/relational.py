@@ -911,21 +911,24 @@ def misra_gries_partition_summaries(keys: DataFrame, k: int = MG_K) -> DataFrame
     all Arrow batches of a partition (the stream is the partition)."""
 
     def per_partition(batches):
+        # Vectorized MG via the mergeable-summaries construction
+        # (Agarwal/Cormode et al., PODS'12): each Arrow batch's EXACT
+        # value_counts (a zero-error summary, vectorized in C) merges
+        # into the running sketch by counter addition; when the merged
+        # summary exceeds k entries, subtract the (k+1)-th largest
+        # count from every counter and drop non-positives.  est ≤ true
+        # (we only ever subtract) and total subtraction ≤ n/(k+1) — the
+        # classic MG guarantee — without a per-row Python loop.
         counters: dict[int, int] = {}
         for pdf in batches:
-            for key in pdf["key"].astype("int64"):
+            for key, c in pdf["key"].value_counts().items():
                 key = int(key)
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < k:
-                    counters[key] = 1
-                else:
-                    # decrement-all: drains one unit from every counter
-                    # (the arriving key's implicit counter included)
-                    for c in list(counters):
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            del counters[c]
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - kth for key, c in counters.items() if c > kth
+                }
         if counters:
             import pandas as pd
 
