@@ -4,6 +4,7 @@ the sf0.1 tier, measuring the property each op's SCALE.md row claims.
 
     python jobs/probe_scale.py mg       # Misra-Gries vs exact groupBy
     python jobs/probe_scale.py pack     # greedy context pack (stateful fold)
+    python jobs/probe_scale.py salt     # salted vs plain join under a hot key
 
 Deterministic inputs built from spark.range — no external data.
 """
@@ -112,6 +113,66 @@ def probe_pack(spark):
     }
 
 
+def probe_salt(spark):
+    """Salted vs plain shuffle join on 10M fact rows with 20% of them on
+    one key and a 1M-key dim: the plain join lands the hot key's 2M rows
+    on ONE reducer (the straggler that defines wall time); salting
+    spreads them over n_salts."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        salted_equi_join,
+    )
+
+    fact = (
+        spark.range(N_ROWS)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 5 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_KEYS)))
+            .cast("bigint")
+            .alias("key"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    fact.count()
+    dim = fact.select("key").distinct().withColumn(
+        "segment", F.col("key") % 7
+    ).persist()
+    dim.count()
+
+    def agg(joined):
+        return (
+            joined.groupBy("segment")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+
+    t0 = _t.monotonic()
+    plain = agg(fact.join(dim.hint("shuffle_hash"), "key"))
+    t_plain = _t.monotonic() - t0
+    t1 = _t.monotonic()
+    salted = agg(
+        salted_equi_join(fact, dim, "key", "event_id", heavy_keys=[0])
+    )
+    t_salted = _t.monotonic() - t1
+    same = sorted((r["segment"], r["n"]) for r in plain) == sorted(
+        (r["segment"], r["n"]) for r in salted
+    )
+    return {
+        "probe": "salted_join",
+        "n_rows": N_ROWS,
+        "hot_key_rows": N_ROWS // 5,
+        "plain_sec": round(t_plain, 1),
+        "salted_sec": round(t_salted, 1),
+        "results_identical": same,
+    }
+
+
 def main() -> None:
     from text_extractor_for_bioeconomic_products_spark.session import get_spark
 
@@ -119,7 +180,7 @@ def main() -> None:
     spark = get_spark(
         app_name=f"probe_{which}", master="local[32]", shuffle_partitions=64
     )
-    out = {"mg": probe_mg, "pack": probe_pack}[which](spark)
+    out = {"mg": probe_mg, "pack": probe_pack, "salt": probe_salt}[which](spark)
     print(json.dumps(out))
     spark.stop()
 
