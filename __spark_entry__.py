@@ -95,6 +95,12 @@ _DEFERRED_STAPLES = [
     # swept at sf0.01+sf0.1 and the same in-band-bound idiom IS driver-
     # checked via heavy_keys_sketch + order_price_percentiles_approx
     "approx_distinct_users",
+    # born late round 3 AFTER the window filled with never-driver-checked
+    # queries: builder-verified tier (DuckDB-green at sf0.01+sf0.1 from
+    # birth, pytest-pinned) — deferring them beats evicting a
+    # never-verified query from the window
+    "lang_confusion",
+    "weighted_sample_topk",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since

@@ -1054,3 +1054,40 @@ def test_snapshot_diff_accounts_every_row(spark, sf001_dir):
     n_old = load(spark, sf001_dir, "documents").count()
     assert tot["n_deleted"] + tot["n_updated"] + tot["n_unchanged"] == n_old
     assert all(v > 0 for v in tot.values()), tot
+
+
+def test_lang_confusion_shares_sum_to_one(spark, sf001_dir):
+    """Structural contract: per-label shares sum to 1 and every labeled
+    language appears (the synthetic corpus's labels are random, so the
+    matrix honestly shows off-diagonal mass — the point is the census
+    shape, not detector accuracy on word salad)."""
+    from collections import defaultdict
+
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["lang_confusion"](spark, sf001_dir).collect()
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r["lang_label"]] += r["share_of_label"]
+    assert shares and all(abs(v - 1.0) < 0.001 for v in shares.values()), shares
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf001_dir):
+    """Efraimidis-Spirakis property on the deterministic corpus: the
+    selected docs' mean weight exceeds the corpus mean, and the sample
+    is a pure function of doc_id (identical under repartition)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+
+    got = entry_mod.queries()["weighted_sample_topk"](spark, sf001_dir).collect()
+    sel_mean = sum(r["n_words"] for r in got) / len(got)
+    corpus_mean = (
+        load(spark, sf001_dir, "documents")
+        .select(F.avg(F.size(F.split("text", " "))))
+        .collect()[0][0]
+    )
+    assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
+    again = entry_mod.queries()["weighted_sample_topk"](spark, sf001_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]

@@ -297,6 +297,74 @@ ORACLE_SOURCE_MIX = f"""
 """
 
 
+# Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+# priority = u^(1/w) with u uniform per item; the top-k priorities are
+# exactly a weighted sample without replacement.  Distributed shape: the
+# priority is a pure narrow expression and the top-k is
+# TakeOrderedAndProject — no shuffle beyond the distributed top-k merge,
+# which is the property that makes this THE sampling primitive at
+# 100 TB (q_quality_weighted_sample's keep-prob coin is Bernoulli WITH
+# independent inclusion; this one hits an exact target count).  u comes
+# from the salted-md5 idiom, so the sample is a pure function of doc_id
+# — reproducible across runs, partitionings, and engines.
+WSAMP_K = 50
+
+
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("double")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+            + 1
+        )
+        / 1000001.0
+    )
+    # rank on the LOG-domain key ln(u)/w — a monotone transform of the
+    # classic u^(1/w) priority that does not saturate toward 1.0 for
+    # heavy items (u^(1/w) at w≈100 rounds to 1.0000 and ties collapse);
+    # rounded to 8 decimals so libm-vs-JVM ln ulps cannot flip ranks
+    # (the tf-idf precedent, with resolution matched to the key's scale),
+    # doc_id as the tie-break
+    priority = F.round(
+        (F.log(u) / n_words).cast("decimal(18,10)"), 8
+    ).cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("bigint").alias("n_words"),
+            priority.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(WSAMP_K)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE_TOPK = f"""
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(round(CAST(ln(u) / n_words AS DECIMAL(18,10)), 8)
+                AS DOUBLE) AS priority
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+               (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000000 + 1) / 1000001.0 AS u
+        FROM documents
+    )
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT {WSAMP_K}
+"""
+
+
 def split_assignment() -> "F.Column":
     """The deterministic 80/10/10 split column (pure function of doc_id;
     see q_train_val_test_split for why that property matters)."""
@@ -454,6 +522,7 @@ ORACLE_TRAIN_VAL_TEST_SPLIT = """
 
 
 ORACLE_SQL = {
+    "weighted_sample_topk": ORACLE_WEIGHTED_SAMPLE_TOPK,
     "train_val_test_split": ORACLE_TRAIN_VAL_TEST_SPLIT,
     "quality_weighted_sample": ORACLE_QUALITY_WEIGHTED_SAMPLE,
     "source_mix_weights": ORACLE_SOURCE_MIX,
@@ -539,6 +608,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "weighted_sample_topk": q_weighted_sample_topk,
     "train_val_test_split": q_train_val_test_split,
     "quality_weighted_sample": q_quality_weighted_sample,
     "source_mix_weights": q_source_mix_weights,

@@ -144,6 +144,71 @@ def q_doc_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOC_LANG_DETECT = lang_detect_sql("documents", "doc_id", "duckdb")
 
 
+# Classifier-evaluation shape: the detector's confusion matrix against
+# the table's labeled lang column — the census you run before trusting a
+# language filter at corpus scale.  Both sides reuse the SAME generated
+# dual-dialect detector SQL (the doc_lang_detect contract), so this
+# query can only disagree across engines if the detector itself does.
+_LANG_LABEL_MAP = {
+    "en": "english", "es": "spanish", "fr": "french", "pt": "portuguese",
+}
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_lang_src")
+    detected = spark.sql(
+        lang_detect_sql("documents_lang_src", "doc_id", "spark")
+    )
+    label_full = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in _LANG_LABEL_MAP.items() for x in kv]
+        )[F.col("lang")],
+        F.col("lang"),
+    )
+    joined = docs.select("doc_id", label_full.alias("lang_label")).join(
+        detected, "doc_id"
+    )
+    agg = joined.groupBy("lang_label", "lang_detected").agg(
+        F.count("*").alias("n_docs")
+    )
+    total_per_label = Window.partitionBy("lang_label")
+    return (
+        agg.withColumn(
+            "share_of_label",
+            F.round(
+                (F.col("n_docs") / F.sum("n_docs").over(total_per_label))
+                .cast("decimal(18,10)"),
+                4,
+            ).cast("double"),
+        )
+        .orderBy("lang_label", "lang_detected")
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _LANG_LABEL_MAP.items()
+    )
+    return f"""
+        WITH det AS ({lang_detect_sql("documents", "doc_id", "duckdb")}),
+        lab AS (
+            SELECT doc_id, CASE lang {case} ELSE lang END AS lang_label
+            FROM documents
+        ),
+        agg AS (
+            SELECT l.lang_label, d.lang_detected, count(*) AS n_docs
+            FROM lab l JOIN det d USING (doc_id)
+            GROUP BY l.lang_label, d.lang_detected
+        )
+        SELECT lang_label, lang_detected, n_docs,
+               CAST(round(CAST(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang_label)
+                               AS DECIMAL(18,10)), 4) AS DOUBLE) AS share_of_label
+        FROM agg
+        ORDER BY lang_label, lang_detected
+    """
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring — length / punctuation / stopword ratios
 # ---------------------------------------------------------------------------
@@ -1062,6 +1127,7 @@ ORACLE_DOC_CHUNKS = f"""
 
 
 QUERIES = {
+    "lang_confusion": q_lang_confusion,
     "token_pmi": q_token_pmi,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
@@ -1080,6 +1146,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "lang_confusion": _lang_confusion_oracle(),
     "token_pmi": ORACLE_TOKEN_PMI,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "doc_lm_score": ORACLE_DOC_LM_SCORE,
