@@ -162,3 +162,46 @@ def test_context_pack_query_nonvacuous(spark, sf001_dir):
         # no example exceeds the window unless it contains an oversize turn
         if r["n_oversize"] == 0:
             assert r["example_tokens"] <= PACK_CTX_TOKENS, r
+
+
+def test_greedy_pack_fold_invariants_hypothesis():
+    """Property test over random token sequences: turns conserved,
+    order preserved (prefix sums reconstruct), no example exceeds ctx
+    unless it contains an oversize turn, oversize turns sit in the
+    example where they arrived, and no example is empty."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_extractor_for_bioeconomic_products_spark.operators.conversation import (
+        greedy_pack_fold,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=50), max_size=60),
+        st.integers(min_value=1, max_value=20),
+    )
+    def check(tokens, ctx):
+        examples = greedy_pack_fold(tokens, ctx)
+        assert sum(e[0] for e in examples) == len(tokens)
+        assert sum(e[1] for e in examples) == sum(tokens)
+        assert all(e[0] > 0 for e in examples)
+        # reconstruct: walking the examples consumes tokens in order
+        i = 0
+        for n_turns, tok_sum, n_over in examples:
+            chunk = tokens[i:i + n_turns]
+            assert sum(chunk) == tok_sum
+            assert sum(1 for t in chunk if t > ctx) == n_over
+            if n_over == 0:
+                assert tok_sum <= ctx
+            i += n_turns
+        assert i == len(tokens)
+        # greedy maximality — the defining property: example j+1's first
+        # turn did not fit in example j's budget (fill of an example ==
+        # its token sum, since the fill only resets at a boundary)
+        i = 0
+        for j in range(len(examples) - 1):
+            i += examples[j][0]
+            assert examples[j][1] + tokens[i] > ctx
+
+    check()

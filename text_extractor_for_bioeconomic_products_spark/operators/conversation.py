@@ -113,6 +113,25 @@ PACK_SCHEMA = (
 )
 
 
+def greedy_pack_fold(
+    token_counts: list[int], ctx: int
+) -> list[tuple[int, int, int]]:
+    """The pure greedy fold (one conversation, ordered token counts) —
+    extracted so hypothesis can hammer the recurrence without Spark.
+    Returns [(n_turns, example_tokens, n_oversize), ...] per example."""
+    examples: list[list[int]] = []
+    fill = 0
+    for n in token_counts:
+        if not examples or fill + n > ctx:
+            examples.append([0, 0, 0])
+            fill = 0
+        examples[-1][0] += 1
+        examples[-1][1] += n
+        examples[-1][2] += 1 if n > ctx else 0
+        fill += n
+    return [tuple(e) for e in examples]
+
+
 def greedy_pack_turns(
     turns: DataFrame,
     ctx: int = PACK_CTX_TOKENS,
@@ -140,17 +159,9 @@ def greedy_pack_turns(
     def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx").head(max_turns_per_group)
         conv = pdf["conv_id"].iloc[0]
-        examples: list[list[int]] = []  # [n_turns, tokens, n_oversize]
-        fill = 0
-        for n in pdf["n_tokens"].astype("int64"):
-            n = int(n)
-            if not examples or fill + n > ctx:
-                examples.append([0, 0, 0])
-                fill = 0
-            examples[-1][0] += 1
-            examples[-1][1] += n
-            examples[-1][2] += 1 if n > ctx else 0
-            fill += n
+        examples = greedy_pack_fold(
+            [int(n) for n in pdf["n_tokens"].astype("int64")], ctx
+        )
         return pd.DataFrame(
             {
                 "conv_id": conv,
