@@ -1091,3 +1091,44 @@ def test_weighted_sample_favors_heavy_docs(spark, sf001_dir):
     assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
     again = entry_mod.queries()["weighted_sample_topk"](spark, sf001_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_orc_dispatch_and_text_corpus_ingest(spark, transcripts_df, tmp_path):
+    """S1 widened: ORC roundtrips through the dispatch with value
+    fidelity, and whole-file text ingest yields one row per file with
+    the exact bytes (the reference's file-per-document shape)."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
+        read_text_corpus,
+        read_transcripts,
+    )
+
+    sample = transcripts_df.limit(150).cache()
+    n = sample.count()
+    orc = str(tmp_path / "orc")
+    sample.write.orc(orc)
+    back = read_transcripts(spark, orc, "orc")
+    assert back.count() == n
+    a = sample.select(
+        F.sum(F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)"))
+    ).collect()
+    b = back.select(
+        F.sum(F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)"))
+    ).collect()
+    assert a == b
+
+    txt_dir = tmp_path / "txt"
+    txt_dir.mkdir()
+    contents = {
+        "a.txt": "first document\nwith two lines",
+        "b.txt": "second document — unicode café ñ",
+    }
+    for name, text in contents.items():
+        (txt_dir / name).write_text(text, encoding="utf-8")
+    docs = {r["file_name"]: r for r in read_text_corpus(spark, str(txt_dir)).collect()}
+    assert set(docs) == set(contents)
+    for name, text in contents.items():
+        assert docs[name]["text"] == text
+        assert docs[name]["doc_id"] is not None
+    assert len({r["doc_id"] for r in docs.values()}) == 2

@@ -159,4 +159,24 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
             .option("escape", '"')
             .csv(path)
         )
+    if fmt == "orc":
+        return spark.read.schema(TRANSCRIPT_SCHEMA).orc(path)
     raise ValueError(f"unsupported transcript format: {fmt}")
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file raw-text ingest — the reference's file-per-document
+    shape (`src/core/text_extractor.py:28-48` dispatches on extension;
+    its TXT branch reads the whole file).  One row per file:
+    (doc_id = xxhash64(relative file name), path, text).  wholetext
+    keeps each file a single record, so downstream cleaning/chunking
+    sees the document exactly as the reference's extractor did; at
+    100 TB each file is one task input and the scan parallelizes on
+    file count."""
+    raw = spark.read.text(path, wholetext=True)
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return raw.select(
+        F.xxhash64(fname).alias("doc_id"),
+        fname.alias("file_name"),
+        F.col("value").alias("text"),
+    )
