@@ -577,3 +577,24 @@ def test_write_target_sized_empty_input(spark, sf001_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 0
     assert back.columns == df.columns
+
+
+def test_write_target_sized_codec(spark, sf01_dir, tmp_path):
+    """The codec knob reaches the files: zstd output is materially
+    smaller than an uncompressed write of the same rows, and both read
+    back identically."""
+    import glob
+    import os
+
+    from text_extractor_for_bioeconomic_products_spark.sources.layout import (
+        write_target_sized,
+    )
+
+    df = spark.read.parquet(os.path.join(sf01_dir, "documents.parquet"))
+    z, u = str(tmp_path / "z"), str(tmp_path / "u")
+    write_target_sized(df, z, codec="zstd")
+    write_target_sized(df, u, codec="uncompressed")
+    zb = sum(os.path.getsize(f) for f in glob.glob(os.path.join(z, "*.parquet")))
+    ub = sum(os.path.getsize(f) for f in glob.glob(os.path.join(u, "*.parquet")))
+    assert zb < 0.8 * ub, (zb, ub)
+    assert spark.read.parquet(z).count() == spark.read.parquet(u).count() == df.count()
