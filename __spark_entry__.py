@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E402
+    bpe,
     clustering,
     conversation,
     curation,
@@ -101,6 +102,7 @@ _DEFERRED_STAPLES = [
     # never-verified query from the window
     "lang_confusion",
     "weighted_sample_topk",
+    "bpe_merges",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since
@@ -158,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(normalize.QUERIES)
     q.update(multimodal.QUERIES)
     q.update(conversation.QUERIES)
+    q.update(bpe.QUERIES)
     q.update(layout.QUERIES)
     front = {k: v for k, v in q.items() if k not in _DEFERRED_STAPLES}
     front.update({k: q[k] for k in _DEFERRED_STAPLES if k in q})

@@ -1132,3 +1132,40 @@ def test_orc_dispatch_and_text_corpus_ingest(spark, transcripts_df, tmp_path):
         assert docs[name]["text"] == text
         assert docs[name]["doc_id"] is not None
     assert len({r["doc_id"] for r in docs.values()}) == 2
+
+
+def test_bpe_matches_reference(spark, sf001_dir):
+    """Distributed BPE == pure-Python reference, byte-exact: the full
+    merge sequence (pairs, order, weighted counts) AND every word's
+    final tokenization."""
+    from text_extractor_for_bioeconomic_products_spark.operators.bpe import (
+        bpe_train,
+        reference_bpe,
+        word_frequencies,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+
+    vocab = word_frequencies(load(spark, sf001_dir, "documents"))
+    wf = {r["w"]: r["freq"] for r in vocab.collect()}
+    merges, tokenized = bpe_train(vocab)
+    ref_merges, ref_toks = reference_bpe(wf)
+    assert merges == ref_merges
+    got_toks = {r["w"]: list(r["syms"]) for r in tokenized.collect()}
+    assert got_toks == ref_toks
+    # tokenization is lossless: concatenating symbols restores the word
+    assert all("".join(syms) == w for w, syms in got_toks.items())
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """'aaa' under merge (a,a): greedy left-to-right gives [aa, a] — the
+    overlap case where a naive regex replace diverges."""
+    from text_extractor_for_bioeconomic_products_spark.operators.bpe import (
+        bpe_train,
+    )
+
+    vocab = spark.createDataFrame([("aaa", 5), ("aab", 3)], "w string, freq long")
+    merges, tokenized = bpe_train(vocab, n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    toks = {r["w"]: list(r["syms"]) for r in tokenized.collect()}
+    assert toks["aaa"] == ["aa", "a"]
+    assert toks["aab"] == ["aa", "b"]
