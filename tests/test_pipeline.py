@@ -140,9 +140,11 @@ def test_multimodal_plumbing(spark):
     assert all(f["width"] >= 8000 and f["height"] >= 500
                for f in by_kind["audio"])
     assert all(0.0 < f["mean_level"] < 1.0 for f in by_kind["audio"])
-    # video stays the documented stub
-    assert all(f["codec"] == "fake" and f["mean_level"] is None
+    # video is a REAL uncompressed AVI now: real dims, real pixel means
+    assert all(f["codec"] == "avi" for f in by_kind["video"])
+    assert all(8 <= f["width"] <= 32 and 8 <= f["height"] <= 32
                for f in by_kind["video"])
+    assert all(0.0 < f["mean_level"] < 255.0 for f in by_kind["video"])
     # determinism: same synth → same hashes
     feats2 = extract_media_features(synthesize_media(spark, n=60)).collect()
     assert sorted(f["sha256"] for f in feats) == sorted(f["sha256"] for f in feats2)
@@ -157,10 +159,14 @@ def test_multimodal_plumbing(spark):
             assert 0.0 < f["mean_level"] < 255.0
         else:
             assert f["sha256"] == orig[mid]["sha256"]
-    # frame sampling: only video rows, ≥1 frame each
+    # REAL frame sampling: only video rows, real per-frame pixel means
     frames = frame_sample_stub(media).collect()
     video_ids = {f["media_id"] for f in frames}
     assert video_ids and all(mid % 3 == 2 for mid in video_ids)
+    assert all(
+        f["frame_mean"] is not None and 0.0 < f["frame_mean"] < 255.0
+        for f in frames
+    )
 
 
 def test_bmp_wav_codec_roundtrip():
@@ -962,3 +968,31 @@ def test_pq_codes_shape_and_adc_sanity(spark, sf001_dir):
     ledger = q_ann_pq_recall(spark, sf001_dir).collect()
     assert ledger and all(r["n_exact"] == 10 for r in ledger)
     assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in ledger)
+
+
+def test_avi_codec_roundtrip():
+    """The stdlib AVI container is real: encode → decode returns exact
+    frame count, dims, fps, and per-frame means of the real pixels
+    (odd-size frames exercise RIFF even-padding); malformed payloads
+    raise instead of returning garbage."""
+    import numpy as np
+    import pytest as _pytest
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    for w, h, n in [(3, 3, 2), (5, 4, 3), (7, 7, 1)]:  # 27/60/147 bytes — odd sizes pad
+        frames = [
+            bytes(((i * 31 + f * 7) % 256) for i in range(w * h * 3))
+            for f in range(n)
+        ]
+        payload = encode_avi(w, h, frames, fps=12)
+        rw, rh, rn, fps, mean_level, frame_means = decode_avi(payload)
+        assert (rw, rh, rn, fps) == (w, h, n, 12)
+        for f, fm in zip(frames, frame_means):
+            assert fm == round(float(np.frombuffer(f, np.uint8).mean()), 4)
+        assert mean_level == round(float(np.mean(frame_means)), 4)
+    with _pytest.raises(ValueError):
+        decode_avi(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16)

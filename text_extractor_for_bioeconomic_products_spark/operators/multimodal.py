@@ -131,8 +131,92 @@ def decode_wav(payload: bytes) -> Tuple[int, int, float]:
     return rate, n, mean_level
 
 
+# --- Minimal uncompressed AVI (RIFF) — the video twin of the BMP/WAV
+# codecs: a real container written and parsed with nothing but struct
+# (the same RIFF chunk grammar the stdlib wave module reads).  Frames
+# are raw top-down RGB24 in '00db' chunks; chunks pad to even length per
+# the RIFF spec.  This shrinks the video stub boundary the same way
+# round 3 shrank image/audio: real frames, real per-frame statistics,
+# real frame sampling — only compressed codecs (MP4/H.264…) remain at
+# the NotImplementedError integration point.
+
+_AVI_FPS = 10
+
+
+def encode_avi(width: int, height: int, frames: list, fps: int = _AVI_FPS) -> bytes:
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,          # microseconds per frame
+        width * height * 3 * fps,  # max bytes/sec
+        0, 0,
+        len(frames), 0, 1,
+        width * height * 3,
+        width, height,
+        0, 0, 0, 0,
+    )
+    hdrl_body = b"hdrl" + chunk(b"avih", avih)
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes):
+    """→ (width, height, n_frames, fps, mean_level, frame_means).
+    Walks the RIFF chunk tree for real; malformed chunk sizes raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = n_frames_hdr = 0
+    fps = 0
+    frames: list = []
+    pos = 12
+    end = 8 + struct.unpack("<I", payload[4:8])[0]
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, n_frames_hdr, fps
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            data_start = pos + 8
+            if data_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(data_start + 4, data_start + size)
+            elif cid == b"avih":
+                vals = struct.unpack("<14I", payload[data_start:data_start + 56])
+                fps = 1_000_000 // max(vals[0], 1)
+                n_frames_hdr = vals[4]
+                width, height = vals[8], vals[9]
+            elif cid == b"00db":
+                frames.append(payload[data_start:data_start + size])
+            pos = data_start + size + (size % 2)
+
+    walk(pos, end)
+    if width == 0 or height == 0:
+        raise ValueError("AVI missing/degenerate avih header")
+    if len(frames) != n_frames_hdr:
+        raise ValueError(
+            f"AVI header declares {n_frames_hdr} frames, found {len(frames)}"
+        )
+    frame_means = []
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("frame size != width*height*3")
+        arr = np.frombuffer(f, dtype=np.uint8)
+        frame_means.append(round(float(arr.mean()), 4))
+    mean_level = (
+        round(float(np.mean(frame_means)), 4) if frame_means else 0.0
+    )
+    return width, height, len(frames), fps, mean_level, frame_means
+
+
 # ---------------------------------------------------------------------------
-# Synthetic media table (deterministic; real BMP/WAV payloads)
+# Synthetic media table (deterministic; real BMP/WAV/AVI payloads)
 # ---------------------------------------------------------------------------
 
 
@@ -162,12 +246,15 @@ def synthesize_media(spark: SparkSession, n: int = 300, seed: int = 42) -> DataF
             n_frames = 500 + (i * 11) % 2000
             payload = encode_wav(rate, _noise(seed, i, n_frames * 2))
             mime = "audio/wav"
-        else:  # video: stub (no stdlib codec)
-            w = 16 + (i * 7) % 240
-            h = 16 + (i * 13) % 240
-            payload = (_MAGIC + struct.pack(">BII", kind_i, w, h)
-                       + _noise(seed, i, 128))
-            mime = "video/fake"
+        else:  # video: real uncompressed AVI (RIFF container)
+            w = 8 + (i * 7) % 24
+            h = 8 + (i * 13) % 24
+            n_frames = 3 + i % 6
+            frames = [
+                _noise(seed, i * 1000 + f, w * h * 3) for f in range(n_frames)
+            ]
+            payload = encode_avi(w, h, frames)
+            mime = "video/avi"
         rows.append((i, KINDS[kind_i], payload, (f"src{i % 10}", mime)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -196,12 +283,15 @@ def decode_media(payload: bytes) -> Tuple[str, int, int, Optional[float]]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, n_frames, mean_level = decode_wav(payload)
         return "wav", rate, n_frames, mean_level
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        w, h, _n, _fps, mean_level, _ = decode_avi(payload)
+        return "avi", w, h, mean_level
     if payload[:4] == _MAGIC:
         _, w, h = struct.unpack(">BII", payload[4:13])
         return "fake", w, h, None
     raise NotImplementedError(
         "real media decode for this format requires codec libraries "
-        "not present here (PNG/JPEG → PIL, MP4 → pyav)"
+        "not present here (PNG/JPEG → PIL, MP4/H.264 → pyav)"
     )
 
 
@@ -290,10 +380,12 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
 resize_stub = resize_media
 
 
-def frame_sample_stub(media: DataFrame, every_n: int = 4) -> DataFrame:
-    """'Frame sampling' for video rows: emit one row per sampled frame
-    index (UDTF shape: 1 row in → N rows out via mapInPandas).  Stays a
-    stub — the stdlib has no video container decoder."""
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling for video rows (round 3 closed this stub):
+    decode the AVI container, emit one row per every_n-th frame with its
+    actual pixel mean and content hash (UDTF shape: 1 row in → N rows
+    out via mapInPandas).  Legacy FAKE-header payloads fall back to the
+    old index-only stub rows so the boundary stays visible."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -301,18 +393,40 @@ def frame_sample_stub(media: DataFrame, every_n: int = 4) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "video":
                     continue
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    w, h, n_frames, _fps, _m, frame_means = decode_avi(payload)
+                    for f in range(0, n_frames, every_n):
+                        rows.append(
+                            (mid, f, frame_means[f],
+                             hashlib.sha256(
+                                 payload + struct.pack(">I", f)
+                             ).hexdigest())
+                        )
+                    continue
                 try:
                     w, h, _ = decode_stub(payload)
                 except Exception:
                     continue
                 n_frames = max(1, (w * h) // 4096)
                 for f in range(0, n_frames, every_n):
-                    rows.append((mid, f, hashlib.sha256(
+                    rows.append((mid, f, None, hashlib.sha256(
                         payload[13:] + struct.pack(">I", f)
                     ).hexdigest()))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_hash"])
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_mean", "frame_hash"],
+            )
 
-    return media.mapInPandas(op, schema="media_id long, frame_idx int, frame_hash string")
+    return media.mapInPandas(
+        op,
+        schema="media_id long, frame_idx int, frame_mean double, "
+        "frame_hash string",
+    )
+
+
+# back-compat name (pre-round-3 callers); the AVI path is real now
+frame_sample_stub = frame_sample
 
 
 def q_multimodal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
