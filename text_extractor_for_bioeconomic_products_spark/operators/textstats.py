@@ -737,6 +737,42 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet-style quality bucketing (Wenzek et al. 2020): per-language
+# head/middle/tail terciles of the LM score — the canonical "keep the
+# head, sample the middle, drop the tail" curation split.  Thresholds
+# are per-language (CCNet's key design point: absolute perplexity is
+# not comparable across languages), computed over the |langs|-row
+# aggregate; everything heavy is the shared LM scoring pipeline.
+_TERCILES = (1 / 3, 2 / 3)
+
+
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lm = q_doc_lm_score(spark, sf_dir).select("doc_id", "lm_score")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = lm.join(docs, "doc_id")
+    thr = j.groupBy("lang").agg(
+        F.percentile("lm_score", F.lit(_TERCILES[0])).alias("t1"),
+        F.percentile("lm_score", F.lit(_TERCILES[1])).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("lm_score") <= F.col("t1"), "head")
+        .when(F.col("lm_score") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        j.join(F.broadcast(thr), "lang")
+        .select("lang", bucket.alias("bucket"), "lm_score")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.avg(F.col("lm_score").cast("decimal(18,10)")), 4
+            ).cast("double").alias("mean_lm_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 ORACLE_DOC_LM_SCORE = f"""
     WITH tok AS (
         SELECT doc_id, term
@@ -1126,7 +1162,35 @@ ORACLE_DOC_CHUNKS = f"""
 """
 
 
+
+
+ORACLE_LM_QUALITY_BUCKETS = f"""
+    WITH lm AS ({ORACLE_DOC_LM_SCORE}),
+    j AS (
+        SELECT d.lang, lm.lm_score
+        FROM lm JOIN documents d USING (doc_id)
+    ),
+    thr AS (
+        SELECT lang,
+               quantile_cont(lm_score, {_TERCILES[0]!r}) AS t1,
+               quantile_cont(lm_score, {_TERCILES[1]!r}) AS t2
+        FROM j GROUP BY lang
+    )
+    SELECT j.lang,
+           CASE WHEN lm_score <= t1 THEN 'head'
+                WHEN lm_score <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(round(avg(CAST(lm_score AS DECIMAL(18,10))), 4) AS DOUBLE)
+             AS mean_lm_score
+    FROM j JOIN thr USING (lang)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "lm_quality_buckets": q_lm_quality_buckets,
     "lang_confusion": q_lang_confusion,
     "token_pmi": q_token_pmi,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1146,6 +1210,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "lm_quality_buckets": ORACLE_LM_QUALITY_BUCKETS,
     "lang_confusion": _lang_confusion_oracle(),
     "token_pmi": ORACLE_TOKEN_PMI,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
