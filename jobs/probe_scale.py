@@ -5,6 +5,7 @@ the sf0.1 tier, measuring the property each op's SCALE.md row claims.
     python jobs/probe_scale.py mg       # Misra-Gries vs exact groupBy
     python jobs/probe_scale.py pack     # greedy context pack (stateful fold)
     python jobs/probe_scale.py salt     # salted vs plain join under a hot key
+    python jobs/probe_scale.py bpe      # BPE merge rounds over a 1M-word vocab
 
 Deterministic inputs built from spark.range — no external data.
 """
@@ -173,6 +174,44 @@ def probe_salt(spark):
     }
 
 
+def probe_bpe(spark):
+    """BPE merge rounds over a synthetic 1M-entry word-frequency table
+    (Zipf-ish frequencies): the claim under test is that the loop is
+    vocabulary-sized — per-round cost must not depend on any corpus."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.bpe import (
+        bpe_train,
+    )
+
+    vocab = (
+        spark.range(1_000_000)
+        .select(
+            F.concat(
+                F.lit("w"),
+                F.lower(F.hex(F.xxhash64("id"))),
+            ).alias("w"),
+            (F.lit(1_000_000) / (F.col("id") + 1)).cast("bigint").alias("freq"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    n_vocab = vocab.count()
+    t0 = _t.monotonic()
+    merges, _ = bpe_train(vocab, n_merges=4)
+    dt = _t.monotonic() - t0
+    return {
+        "probe": "bpe_vocab_loop",
+        "n_vocab": n_vocab,
+        "n_merges": len(merges),
+        "merges": [(a, b, n) for a, b, n in merges],
+        "sec": round(dt, 1),
+        "sec_per_round": round(dt / max(len(merges), 1), 1),
+    }
+
+
 def main() -> None:
     from text_extractor_for_bioeconomic_products_spark.session import get_spark
 
@@ -180,7 +219,7 @@ def main() -> None:
     spark = get_spark(
         app_name=f"probe_{which}", master="local[32]", shuffle_partitions=64
     )
-    out = {"mg": probe_mg, "pack": probe_pack, "salt": probe_salt}[which](spark)
+    out = {"mg": probe_mg, "pack": probe_pack, "salt": probe_salt, "bpe": probe_bpe}[which](spark)
     print(json.dumps(out))
     spark.stop()
 
