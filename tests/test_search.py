@@ -1169,3 +1169,24 @@ def test_bpe_greedy_overlap_semantics(spark):
     toks = {r["w"]: list(r["syms"]) for r in tokenized.collect()}
     assert toks["aaa"] == ["aa", "a"]
     assert toks["aab"] == ["aa", "b"]
+
+
+def test_gapfilled_series_is_continuous(spark, sf001_dir):
+    """The spine closes every hole: consecutive hour_starts differ by
+    exactly 1 hour, zero-filled gap rows exist (sparse tier), and the
+    non-gap rows equal the plain rollup."""
+    import datetime as dt
+
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["events_hourly_gapfilled"](
+        spark, sf001_dir
+    ).collect()
+    assert rows
+    hours = [r["hour_start"] for r in rows]
+    assert all(
+        (b - a) == dt.timedelta(hours=1) for a, b in zip(hours, hours[1:])
+    )
+    assert any(r["was_gap"] for r in rows), "no gap rows — vacuous spine"
+    assert all(r["n_events"] == 0 for r in rows if r["was_gap"])
+    assert all(r["n_events"] > 0 for r in rows if not r["was_gap"])

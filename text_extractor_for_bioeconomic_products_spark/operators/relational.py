@@ -641,6 +641,45 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Calendar-spine gap filling ----------------------------------------------
+#
+# Time-series rollups silently DROP empty buckets (groupBy emits no row
+# for an hour with no events), which corrupts downstream rate math and
+# charting.  The fix is a generated calendar spine cross-joined with the
+# dimension values, left-joined to the real rollup, zero-filled.  Spine
+# size is hours×|dims| — generated, never scanned — so at 100 TB the
+# spine stays a broadcast-sized frame while the rollup side is the same
+# one partial-agg shuffle as the unfilled query.
+_GAPFILL_TYPE = "purchase"  # the sparsest event type drives non-vacuity
+
+
+def q_events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("event_type") == _GAPFILL_TYPE)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    return (
+        spine.join(hourly, "hour_start", "left")
+        .select(
+            "hour_start",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            (F.col("n_events").isNull()).alias("was_gap"),
+        )
+        .orderBy("hour_start")
+    )
+
+
 # --- Snapshot diff (CDC census) ---------------------------------------------
 #
 # The incremental-ingest question: between yesterday's snapshot and
@@ -1139,6 +1178,29 @@ ORACLE_SQL = {
         ORDER BY n_exact DESC, key ASC
         LIMIT 10
     """,
+    "events_hourly_gapfilled": f"""
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+                   count(*) AS n_events
+            FROM events WHERE event_type = '{_GAPFILL_TYPE}'
+            GROUP BY hour_start
+        ),
+        bounds AS (
+            SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+                   time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+                     AS hour_start
+            FROM bounds
+        )
+        SELECT s.hour_start,
+               coalesce(h.n_events, 0) AS n_events,
+               h.n_events IS NULL AS was_gap
+        FROM spine s LEFT JOIN hourly h USING (hour_start)
+        ORDER BY s.hour_start
+    """,
     "snapshot_diff": f"""
         WITH old AS (
             SELECT doc_id, md5(text) AS h, source FROM documents
@@ -1596,6 +1658,7 @@ QUERIES = {
     "referential_integrity": q_referential_integrity,
     "user_value_outliers": q_user_value_outliers,
     "snapshot_diff": q_snapshot_diff,
+    "events_hourly_gapfilled": q_events_hourly_gapfilled,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
