@@ -1190,3 +1190,19 @@ def test_gapfilled_series_is_continuous(spark, sf001_dir):
     assert any(r["was_gap"] for r in rows), "no gap rows — vacuous spine"
     assert all(r["n_events"] == 0 for r in rows if r["was_gap"])
     assert all(r["n_events"] > 0 for r in rows if not r["was_gap"])
+
+
+def test_retention_cohorts_invariants(spark, sf001_dir):
+    """Offset-0 retention is exactly 1.0 per cohort, n_active never
+    exceeds cohort_size, and offsets stay within the configured week."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["user_retention_cohorts"](
+        spark, sf001_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["offset"] <= 7
+        assert r["n_active"] <= r["cohort_size"]
+        if r["offset"] == 0:
+            assert r["retention_rate"] == 1.0

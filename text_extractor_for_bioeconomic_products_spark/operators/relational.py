@@ -641,6 +641,54 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Cohort retention ---------------------------------------------------------
+#
+# The classic retention triangle: users grouped by first-seen day
+# (cohort), activity counted at each day offset from that cohort day.
+# Two shuffles — min(day) per user (the cohort assignment), then the
+# (cohort_day, offset) rollup whose cardinality is days² regardless of
+# corpus size.  retention_rate divides by the cohort's size at offset 0.
+_COHORT_MAX_OFFSET = 7  # first week — keeps the census dense and small
+
+
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        daily.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("offset"),
+            "user_id",
+        )
+        .filter(F.col("offset") <= _COHORT_MAX_OFFSET)
+        .groupBy("cohort_day", "offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    base = activity.filter(F.col("offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        activity.join(base, "cohort_day")
+        .select(
+            "cohort_day",
+            "offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                (F.col("n_active") / F.col("cohort_size")).cast(
+                    "decimal(18,10)"
+                ),
+                4,
+            ).cast("double").alias("retention_rate"),
+        )
+        .orderBy("cohort_day", "offset")
+    )
+
+
 # --- Calendar-spine gap filling ----------------------------------------------
 #
 # Time-series rollups silently DROP empty buckets (groupBy emits no row
@@ -1178,6 +1226,31 @@ ORACLE_SQL = {
         ORDER BY n_exact DESC, key ASC
         LIMIT 10
     """,
+    "user_retention_cohorts": f"""
+        WITH daily AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        cohorts AS (
+            SELECT user_id, min(day) AS cohort_day FROM daily GROUP BY user_id
+        ),
+        activity AS (
+            SELECT c.cohort_day,
+                   datediff('day', c.cohort_day, d.day) AS "offset",
+                   count(DISTINCT d.user_id) AS n_active
+            FROM daily d JOIN cohorts c USING (user_id)
+            WHERE datediff('day', c.cohort_day, d.day) <= {_COHORT_MAX_OFFSET}
+            GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT cohort_day, n_active AS cohort_size
+            FROM activity WHERE "offset" = 0
+        )
+        SELECT a.cohort_day, a."offset" AS "offset", a.n_active, b.cohort_size,
+               CAST(round(CAST(a.n_active::DOUBLE / b.cohort_size
+                               AS DECIMAL(18,10)), 4) AS DOUBLE) AS retention_rate
+        FROM activity a JOIN base b USING (cohort_day)
+        ORDER BY a.cohort_day, a."offset"
+    """,
     "events_hourly_gapfilled": f"""
         WITH hourly AS (
             SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
@@ -1659,6 +1732,7 @@ QUERIES = {
     "user_value_outliers": q_user_value_outliers,
     "snapshot_diff": q_snapshot_diff,
     "events_hourly_gapfilled": q_events_hourly_gapfilled,
+    "user_retention_cohorts": q_user_retention_cohorts,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
