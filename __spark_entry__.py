@@ -106,6 +106,7 @@ _DEFERRED_STAPLES = [
     "lm_quality_buckets",
     "events_hourly_gapfilled",
     "user_retention_cohorts",
+    "fulfillment_latency",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since

@@ -641,6 +641,41 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Fulfillment latency (order-to-ship SLA census) ---------------------------
+
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days from order to line-item shipment, per order priority — the
+    SLA census.  The fact-fact join is the bucketed-layout pair
+    (orders⋈lineitem on orderkey), the latency is a pure date diff, and
+    the stats aggregate to |priorities| rows."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    lat = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").alias("days"),
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.avg(F.col("days").cast("decimal(18,6)")), 4
+            ).cast("double").alias("avg_days"),
+            F.round(
+                F.percentile("days", 0.5).cast("decimal(18,10)"), 4
+            ).cast("double").alias("p50_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # --- Cohort retention ---------------------------------------------------------
 #
 # The classic retention triangle: users grouped by first-seen day
@@ -1226,6 +1261,18 @@ ORACLE_SQL = {
         ORDER BY n_exact DESC, key ASC
         LIMIT 10
     """,
+    "fulfillment_latency": """
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               CAST(round(avg(CAST(datediff('day', o_orderdate, l_shipdate)
+                                   AS DECIMAL(18,6))), 4) AS DOUBLE) AS avg_days,
+               CAST(round(CAST(quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5)
+                               AS DECIMAL(18,10)), 4) AS DOUBLE) AS p50_days,
+               max(datediff('day', o_orderdate, l_shipdate)) AS max_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "user_retention_cohorts": f"""
         WITH daily AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -1733,6 +1780,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "events_hourly_gapfilled": q_events_hourly_gapfilled,
     "user_retention_cohorts": q_user_retention_cohorts,
+    "fulfillment_latency": q_fulfillment_latency,
     "approx_distinct_users": q_approx_distinct_users,
     "big_spenders": q_big_spenders,
     "idle_rich_customers": q_idle_rich_customers,
