@@ -1063,3 +1063,42 @@ def test_versioned_table_time_travel_and_rollback(spark, transcripts_df, tmp_pat
         V._current_version = real_current
     # either the pointer check or the manifest hard-link check fired
     assert "Conflict" in type(ei.value).__name__ or "published" in str(ei.value) or "base was" in str(ei.value)
+
+
+def test_versioned_table_history_and_immutability(spark, transcripts_df, tmp_path):
+    """Five commits: every historical version stays readable with its
+    exact row count, and the files backing version 1 are byte-identical
+    after four later commits (immutability — the property snapshot
+    isolation rests on)."""
+    import glob
+    import hashlib
+
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        commit_merge,
+        read_version,
+    )
+
+    table = str(tmp_path / "vt")
+    turns = extract_turns(transcripts_df).drop("spans").cache()
+    counts = {}
+    for v in range(1, 6):
+        batch = turns.filter(f"turn_idx < {v}")
+        r = commit_merge(spark, table, batch, run_id=f"r{v}")
+        assert r["version"] == v
+        counts[v] = read_version(spark, table).count()
+        assert counts[v] == batch.count()
+        if v == 1:
+            v1_files = sorted(glob.glob(f"{table}/data/part-1-*/*.parquet"))
+            v1_hashes = [
+                hashlib.sha256(open(f, "rb").read()).hexdigest()
+                for f in v1_files
+            ]
+    # history: every version still reads its own snapshot
+    for v in range(1, 6):
+        assert read_version(spark, table, version=v).count() == counts[v]
+    # immutability: v1's physical files never changed
+    now = [
+        hashlib.sha256(open(f, "rb").read()).hexdigest()
+        for f in sorted(glob.glob(f"{table}/data/part-1-*/*.parquet"))
+    ]
+    assert now == v1_hashes and v1_files
