@@ -96,17 +96,19 @@ _DEFERRED_STAPLES = [
     # swept at sf0.01+sf0.1 and the same in-band-bound idiom IS driver-
     # checked via heavy_keys_sketch + order_price_percentiles_approx
     "approx_distinct_users",
-    # born late round 3 AFTER the window filled with never-driver-checked
-    # queries: builder-verified tier (DuckDB-green at sf0.01+sf0.1 from
-    # birth, pytest-pinned) — deferring them beats evicting a
-    # never-verified query from the window
-    "lang_confusion",
-    "weighted_sample_topk",
-    "bpe_merges",
-    "lm_quality_buckets",
-    "events_hourly_gapfilled",
-    "user_retention_cohorts",
-    "fulfillment_latency",
+    # deferred round 4 to rotate the 7 late-round-3 queries (the only
+    # never-driver-checked set: lang_confusion, weighted_sample_topk,
+    # bpe_merges, lm_quality_buckets, events_hourly_gapfilled,
+    # user_retention_cohorts, fulfillment_latency) into the front-50
+    # window; each of these seven is r3-driver-green with the
+    # implementing function untouched since
+    "purchase_attribution",
+    "purchase_followups",
+    "user_rolling_value",
+    "event_streaks",
+    "snapshot_diff",
+    "referential_integrity",
+    "user_value_outliers",
     # deferred late round 3 to make window room for ann_lsh_multiprobe +
     # semantic_dedup (both never driver-verified); green in r1 AND r2,
     # untouched since
