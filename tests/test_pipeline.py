@@ -1051,9 +1051,16 @@ def test_versioned_table_time_travel_and_rollback(spark, transcripts_df, tmp_pat
     import text_extractor_for_bioeconomic_products_spark.plans.versioned as V
 
     real_current = V._current_version
+    _calls = {"n": 0}
 
     def stale_current(d):
-        return 1  # pretend we read v1 before someone committed v2
+        # first read (the writer's base) is stale v1; the CAS-time read
+        # sees the true pointer (v2) — i.e. someone committed under us.
+        # (A CONSISTENT v1 reading is now a legitimate rollback state:
+        # versions are allocated above the historical max, so such a
+        # writer correctly lands a new branch instead of colliding.)
+        _calls["n"] += 1
+        return 1 if _calls["n"] == 1 else real_current(d)
 
     V._current_version = stale_current
     try:
@@ -1088,7 +1095,7 @@ def test_versioned_table_history_and_immutability(spark, transcripts_df, tmp_pat
         counts[v] = read_version(spark, table).count()
         assert counts[v] == batch.count()
         if v == 1:
-            v1_files = sorted(glob.glob(f"{table}/data/part-1-*/*.parquet"))
+            v1_files = sorted(glob.glob(f"{table}/data/part-r1-*/*.parquet"))
             v1_hashes = [
                 hashlib.sha256(open(f, "rb").read()).hexdigest()
                 for f in v1_files
@@ -1099,6 +1106,150 @@ def test_versioned_table_history_and_immutability(spark, transcripts_df, tmp_pat
     # immutability: v1's physical files never changed
     now = [
         hashlib.sha256(open(f, "rb").read()).hexdigest()
-        for f in sorted(glob.glob(f"{table}/data/part-1-*/*.parquet"))
+        for f in sorted(glob.glob(f"{table}/data/part-r1-*/*.parquet"))
     ]
     assert now == v1_hashes and v1_files
+
+
+def test_versioned_table_rollback_then_commit(spark, transcripts_df, tmp_path):
+    """The r3-ADVICE failure mode: after rollback() the next commit must
+    NOT collide with the abandoned branch's manifest.  Versions are
+    allocated above the historical max (Iceberg-monotonic), parent
+    records the rolled-back base, and the table stays writable."""
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        commit_merge,
+        read_version,
+        rollback,
+    )
+
+    table = str(tmp_path / "vt_rb")
+    turns = extract_turns(transcripts_df).drop("spans").cache()
+    commit_merge(spark, table, turns.filter("turn_idx < 1"), run_id="a")
+    commit_merge(spark, table, turns.filter("turn_idx < 3"), run_id="b")
+    rollback(table, 1)
+    # pre-fix this raised CommitConflict forever (v2 manifest exists)
+    r = commit_merge(spark, table, turns.filter("turn_idx = 4"), run_id="c")
+    assert r["version"] == 3 and r["parent"] == 1
+    got = read_version(spark, table)
+    assert got.count() == (
+        turns.filter("turn_idx < 1").count() + turns.filter("turn_idx = 4").count()
+    )
+    # the abandoned branch is still time-travel readable
+    assert read_version(spark, table, version=2).count() == turns.filter(
+        "turn_idx < 3"
+    ).count()
+
+
+def test_versioned_table_concurrent_committers_rebase(
+    spark, transcripts_df, tmp_path
+):
+    """Two interleaved committers with DISJOINT key sets: the loser
+    rebases and both land (Iceberg's commit-retry); with OVERLAPPING
+    keys the loser raises CommitConflict even with retries — a genuine
+    write-write race is never silently merged."""
+    import text_extractor_for_bioeconomic_products_spark.plans.versioned as V
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        CommitConflict,
+        commit_merge,
+        read_version,
+    )
+
+    table = str(tmp_path / "vt_cc")
+    turns = extract_turns(transcripts_df).drop("spans").cache()
+    base_rows = turns.filter("turn_idx < 1")
+    commit_merge(spark, table, base_rows, run_id="base")
+
+    # interleave: A reads base=1, then B commits v2 under it.  Simulate
+    # A's stale read by monkeypatching the FIRST _current_version call.
+    a_rows = turns.filter("turn_idx = 2")
+    b_rows = turns.filter("turn_idx = 3")
+    commit_b = commit_merge(spark, table, b_rows, run_id="B")
+    assert commit_b["version"] == 2
+
+    real_current = V._current_version
+    calls = {"n": 0}
+
+    def stale_once(d):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real_current(d)
+
+    V._current_version = stale_once
+    try:
+        r = commit_merge(spark, table, a_rows, run_id="A", retries=2)
+    finally:
+        V._current_version = real_current
+    assert r["version"] == 3 and r["rebases"] == 1 and r["parent"] == 2
+    got = read_version(spark, table)
+    assert got.count() == base_rows.count() + a_rows.count() + b_rows.count()
+
+    # overlapping keys: same interleave shape, but the concurrent commit
+    # (B2, landing v4) writes exactly the keys A2 wants to write — the
+    # rebase validation must refuse no matter how many retries remain
+    import pytest as _pytest
+
+    commit_merge(spark, table, turns.filter("turn_idx = 3"), run_id="B2")
+
+    def stale_at_3_once(d):
+        calls["n"] += 1
+        return 3 if calls["n"] == 1 else real_current(d)
+
+    calls["n"] = 0
+    V._current_version = stale_at_3_once
+    try:
+        with _pytest.raises(CommitConflict, match="overlapping keys"):
+            commit_merge(
+                spark, table, turns.filter("turn_idx = 3"), run_id="A2",
+                retries=5,
+            )
+    finally:
+        V._current_version = real_current
+
+
+def test_versioned_table_loser_cleanup_and_vacuum(
+    spark, transcripts_df, tmp_path
+):
+    """A terminally-conflicted writer deletes every data file it wrote
+    (no orphans), and vacuum() removes crash debris without touching any
+    manifest-referenced file — including rolled-back branches."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    import text_extractor_for_bioeconomic_products_spark.plans.versioned as V
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        CommitConflict,
+        commit_merge,
+        read_version,
+        vacuum,
+    )
+
+    table = str(tmp_path / "vt_vac")
+    turns = extract_turns(transcripts_df).drop("spans").cache()
+    commit_merge(spark, table, turns.filter("turn_idx < 2"), run_id="a")
+    before = set(glob.glob(f"{table}/data/*"))
+
+    real_current = V._current_version
+    calls = {"n": 0}
+
+    def stale_base_once(d):  # stale base read; retries=0 -> terminal
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_current(d)
+
+    V._current_version = stale_base_once
+    try:
+        with _pytest.raises(CommitConflict):
+            commit_merge(spark, table, turns.filter("turn_idx = 3"), run_id="x")
+    finally:
+        V._current_version = real_current
+    # loser cleaned up after itself
+    assert set(glob.glob(f"{table}/data/*")) == before
+
+    # crash debris: a data dir no manifest references
+    orphan = os.path.join(table, "data", "part-crashed-deadbeef-0.parquet")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk"), "w").write("x")
+    rep = vacuum(table)
+    assert rep["orphans_removed"] == 1 and not os.path.exists(orphan)
+    assert set(glob.glob(f"{table}/data/*")) == before
+    assert read_version(spark, table).count() == turns.filter("turn_idx < 2").count()

@@ -12,12 +12,27 @@ versioned manifests, which is what buys
   * **rollback** — a metadata-only pointer move, no data rewritten;
   * **optimistic concurrency** — commits validate their parent version
     and refuse to clobber a commit they never saw (Iceberg's
-    compare-and-swap, done here with an atomic rename).
+    compare-and-swap, done here with an atomic hard-link), and — like
+    Iceberg's commit retry — a writer whose base moved REBASES and
+    retries when the concurrent commits touched disjoint keys, raising
+    ``CommitConflict`` only on a genuine write-write overlap.
 
 Layout under ``table_dir``:
-    data/part-{version}-{run_id}-{bucket}.parquet   immutable data files
+    data/part-{run_id}-{attempt}-{bucket}.parquet   immutable data files
     meta/v{N}.json                                  manifest: file list per bucket
     meta/_current                                   pointer file (atomic rename)
+
+Version numbers are MONOTONIC over the table's whole history
+(``1 + max(existing manifests)``, never ``current + 1``): after a
+rollback the abandoned branch's manifests still exist, and a
+``base + 1`` allocation would collide with them forever (Iceberg keeps
+snapshot ids monotonic for exactly this reason).  The rolled-back base
+is recorded as the new manifest's ``parent``, so history stays a chain.
+
+Data files are written under a per-attempt unique name BEFORE the CAS,
+so a losing writer never tramples a winner's files; on a terminal
+conflict the attempt's unreferenced files are deleted, and ``vacuum``
+sweeps any orphans a crashed writer left behind.
 
 Merge commits are keyed upserts on (conv_id, turn_idx) at bucket
 granularity, same contract as ``merge_turns``: only buckets containing
@@ -26,15 +41,17 @@ reference in the next manifest — exactly Iceberg's copy-on-write.
 
 Scale: a commit writes one file per affected bucket (bucket count scales
 with the table); manifests list file paths, not rows, so the metadata
-is O(buckets), and time travel costs one JSON read.  Reference analog:
-the SQLite upsert (`src/storage/database_manager.py`) has no history at
-all — every write destroys the previous state.
+is O(buckets), and time travel costs one JSON read.  The rebase path
+re-reads (and re-merges) only buckets the concurrent commits rewrote.
+Reference analog: the SQLite upsert (`src/storage/database_manager.py`)
+has no history at all — every write destroys the previous state.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,7 +62,8 @@ KEY_COLS = ("conv_id", "turn_idx")
 
 class CommitConflict(RuntimeError):
     """Another writer committed since this writer read its base version
-    (the optimistic-concurrency refusal — Iceberg's CAS failure)."""
+    and the conflict could not be resolved by rebasing (retries
+    exhausted, overlapping keys, or unwalkable history)."""
 
 
 def _meta_dir(table_dir: str) -> str:
@@ -58,6 +76,21 @@ def _current_version(table_dir: str) -> int:
         return 0
     with open(ptr) as fh:
         return int(fh.read().strip())
+
+
+def _max_version(table_dir: str) -> int:
+    """Highest manifest ever published — including abandoned (rolled
+    back) branches.  New versions allocate above this, never above the
+    pointer, so rollback-then-commit cannot collide."""
+    md = _meta_dir(table_dir)
+    if not os.path.isdir(md):
+        return 0
+    vs = [
+        int(f[1:-5])
+        for f in os.listdir(md)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    ]
+    return max(vs, default=0)
 
 
 def _manifest(table_dir: str, version: int) -> dict:
@@ -86,17 +119,50 @@ def read_version(
     return spark.read.parquet(*files)
 
 
+def _new_files_between(table_dir: str, base: int, tip: int) -> list | None:
+    """Data files written by the commits on the parent chain from
+    ``tip`` down to (exclusive) ``base``.  Returns None when the chain
+    cannot be walked back to base (e.g. a concurrent rollback moved the
+    pointer to a different branch, or a pre-``new_files`` manifest) —
+    the caller must then treat the conflict as unresolvable."""
+    files: list = []
+    v = tip
+    while v != base:
+        if v <= 0:
+            return None
+        try:
+            m = _manifest(table_dir, v)
+        except FileNotFoundError:
+            return None
+        if "new_files" not in m:
+            return None
+        files.extend(m["new_files"])
+        v = m.get("parent", 0)
+        if v < base:
+            return None
+    return files
+
+
 def commit_merge(
     spark: SparkSession,
     table_dir: str,
     new_rows: DataFrame,
     run_id: str,
     n_buckets: int = 8,
+    retries: int = 0,
 ) -> dict:
     """Keyed MERGE as a snapshot commit.  Reads the base version, writes
-    NEW files for affected buckets only (copy-on-write), publishes
-    manifest base+1, and swings the pointer — refusing with
-    CommitConflict if the pointer moved since the base was read."""
+    NEW files for affected buckets only (copy-on-write) under a
+    per-attempt unique prefix, publishes a monotonically-numbered
+    manifest, and swings the pointer.
+
+    If the pointer moved since the base was read and ``retries`` remain,
+    the writer REBASES: it validates that the concurrent commits touched
+    none of its keys (else the conflict is a genuine write-write race
+    and ``CommitConflict`` is raised regardless of retries), re-merges
+    only the buckets whose backing files changed under it, and retries
+    the CAS.  On a terminal conflict every file this call wrote is
+    deleted — losers leave no orphans."""
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
@@ -105,76 +171,165 @@ def commit_merge(
     keyed = new_rows.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
     ).persist()
-    dup = (
-        keyed.groupBy(*KEY_COLS).count().filter(F.col("count") > 1).count()
-    )
-    if dup:
-        keyed.unpersist()
-        raise ValueError(f"commit_merge: {dup} duplicate keys in source")
-    affected = sorted(
-        r["bucket"] for r in keyed.select("bucket").distinct().collect()
-    )
-    old_buckets: dict = (
-        _manifest(table_dir, base)["buckets"] if base else {}
-    )
-    new_buckets = dict(old_buckets)
-    n_upserted = keyed.count()
-    version = base + 1
-    for b in affected:
-        incoming = keyed.filter(F.col("bucket") == b).drop("bucket")
-        olds = old_buckets.get(str(b), [])
-        if olds:
-            existing = spark.read.parquet(*olds)
-            keys = incoming.select(*KEY_COLS).distinct()
-            survivors = existing.join(keys, list(KEY_COLS), "left_anti")
-            merged = survivors.unionByName(incoming.select(*existing.columns))
-        else:
-            merged = incoming
-        fname = os.path.join(
-            data_dir, f"part-{version}-{run_id}-{b}.parquet"
-        )
-        merged.coalesce(1).write.mode("errorifexists").parquet(fname)
-        new_buckets[str(b)] = [fname]
-    keyed.unpersist()
-    # CAS: publish the manifest, then swing the pointer only if nobody
-    # else has (manifest files are version-named, so a losing writer's
-    # manifest must not exist either)
-    if _current_version(table_dir) != base:
-        raise CommitConflict(
-            f"base was v{base}, current is v{_current_version(table_dir)}"
-        )
-    mpath = os.path.join(_meta_dir(table_dir), f"v{version}.json")
-    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": version,
-                "parent": base,
-                "run_id": run_id,
-                "buckets": new_buckets,
-            },
-            fh,
-        )
     try:
-        os.link(tmp, mpath)  # fails if a racing writer published v{N}
-    except FileExistsError as ex:
-        os.unlink(tmp)
-        raise CommitConflict(f"manifest v{version} already published") from ex
-    os.unlink(tmp)
-    _swing_pointer(table_dir, version)
-    return {
-        "version": version,
-        "buckets_rewritten": affected,
-        "n_upserted": n_upserted,
-    }
+        dup = (
+            keyed.groupBy(*KEY_COLS).count().filter(F.col("count") > 1).count()
+        )
+        if dup:
+            raise ValueError(f"commit_merge: {dup} duplicate keys in source")
+        affected = sorted(
+            r["bucket"] for r in keyed.select("bucket").distinct().collect()
+        )
+        n_upserted = keyed.count()
+        # bucket -> (written file, the base files it was merged against)
+        attempt_files: dict[int, tuple[str, tuple]] = {}
+        n_rebases = 0
+        try:
+            while True:
+                old_buckets: dict = (
+                    _manifest(table_dir, base)["buckets"] if base else {}
+                )
+                for b in affected:
+                    olds = tuple(old_buckets.get(str(b), []))
+                    prev = attempt_files.get(b)
+                    if prev is not None and prev[1] == olds:
+                        continue  # rebase: this bucket's base is unchanged
+                    if prev is not None:
+                        shutil.rmtree(prev[0], ignore_errors=True)
+                    incoming = keyed.filter(F.col("bucket") == b).drop("bucket")
+                    if olds:
+                        existing = spark.read.parquet(*olds)
+                        keys = incoming.select(*KEY_COLS).distinct()
+                        survivors = existing.join(
+                            keys, list(KEY_COLS), "left_anti"
+                        )
+                        merged = survivors.unionByName(
+                            incoming.select(*existing.columns)
+                        )
+                    else:
+                        merged = incoming
+                    fname = os.path.join(
+                        data_dir,
+                        f"part-{run_id}-{uuid.uuid4().hex[:8]}-{b}.parquet",
+                    )
+                    merged.coalesce(1).write.mode("errorifexists").parquet(fname)
+                    attempt_files[b] = (fname, olds)
+                new_buckets = dict(old_buckets)
+                new_files = []
+                for b in affected:
+                    new_buckets[str(b)] = [attempt_files[b][0]]
+                    new_files.append(attempt_files[b][0])
+
+                # CAS: allocate above every manifest ever published and
+                # hard-link (fails if a racer took the number); the
+                # pointer check catches a racer who already swung.
+                linked = False
+                if _current_version(table_dir) == base:
+                    version = _max_version(table_dir) + 1
+                    mpath = os.path.join(_meta_dir(table_dir), f"v{version}.json")
+                    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+                    with open(tmp, "w") as fh:
+                        json.dump(
+                            {
+                                "version": version,
+                                "parent": base,
+                                "run_id": run_id,
+                                "buckets": new_buckets,
+                                "new_files": new_files,
+                            },
+                            fh,
+                        )
+                    try:
+                        os.link(tmp, mpath)
+                        linked = True
+                    except FileExistsError:
+                        pass
+                    finally:
+                        os.unlink(tmp)
+                if linked:
+                    _swing_pointer(table_dir, version)
+                    return {
+                        "version": version,
+                        "parent": base,
+                        "buckets_rewritten": affected,
+                        "n_upserted": n_upserted,
+                        "rebases": n_rebases,
+                    }
+
+                # conflict: someone committed under us
+                current = max(_current_version(table_dir), _max_version(table_dir))
+                if retries <= 0:
+                    raise CommitConflict(
+                        f"base was v{base}, current is v{current} "
+                        "(retries exhausted)"
+                    )
+                retries -= 1
+                concurrent = _new_files_between(table_dir, base, current)
+                if concurrent is None:
+                    raise CommitConflict(
+                        f"base was v{base}, current is v{current}: history "
+                        "between them is not a walkable chain (concurrent "
+                        "rollback or legacy manifest) — cannot rebase"
+                    )
+                if concurrent:
+                    theirs = spark.read.parquet(*concurrent).select(*KEY_COLS)
+                    overlap = (
+                        theirs.join(
+                            keyed.select(*KEY_COLS), list(KEY_COLS), "left_semi"
+                        )
+                        .limit(1)
+                        .count()
+                    )
+                    if overlap:
+                        raise CommitConflict(
+                            f"concurrent commits (v{base}..v{current}] "
+                            "touched overlapping keys — genuine write-write "
+                            "conflict, not rebasable"
+                        )
+                base = current  # rebase onto the new tip and loop
+                n_rebases += 1
+        except BaseException:
+            # terminal failure: nothing was published, so every file this
+            # call wrote is unreferenced — delete them all
+            for fname, _olds in attempt_files.values():
+                shutil.rmtree(fname, ignore_errors=True)
+            raise
+    finally:
+        keyed.unpersist()
 
 
 def rollback(table_dir: str, version: int) -> None:
     """Metadata-only rollback: swing the pointer to a retained snapshot.
     No data files move; the abandoned versions stay readable by explicit
-    ``read_version`` until a retention sweep removes them."""
+    ``read_version`` (and their manifests keep their numbers — the next
+    commit allocates ABOVE them, so the table stays writable)."""
     if not os.path.exists(
         os.path.join(_meta_dir(table_dir), f"v{version}.json")
     ):
         raise ValueError(f"no manifest for version {version}")
     _swing_pointer(table_dir, version)
+
+
+def vacuum(table_dir: str) -> dict:
+    """Retention sweep for ORPHANS: delete data files referenced by no
+    manifest (the debris of a writer that crashed between its data write
+    and its CAS).  Never touches files any retained snapshot can read —
+    rolled-back branches keep their files because their manifests still
+    exist."""
+    data_dir = os.path.join(table_dir, "data")
+    referenced: set = set()
+    md = _meta_dir(table_dir)
+    if os.path.isdir(md):
+        for f in os.listdir(md):
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
+                man = _manifest(table_dir, int(f[1:-5]))
+                for fs in man["buckets"].values():
+                    referenced.update(fs)
+    removed = []
+    if os.path.isdir(data_dir):
+        for d in sorted(os.listdir(data_dir)):
+            full = os.path.join(data_dir, d)
+            if full not in referenced:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+    return {"orphans_removed": len(removed), "removed": removed}
