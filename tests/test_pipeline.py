@@ -130,8 +130,9 @@ def test_multimodal_plumbing(spark):
     by_kind = {}
     for f in feats:
         by_kind.setdefault(f["kind"], []).append(f)
-    # images are REAL BMPs: real dims, real pixel mean in (0, 255)
-    assert all(f["codec"] == "bmp" for f in by_kind["image"])
+    # images are REAL BMPs/PNGs (alternating): real dims, real pixel
+    # mean in (0, 255); both codecs must actually appear
+    assert {f["codec"] for f in by_kind["image"]} == {"bmp", "png"}
     assert all(16 <= f["width"] <= 64 and 16 <= f["height"] <= 64
                for f in by_kind["image"])
     assert all(0.0 < f["mean_level"] < 255.0 for f in by_kind["image"])
@@ -193,6 +194,55 @@ def test_bmp_wav_codec_roundtrip():
     rate, n, mean_level = decode_wav(encode_wav(11025, frames))
     assert rate == 11025 and n == 1000
     assert mean_level == round(float(np.abs(np.arange(-500, 500)).mean()) / 32768.0, 4)
+
+
+def test_png_codec_roundtrip():
+    """The stdlib-zlib PNG codec is real: encode → decode returns the
+    exact pixels through ALL FIVE scanline filters (encoder assigns
+    filter r%5, so height ≥ 5 exercises None/Sub/Up/Average/Paeth);
+    CRC corruption and truncation are detected; unsupported PNG flavors
+    raise NotImplementedError (the documented boundary)."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        encode_png,
+    )
+
+    for w, h in [(1, 1), (3, 7), (17, 6)]:  # h≥5 covers all 5 filters
+        pixels = bytes((i * 37 + i // 7) % 256 for i in range(w * h * 3))
+        payload = encode_png(w, h, pixels)
+        rw, rh, mean_level, arr = decode_png(payload)
+        assert (rw, rh) == (w, h)
+        assert arr.tobytes() == pixels  # exact pixel roundtrip
+        expect = round(
+            float(np.frombuffer(pixels, np.uint8).astype(np.float64).mean()), 4
+        )
+        assert mean_level == expect
+        # dispatch integration: decode_media routes by the PNG signature
+        assert decode_media(payload)[0] == "png"
+
+    good = encode_png(4, 6, bytes(range(72)))
+    # flip one IDAT byte -> CRC check must fire
+    idat_pos = good.index(b"IDAT") + 4
+    bad = bytearray(good)
+    bad[idat_pos] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(good[:30])  # truncated chunk stream
+    # unsupported flavor: grayscale (color type 0) is out of scope
+    ihdr = _struct.pack(">IIBBBBB", 4, 6, 8, 0, 0, 0, 0)
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk,
+    )
+    gray = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError):
+        decode_png(gray)
 
 
 def test_multimodal_invalid_payload_quarantined(spark):

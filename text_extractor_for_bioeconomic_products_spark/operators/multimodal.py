@@ -11,11 +11,16 @@ Round 3 upgrade — **real decode where the standard library suffices**:
   resize.
 * **audio/WAV** — PCM WAV through the stdlib ``wave`` module: real
   sample rate / frame count, real mean |amplitude|.
-* **video** — no container codec exists in the stdlib, so video keeps
-  the deterministic FAKE-header stub; ``decode_media`` on any OTHER
-  real format (PNG/JPEG/MP4…) raises ``NotImplementedError`` — the
-  single integration point where PIL/pyav would slot in (reference
-  analog `src/core/text_extractor.py:157-245`).
+* **image/PNG** (round 4) — real zlib inflate of IDAT + reconstruction
+  of all five scanline filters (None/Sub/Up/Average/Paeth), CRC-checked
+  chunks; 8-bit truecolor non-interlaced scope.
+* **video/AVI** — real uncompressed RIFF container walk (round 3).
+
+``decode_media`` on any remaining compressed format (JPEG/MP4/H.264…)
+raises ``NotImplementedError`` — the single integration point where
+PIL/pyav would slot in (reference analog
+`src/core/text_extractor.py:157-245`); those codecs genuinely are not
+in this container.
 
 Fake payload format (video stub, produced by synthesize_media):
     bytes 0-3   magic  b'FAKE'
@@ -31,6 +36,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -129,6 +135,152 @@ def decode_wav(payload: bytes) -> Tuple[int, int, float]:
         samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
         mean_level = round(float(np.abs(samples - 128).mean()) / 128.0, 4) if len(samples) else 0.0
     return rate, n, mean_level
+
+
+# --- PNG (stdlib zlib) — closes the compressed-IMAGE half of the codec
+# stub: PNG is IDAT = zlib-deflated scanlines, each prefixed by one of 5
+# filter bytes (None/Sub/Up/Average/Paeth), wrapped in CRC-checked
+# chunks.  Everything needed ships in the stdlib (zlib both deflates and
+# CRCs), so this is a REAL decode of the web's most common lossless
+# format — pixels reconstructed through the actual filter algebra, not a
+# header echo.  Scope: 8-bit truecolor (color type 2) non-interlaced,
+# the shape the encoder below emits; other color types / interlacing
+# raise NotImplementedError, and JPEG/MP4 remain the documented
+# environmental boundary (no PIL/pyav in the container).
+# Reference analog: `src/core/text_extractor.py:157-245` (real image
+# extraction from documents).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw RGB bytes (len = width*height*3, rows top-down) as an
+    8-bit truecolor PNG.  Row r uses filter (r % 5), so any image ≥5
+    rows exercises every scanline filter on a decode roundtrip."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    bpp = 3
+    raw = np.frombuffer(pixels, np.uint8).reshape(height, width * 3)
+    zeros = np.zeros(bpp, np.int64)
+    out = bytearray()
+    prev = np.zeros(width * 3, np.int64)
+    for r in range(height):
+        row = raw[r].astype(np.int64)
+        left = np.concatenate([zeros, row[:-bpp]]) if width else row
+        ul = np.concatenate([zeros, prev[:-bpp]]) if width else prev
+        ft = r % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            filt = (row - _paeth_vec(left, prev, ul)) % 256
+        out.append(ft)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> Tuple[int, int, float, np.ndarray]:
+    """Parse a PNG → (width, height, mean_level, pixels[h,w,3] top-down).
+    Real decode: chunk CRCs verified, IDAT inflated with zlib, all five
+    scanline filters reconstructed.  8-bit truecolor non-interlaced only;
+    other PNG flavors raise NotImplementedError."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or color_type != 2 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit truecolor non-interlaced PNG is decoded here"
+        )
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data size mismatch")
+    pixels = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    zeros = np.zeros(bpp, np.int64)
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            recon = line
+        elif ft == 2:  # Up: depends only on the prior row — vectorized
+            recon = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            # Sub/Average/Paeth depend on the reconstructed LEFT pixel,
+            # so reconstruction is sequential within the row (bounded:
+            # synthetic/bench images are small; a production decoder
+            # would drop to C here — which is exactly what PIL is)
+            recon = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    val = line[x] + left
+                elif ft == 3:
+                    val = line[x] + (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (
+                        up if pb <= pc else ul
+                    )
+                    val = line[x] + pred
+                recon[x] = val % 256
+        else:
+            raise ValueError(f"invalid PNG scanline filter {ft}")
+        pixels[r] = recon.astype(np.uint8)
+        prev = recon
+    px = pixels.reshape(height, width, 3)
+    mean_level = round(float(px.astype(np.float64).mean()), 4)
+    return width, height, mean_level, px
 
 
 # --- Minimal uncompressed AVI (RIFF) — the video twin of the BMP/WAV
@@ -231,16 +383,20 @@ def _noise(seed: int, i: int, n: int) -> bytes:
 
 
 def synthesize_media(spark: SparkSession, n: int = 300, seed: int = 42) -> DataFrame:
-    """Deterministic media table: REAL BMP images, REAL PCM WAV audio,
-    FAKE-header video (no stdlib video container)."""
+    """Deterministic media table: REAL BMP/PNG images (alternating),
+    REAL PCM WAV audio, REAL uncompressed AVI video."""
     rows = []
     for i in range(n):
         kind_i = i % 3
-        if kind_i == 0:  # image: real 24-bit BMP
+        if kind_i == 0:  # image: real 24-bit BMP / real zlib PNG, alternating
             w = 16 + (i * 7) % 48
             h = 16 + (i * 13) % 48
-            payload = encode_bmp(w, h, _noise(seed, i, w * h * 3))
-            mime = "image/bmp"
+            if (i // 3) % 2 == 0:
+                payload = encode_bmp(w, h, _noise(seed, i, w * h * 3))
+                mime = "image/bmp"
+            else:
+                payload = encode_png(w, h, _noise(seed, i, w * h * 3))
+                mime = "image/png"
         elif kind_i == 1:  # audio: real 16-bit mono WAV
             rate = 8000 + (i * 37) % 8000
             n_frames = 500 + (i * 11) % 2000
@@ -272,14 +428,17 @@ FEATURES_SCHEMA = (
 def decode_media(payload: bytes) -> Tuple[str, int, int, Optional[float]]:
     """Dispatch by magic → (codec, width, height, mean_level).
 
-    BMP and WAV are REAL decodes (pixels/samples are read); FAKE is the
-    deterministic video stub (mean_level None — no frames to read).  Any
-    other magic (PNG/JPEG/MP4…) raises NotImplementedError: that is the
-    single integration point where PIL/librosa/pyav would slot in; the
-    container ships none of them."""
+    BMP, PNG, WAV, and AVI are REAL decodes (pixels/samples are read);
+    FAKE is the deterministic legacy video stub (mean_level None — no
+    frames to read).  Any other magic (JPEG/MP4…) raises
+    NotImplementedError: that is the single integration point where
+    PIL/librosa/pyav would slot in; the container ships none of them."""
     if payload[:2] == b"BM":
         w, h, mean_level, _ = decode_bmp(payload)
         return "bmp", w, h, mean_level
+    if payload[:8] == _PNG_SIG:
+        w, h, mean_level, _ = decode_png(payload)
+        return "png", w, h, mean_level
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, n_frames, mean_level = decode_wav(payload)
         return "wav", rate, n_frames, mean_level
@@ -291,7 +450,7 @@ def decode_media(payload: bytes) -> Tuple[str, int, int, Optional[float]]:
         return "fake", w, h, None
     raise NotImplementedError(
         "real media decode for this format requires codec libraries "
-        "not present here (PNG/JPEG → PIL, MP4/H.264 → pyav)"
+        "not present here (JPEG → PIL, MP4/H.264 → pyav)"
     )
 
 
@@ -348,18 +507,23 @@ def _safe_decode(payload: bytes):
 
 
 def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
-    """REAL nearest-neighbor resize for BMP images (decode pixels →
-    index-subsample → re-encode); non-image payloads pass through
-    unchanged (resizing audio/video is a different operation).
-    Binary-in/binary-out mapInPandas with bounded Arrow batches."""
+    """REAL nearest-neighbor resize for BMP and PNG images (decode
+    pixels → index-subsample → re-encode in the same format); non-image
+    payloads pass through unchanged (resizing audio/video is a different
+    operation).  Binary-in/binary-out mapInPandas with bounded Arrow
+    batches."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def shrink(b: bytes) -> bytes:
-                if b[:2] != b"BM":
+                is_bmp = b[:2] == b"BM"
+                is_png = b[:8] == _PNG_SIG
+                if not (is_bmp or is_png):
                     return b
                 try:
-                    w, h, _, pixels = decode_bmp(b)
+                    w, h, _, pixels = (
+                        decode_bmp(b) if is_bmp else decode_png(b)
+                    )
                 except Exception:
                     return b
                 if max(w, h) <= max_dim:
@@ -369,7 +533,8 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
                 xs = (np.arange(nw) * (w / nw)).astype(np.int64)
                 ys = (np.arange(nh) * (h / nh)).astype(np.int64)
                 out = pixels[ys][:, xs]
-                return encode_bmp(nw, nh, out.tobytes())
+                enc = encode_bmp if is_bmp else encode_png
+                return enc(nw, nh, out.tobytes())
             pdf = pdf.assign(payload=pdf["payload"].map(shrink))
             yield pdf
 
