@@ -53,11 +53,19 @@ def run_curation(
     quality = docs.filter(F.size(F.split("text", " ")) >= MIN_WORDS)
     n_quality = quality.count()
 
-    victims = fuzzy_dedup_victims(spark, sf_dir)
+    # Materialize the expensive victim computation (minhash → bands →
+    # connected components) ONCE: it is tiny (doc_ids only) but its
+    # lineage is the deepest in the job, and without the persist every
+    # downstream action — three splits × (size-estimate sample, count,
+    # final write) ≈ 9 actions — re-executed it from scratch (r3 ADVICE).
+    victims = fuzzy_dedup_victims(spark, sf_dir).persist()
+    victims.count()
     kept = quality.join(F.broadcast(victims), "doc_id", "left_anti")
-    n_kept = kept.count()
 
-    assigned = kept.withColumn("split", split_assignment())
+    # Same for the surviving corpus: each split's writes now re-scan a
+    # materialized DataFrame, not the whole quality+dedup pipeline.
+    assigned = kept.withColumn("split", split_assignment()).persist()
+    n_kept = assigned.count()
     lineage: dict = {
         "n_in": n_in,
         "n_after_quality": n_quality,
@@ -77,6 +85,8 @@ def run_curation(
     lineage["n_written"] = sum(
         s["n_rows"] for s in lineage["splits"].values()
     )
+    assigned.unpersist()
+    victims.unpersist()
     return lineage
 
 

@@ -1133,6 +1133,21 @@ def test_orc_dispatch_and_text_corpus_ingest(spark, transcripts_df, tmp_path):
         assert docs[name]["doc_id"] is not None
     assert len({r["doc_id"] for r in docs.values()}) == 2
 
+    # repeated basenames across subdirectories (recursive ingest) must
+    # get DISTINCT doc_ids — the id hashes the full path, not the
+    # basename (r3 ADVICE: a basename hash silently merged documents)
+    for sub in ("2023", "2024"):
+        (txt_dir / sub).mkdir()
+        (txt_dir / sub / "report.txt").write_text(
+            f"annual report {sub}", encoding="utf-8"
+        )
+    rows = read_text_corpus(spark, str(txt_dir)).collect()
+    assert len(rows) == 4  # recursive lookup found the nested files
+    reports = [r for r in rows if r["file_name"] == "report.txt"]
+    assert len(reports) == 2
+    assert reports[0]["doc_id"] != reports[1]["doc_id"]
+    assert len({r["doc_id"] for r in rows}) == 4
+
 
 def test_bpe_matches_reference(spark, sf001_dir):
     """Distributed BPE == pure-Python reference, byte-exact: the full

@@ -1080,10 +1080,13 @@ def q_heavy_keys_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = keyed.groupBy("key").agg(F.count("*").alias("n_exact"))
     # stream length n as a broadcast 1-row aggregate (no eager action);
-    # cast-from-double truncates in Spark, matching DuckDB's // floor
+    # `div` is Spark's INTEGER floor division on longs — exact at any n,
+    # unlike double division + cast, whose truncated double can differ
+    # from DuckDB's exact `//` once n exceeds 2^53 and flip the
+    # boundary comparisons below (r3 ADVICE)
     total = keyed.agg(F.count("*").alias("_total"))
-    slack = (F.col("_total") / F.lit(MG_K)).cast("bigint")
-    heavy_thr = (F.col("_total") / F.lit(MG_K + 1)).cast("bigint")
+    slack = F.expr(f"_total div {MG_K}")
+    heavy_thr = F.expr(f"_total div {MG_K + 1}")
     est0 = F.coalesce(F.col("est"), F.lit(0))
     return (
         exact.join(merged, "key", "left")

@@ -168,15 +168,24 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Whole-file raw-text ingest — the reference's file-per-document
     shape (`src/core/text_extractor.py:28-48` dispatches on extension;
     its TXT branch reads the whole file).  One row per file:
-    (doc_id = xxhash64(relative file name), path, text).  wholetext
+    (doc_id = xxhash64(full file path), file_name, text).  wholetext
     keeps each file a single record, so downstream cleaning/chunking
     sees the document exactly as the reference's extractor did; at
     100 TB each file is one task input and the scan parallelizes on
-    file count."""
-    raw = spark.read.text(path, wholetext=True)
-    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    file count.
+
+    doc_id hashes the FULL path, not the basename: file-per-document
+    corpora ingested recursively routinely repeat basenames across
+    subdirectories (r3 ADVICE — a basename hash silently merged such
+    documents in every downstream keyed op).  The scan is recursive for
+    the same reason."""
+    raw = (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(path, wholetext=True)
+    )
+    fpath = F.input_file_name()
     return raw.select(
-        F.xxhash64(fname).alias("doc_id"),
-        fname.alias("file_name"),
+        F.xxhash64(fpath).alias("doc_id"),
+        F.element_at(F.split(fpath, "/"), -1).alias("file_name"),
         F.col("value").alias("text"),
     )
