@@ -6,6 +6,8 @@ the sf0.1 tier, measuring the property each op's SCALE.md row claims.
     python jobs/probe_scale.py pack     # greedy context pack (stateful fold)
     python jobs/probe_scale.py salt     # salted vs plain join under a hot key
     python jobs/probe_scale.py bpe      # BPE merge rounds over a 1M-word vocab
+    python jobs/probe_scale.py minhash  # band rows vs naive token shuffle, 1M docs
+    python jobs/probe_scale.py cc       # star-CC per-round edge contraction, 9.1M edges
 
 Deterministic inputs built from spark.range — no external data.
 """
@@ -212,6 +214,138 @@ def probe_bpe(spark):
     }
 
 
+def probe_minhash(spark):
+    """MinHash banding at 1M synthetic docs (~40 distinct words each,
+    ~1% planted duplicate pairs).  The claim under test (the docstring
+    claim of `dedup.minhash_signatures`): signatures are narrow per-row
+    expressions, so the ONLY rows the band census moves through an
+    Exchange are the b band rows per doc — versus the explode(words) →
+    groupBy(doc) formulation, which shuffles every distinct (doc, word)
+    pair (the tokenized corpus).  Both row counts are measured from the
+    same input; the planted pairs must surface in the census."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        N_LSH_BANDS,
+        minhash_band_census,
+    )
+
+    n_docs = 1_000_000
+    n_dup_pairs = 10_000
+    # doc i and doc (n_docs - n_dup_pairs + k) share seed for the last
+    # n_dup_pairs ids -> exactly n_dup_pairs planted identical-text pairs
+    seed = F.when(
+        F.col("id") >= n_docs - n_dup_pairs,
+        F.col("id") - (n_docs - n_dup_pairs),
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda j: F.lower(
+            F.hex(F.pmod(F.xxhash64(seed * 40 + j), F.lit(500_000)))
+        ),
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    docs.count()
+
+    # rows the NAIVE formulation would move: every distinct (doc, word)
+    naive_rows = (
+        docs.select(
+            F.explode(F.array_distinct(F.split(F.lower("text"), " ")))
+        ).count()
+    )
+
+    t0 = time.monotonic()
+    census = minhash_band_census(docs)
+    buckets = census.count()
+    dt = time.monotonic() - t0
+    docs.unpersist()
+    return {
+        "probe": "minhash_band_rows",
+        "n_docs": n_docs,
+        "planted_dup_pairs": n_dup_pairs,
+        "band_rows_through_exchange": n_docs * N_LSH_BANDS,
+        "naive_token_rows_through_exchange": naive_rows,
+        "shuffle_row_ratio": round(naive_rows / (n_docs * N_LSH_BANDS), 1),
+        "candidate_buckets": buckets,
+        "planted_pairs_surfaced": buckets >= n_dup_pairs,
+        "census_sec": round(dt, 1),
+    }
+
+
+def probe_cc(spark):
+    """Star-contraction CC on a 9.1M-edge graph (1M 10-node chains, the
+    first 100k chains tied into one giant component by hub edges).  The
+    claim under test: per-round shuffle volume is the LIVE edge count,
+    which contracts geometrically, and the ≤100k-edge tail is finished
+    by the counted driver union-find instead of more full rounds.  The
+    per-round counts come from the operator's own round_log hook."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n_chains = 1_000_000
+    chain_len = 10
+    n_hub = 100_000
+    chain_edges = (
+        spark.range(n_chains * chain_len)
+        .filter(F.col("id") % chain_len != chain_len - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    hub_edges = (
+        spark.range(1, n_hub + 1)
+        .select(
+            F.lit(0).cast("bigint").alias("doc_a"),
+            (F.col("id") * chain_len).alias("doc_b"),
+        )
+    )
+    pairs = chain_edges.union(hub_edges).repartition(64).persist()
+    n_edges = pairs.count()
+
+    rounds: list = []
+    t0 = time.monotonic()
+    comps = connected_components_star(pairs, round_log=rounds)
+    agg = comps.agg(
+        F.count("*").alias("n_components"),
+        F.sum("n_docs").alias("n_nodes"),
+        F.max("n_docs").alias("max_component"),
+    ).collect()[0]
+    dt = time.monotonic() - t0
+    pairs.unpersist()
+    expect_components = n_chains - n_hub  # 100k+1 chains merge into 1
+    return {
+        "probe": "star_cc_rounds",
+        "n_edges_in": n_edges,
+        "rounds_edge_counts": rounds,
+        "sec": round(dt, 1),
+        "n_components": agg["n_components"],
+        "expected_components": expect_components,
+        "components_correct": agg["n_components"] == expect_components,
+        "n_nodes": agg["n_nodes"],
+        "max_component": agg["max_component"],
+        "expected_max_component": (n_hub + 1) * chain_len,
+    }
+
+
+PROBES = {
+    "mg": probe_mg,
+    "pack": probe_pack,
+    "salt": probe_salt,
+    "bpe": probe_bpe,
+    "minhash": probe_minhash,
+    "cc": probe_cc,
+}
+
+
 def main() -> None:
     from text_extractor_for_bioeconomic_products_spark.session import get_spark
 
@@ -219,7 +353,7 @@ def main() -> None:
     spark = get_spark(
         app_name=f"probe_{which}", master="local[32]", shuffle_partitions=64
     )
-    out = {"mg": probe_mg, "pack": probe_pack, "salt": probe_salt, "bpe": probe_bpe}[which](spark)
+    out = PROBES[which](spark)
     print(json.dumps(out))
     spark.stop()
 
