@@ -284,9 +284,12 @@ def probe_cc(spark):
     """Star-contraction CC on a 9.1M-edge graph (1M 10-node chains, the
     first 100k chains tied into one giant component by hub edges).  The
     claim under test: per-round shuffle volume is the LIVE edge count,
-    which contracts geometrically, and the ≤100k-edge tail is finished
-    by the counted driver union-find instead of more full rounds.  The
-    per-round counts come from the operator's own round_log hook."""
+    which stays within a small constant factor of the input (never
+    quadratic — the fixpoint is a union of stars with 2·(n−components)
+    edges, so on a chain-heavy graph counts plateau rather than shrink;
+    what contracts geometrically is the DIAMETER), and convergence takes
+    O(log diameter) rounds.  The per-round counts come from the
+    operator's own round_log hook; component census is verified exactly."""
     from pyspark.sql import functions as F
 
     from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
@@ -322,10 +325,15 @@ def probe_cc(spark):
     dt = time.monotonic() - t0
     pairs.unpersist()
     expect_components = n_chains - n_hub  # 100k+1 chains merge into 1
+    numeric = [r for r in rounds if isinstance(r, int)]
     return {
         "probe": "star_cc_rounds",
         "n_edges_in": n_edges,
         "rounds_edge_counts": rounds,
+        "max_round_edges_over_input": round(
+            max(numeric) / (2 * n_edges), 2
+        ) if numeric else None,
+        "n_rounds_to_converge": max(len(numeric) - 1, 0),
         "sec": round(dt, 1),
         "n_components": agg["n_components"],
         "expected_components": expect_components,
