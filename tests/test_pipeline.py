@@ -879,8 +879,20 @@ def test_streaming_merge_upsert_restart_effectively_once(
 
     # restart with the same checkpoint: replays the uncommitted batch
     # (double-merge) then drains the rest
-    stats = run_streaming_merge_upsert(spark, in_dir, turns_dir, ckpt)
+    stats = run_streaming_merge_upsert(
+        spark, in_dir, turns_dir, ckpt, allowed_lateness_sec=60
+    )
     assert stats["batches"] >= 1
+    # lateness census: round-robin files interleave the whole ts range,
+    # so every post-first batch carries rows older than the prior
+    # high-water minus 60 s — the telemetry must SEE them (a watermark
+    # with that delay would have dropped them; this path drops nothing,
+    # as the exact-equality checks below prove)
+    assert len(stats["late_by_batch"]) == stats["batches"]
+    assert stats["late_by_batch"][0] == 0  # no prior high-water yet
+    assert stats["late_rows"] == sum(stats["late_by_batch"])
+    if stats["batches"] > 1:
+        assert stats["late_rows"] > 0
 
     got = spark.read.parquet(turns_dir).drop("bucket")
     batch = extract_turns(transcripts_df).drop("spans")

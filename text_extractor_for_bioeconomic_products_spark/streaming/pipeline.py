@@ -202,6 +202,7 @@ def run_streaming_merge_upsert(
     max_files_per_trigger: int = 1,
     crash_after_batches: int | None = None,
     timeout_sec: int = 300,
+    allowed_lateness_sec: int = 3600,
 ) -> dict:
     """Stream transcripts → extract → **keyed MERGE upsert** via
     foreachBatch — the streaming face of ``plans.pipeline.merge_turns``
@@ -220,17 +221,55 @@ def run_streaming_merge_upsert(
     At 100 TB the shape holds: each micro-batch merge touches only the
     hash buckets containing its keys (bounded read-modify-write), and
     bucket count scales with the table, not the stream rate.
+
+    Telemetry includes a **lateness census** (the lineage discipline
+    applied to event time): per micro-batch, how many rows arrived with
+    ``ts`` older than the high-water mark of all PRIOR batches minus
+    ``allowed_lateness_sec`` — i.e. the rows a watermarked stateful
+    operator with that delay threshold would have silently dropped.
+    This MERGE path drops nothing (the keyed upsert is watermark-free),
+    so the counter is pure observability: when it is non-zero, a
+    downstream watermark needs at least that much allowed lateness.
     """
+    from pyspark.sql import functions as F
+
     from ..plans.pipeline import merge_turns
 
     stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
     turns = extract_turns(stream).drop("spans")
-    seen = {"batches": 0, "rows": 0}
+    seen = {
+        "batches": 0,
+        "rows": 0,
+        "late_rows": 0,
+        "late_by_batch": [],
+        "allowed_lateness_sec": allowed_lateness_sec,
+    }
+    high_water = {"ts": None}  # event-time max over all prior batches
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
         res = merge_turns(spark, turns_dir, batch_df, n_buckets=n_buckets)
+        hw = high_water["ts"]
+        if hw is None:
+            late, batch_max = 0, batch_df.agg(F.max("ts")).collect()[0][0]
+        else:
+            threshold = F.lit(hw) - F.expr(
+                f"INTERVAL {int(allowed_lateness_sec)} SECONDS"
+            )
+            row = batch_df.agg(
+                F.sum(F.when(F.col("ts") < threshold, 1).otherwise(0)).alias(
+                    "late"
+                ),
+                F.max("ts").alias("mx"),
+            ).collect()[0]
+            late, batch_max = int(row["late"] or 0), row["mx"]
+        if batch_max is not None and (hw is None or batch_max > hw):
+            high_water["ts"] = batch_max
+        batch_df.unpersist()
         seen["batches"] += 1
         seen["rows"] += res["n_upserted"]
+        seen["late_rows"] += late
+        seen["late_by_batch"].append(late)
         if (
             crash_after_batches is not None
             and seen["batches"] >= crash_after_batches
