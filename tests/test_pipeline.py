@@ -130,9 +130,9 @@ def test_multimodal_plumbing(spark):
     by_kind = {}
     for f in feats:
         by_kind.setdefault(f["kind"], []).append(f)
-    # images are REAL BMPs/PNGs (alternating): real dims, real pixel
-    # mean in (0, 255); both codecs must actually appear
-    assert {f["codec"] for f in by_kind["image"]} == {"bmp", "png"}
+    # images are REAL BMPs/PNGs/JPEGs (cycling): real dims, real pixel
+    # mean in (0, 255); all three codecs must actually appear
+    assert {f["codec"] for f in by_kind["image"]} == {"bmp", "png", "jpeg"}
     assert all(16 <= f["width"] <= 64 and 16 <= f["height"] <= 64
                for f in by_kind["image"])
     assert all(0.0 < f["mean_level"] < 255.0 for f in by_kind["image"])
@@ -243,6 +243,57 @@ def test_png_codec_roundtrip():
     gray = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
     with _pytest.raises(NotImplementedError):
         decode_png(gray)
+
+
+def test_jpeg_codec_roundtrip():
+    """The numpy+stdlib baseline JPEG codec is real: dims exact, solid
+    colors near-exact (DC-only path through quant/Huffman/IDCT), smooth
+    gradients within a tight error bound (JPEG is lossy BY DESIGN — the
+    contract is bounded error, not byte equality), encode deterministic,
+    and non-baseline flavors refuse (the documented scope)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_media,
+        encode_jpeg,
+    )
+
+    # DC-only path: a solid block has ONE nonzero coefficient, so this
+    # independently pins huffman + dequant + IDCT without encoder bugs
+    # being able to cancel decoder bugs on the AC path
+    for color in [(0, 0, 0), (255, 255, 255), (120, 33, 200)]:
+        px = np.tile(np.array(color, np.uint8), (12, 20, 1))
+        w, h, mean, out = decode_jpeg(encode_jpeg(20, 12, px.tobytes()))
+        assert (w, h) == (20, 12)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+        assert abs(mean - float(np.mean(color))) <= 4
+
+    # gradient (non-multiple-of-8 dims exercise edge padding + crop)
+    gx = np.linspace(0, 255, 33)
+    gy = np.linspace(0, 255, 17)
+    px = np.round(np.stack([
+        np.tile(gx, (17, 1)),
+        np.tile(gy[:, None], (1, 33)),
+        np.full((17, 33), 128.0),
+    ], axis=-1)).astype(np.uint8)
+    w, h, _mean, out = decode_jpeg(encode_jpeg(33, 17, px.tobytes()))
+    assert (w, h) == (33, 17)
+    diff = np.abs(out.astype(int) - px.astype(int))
+    assert diff.max() <= 40 and diff.mean() <= 6
+
+    payload = encode_jpeg(33, 17, px.tobytes())
+    assert payload == encode_jpeg(33, 17, px.tobytes())  # deterministic
+    assert decode_media(payload)[0] == "jpeg"  # dispatch integration
+
+    # progressive JPEG (SOF2) is out of scope and must say so
+    sof0 = payload.index(b"\xff\xc0")
+    progressive = payload[:sof0] + b"\xff\xc2" + payload[sof0 + 2:]
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(progressive)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # no SOF/SOS
 
 
 def test_multimodal_invalid_payload_quarantined(spark):
