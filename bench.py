@@ -5,8 +5,10 @@ Measures
   1. headline query latencies at $SPARK_GRAFT_SF_DIR (default sf0.1) on
      local[$SPARK_GRAFT_CPUS] (default 32), and
   2. extraction throughput (turns/sec) over synthesized transcripts at two
-     parallelism levels (local[8] vs local[32]) — the sandbox evidence for
-     north_rule's N→4N scaling-efficiency ≥ 0.8 target (BASELINE.md).
+     parallelism levels (default pair local[4] vs local[16], measured on a
+     SCALE_MULT× corpus — default 10× — min-of-SCALE_REPEATS per level) —
+     the sandbox evidence for north_rule's N→4N scaling-efficiency ≥ 0.8
+     target (BASELINE.md; protocol rationale in BENCH.md).
 
 Each parallelism level runs in a fresh subprocess (one JVM per master).
 Usage:
