@@ -1366,3 +1366,73 @@ def test_versioned_table_loser_cleanup_and_vacuum(
     assert rep["orphans_removed"] == 1 and not os.path.exists(orphan)
     assert set(glob.glob(f"{table}/data/*")) == before
     assert read_version(spark, table).count() == turns.filter("turn_idx < 2").count()
+
+
+def test_png_roundtrip_property():
+    """Hypothesis battery: PNG encode→decode is EXACT for arbitrary
+    pixel content and dimensions (the lossless contract), including the
+    1-pixel-wide/tall degenerate shapes where the left-neighbor filters
+    have no left neighbor."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        pixels = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        rw, rh, _mean, arr = decode_png(encode_png(w, h, pixels))
+        assert (rw, rh) == (w, h)
+        assert arr.tobytes() == pixels
+
+    roundtrip()
+
+
+def test_jpeg_roundtrip_property():
+    """Hypothesis battery for the lossy codec's INVARIANTS: arbitrary
+    dims/content always decode to the exact dimensions, pixel values in
+    range, and byte-deterministic encoding; smooth (solid) content stays
+    within the DC error bound."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=20),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        solid=st.booleans(),
+    )
+    def roundtrip(w, h, seed, solid):
+        rng = np.random.default_rng(seed)
+        if solid:
+            color = rng.integers(0, 256, 3, dtype=np.uint8)
+            px = np.tile(color, (h, w, 1))
+        else:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = encode_jpeg(w, h, px.tobytes())
+        assert payload == encode_jpeg(w, h, px.tobytes())
+        rw, rh, mean, arr = decode_jpeg(payload)
+        assert (rw, rh) == (w, h)
+        assert arr.dtype == np.uint8 and arr.shape == (h, w, 3)
+        assert 0.0 <= mean <= 255.0
+        if solid:
+            assert np.abs(arr.astype(int) - px.astype(int)).max() <= 4
+
+    roundtrip()
