@@ -1239,10 +1239,14 @@ def test_versioned_table_rollback_then_commit(spark, transcripts_df, tmp_path):
     turns = extract_turns(transcripts_df).drop("spans").cache()
     commit_merge(spark, table, turns.filter("turn_idx < 1"), run_id="a")
     commit_merge(spark, table, turns.filter("turn_idx < 3"), run_id="b")
-    rollback(table, 1)
-    # pre-fix this raised CommitConflict forever (v2 manifest exists)
+    rb = rollback(table, 1)
+    # rollback is itself a FORWARD metadata-only commit (v3 carrying
+    # v1's files by reference) — versions never regress, so the r3
+    # failure mode (post-rollback commit colliding with the abandoned
+    # branch's manifest) is unrepresentable
+    assert rb == 3
     r = commit_merge(spark, table, turns.filter("turn_idx = 4"), run_id="c")
-    assert r["version"] == 3 and r["parent"] == 1
+    assert r["version"] == 4 and r["parent"] == 3
     got = read_version(spark, table)
     assert got.count() == (
         turns.filter("turn_idx < 1").count() + turns.filter("turn_idx = 4").count()

@@ -9,30 +9,39 @@ versioned manifests, which is what buys
     a concurrent commit creating N+1 (old files are never rewritten);
   * **time travel** — ``read(version=K)`` reconstructs any retained
     snapshot from its manifest;
-  * **rollback** — a metadata-only pointer move, no data rewritten;
-  * **optimistic concurrency** — commits validate their parent version
-    and refuse to clobber a commit they never saw (Iceberg's
-    compare-and-swap, done here with an atomic hard-link), and — like
-    Iceberg's commit retry — a writer whose base moved REBASES and
+  * **rollback** — a metadata-only commit whose manifest carries the
+    old snapshot's files by reference, no data rewritten;
+  * **optimistic concurrency** — a single atomic commit point with a
+    rebase-and-retry path: a writer whose base moved re-merges and
     retries when the concurrent commits touched disjoint keys, raising
     ``CommitConflict`` only on a genuine write-write overlap.
 
+Commit protocol (one atomic step, no ordering window):
+    versions are CONTIGUOUS — the manifest file ``meta/v{N}.json`` is
+    itself the pointer entry, and hard-linking ``v{base+1}`` into place
+    IS the commit (``os.link`` fails atomically if a racing writer took
+    the number).  There is no separate pointer file to swing, so there
+    is no link-then-swing window in which two same-base writers can
+    fork the table (the round-3 design had exactly that hole: manifests
+    were version-named but a ``_current`` pointer was moved AFTER the
+    link, and the last mover won).  This is Iceberg's catalog semantics:
+    the atomic swap of the table pointer is the only commit point.
+
+Rollback is a FORWARD commit: ``rollback(to)`` publishes ``v{max+1}``
+whose bucket map is ``v{to}``'s, carried by reference (metadata-only,
+``new_files`` empty).  Versions therefore never move backward and a
+post-rollback commit can never collide with an abandoned branch —
+there are no branches, only a chain (the r3 ADVICE failure mode,
+``base+1`` colliding with a rolled-back sibling, is unrepresentable).
+
 Layout under ``table_dir``:
     data/part-{run_id}-{attempt}-{bucket}.parquet   immutable data files
-    meta/v{N}.json                                  manifest: file list per bucket
-    meta/_current                                   pointer file (atomic rename)
+    meta/v{N}.json    manifest N (contiguous; the commit point itself)
 
-Version numbers are MONOTONIC over the table's whole history
-(``1 + max(existing manifests)``, never ``current + 1``): after a
-rollback the abandoned branch's manifests still exist, and a
-``base + 1`` allocation would collide with them forever (Iceberg keeps
-snapshot ids monotonic for exactly this reason).  The rolled-back base
-is recorded as the new manifest's ``parent``, so history stays a chain.
-
-Data files are written under a per-attempt unique name BEFORE the CAS,
-so a losing writer never tramples a winner's files; on a terminal
-conflict the attempt's unreferenced files are deleted, and ``vacuum``
-sweeps any orphans a crashed writer left behind.
+Data files are written under a per-attempt unique name BEFORE the
+commit, so a losing writer never tramples a winner's files; on a
+terminal conflict the attempt's unreferenced files are deleted, and
+``vacuum`` sweeps any orphans a crashed writer left behind.
 
 Merge commits are keyed upserts on (conv_id, turn_idx) at bucket
 granularity, same contract as ``merge_turns``: only buckets containing
@@ -42,9 +51,10 @@ reference in the next manifest — exactly Iceberg's copy-on-write.
 Scale: a commit writes one file per affected bucket (bucket count scales
 with the table); manifests list file paths, not rows, so the metadata
 is O(buckets), and time travel costs one JSON read.  The rebase path
-re-reads (and re-merges) only buckets the concurrent commits rewrote.
-Reference analog: the SQLite upsert (`src/storage/database_manager.py`)
-has no history at all — every write destroys the previous state.
+re-reads (and re-merges) only buckets whose backing files changed under
+it.  Reference analog: the SQLite upsert
+(`src/storage/database_manager.py`) has no history at all — every
+write destroys the previous state.
 """
 
 from __future__ import annotations
@@ -63,7 +73,7 @@ KEY_COLS = ("conv_id", "turn_idx")
 class CommitConflict(RuntimeError):
     """Another writer committed since this writer read its base version
     and the conflict could not be resolved by rebasing (retries
-    exhausted, overlapping keys, or unwalkable history)."""
+    exhausted or overlapping keys)."""
 
 
 def _meta_dir(table_dir: str) -> str:
@@ -71,17 +81,8 @@ def _meta_dir(table_dir: str) -> str:
 
 
 def _current_version(table_dir: str) -> int:
-    ptr = os.path.join(_meta_dir(table_dir), "_current")
-    if not os.path.exists(ptr):
-        return 0
-    with open(ptr) as fh:
-        return int(fh.read().strip())
-
-
-def _max_version(table_dir: str) -> int:
-    """Highest manifest ever published — including abandoned (rolled
-    back) branches.  New versions allocate above this, never above the
-    pointer, so rollback-then-commit cannot collide."""
+    """The table's version = the highest published manifest (versions
+    are contiguous; the manifest link is the commit point)."""
     md = _meta_dir(table_dir)
     if not os.path.isdir(md):
         return 0
@@ -98,13 +99,20 @@ def _manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _swing_pointer(table_dir: str, version: int) -> None:
-    """Atomic pointer move: write-then-rename, the commit point."""
-    ptr = os.path.join(_meta_dir(table_dir), "_current")
-    tmp = ptr + f".tmp.{uuid.uuid4().hex}"
+def _publish(table_dir: str, version: int, doc: dict) -> bool:
+    """THE commit point: atomically link v{version}.json into place.
+    Returns False when a racing writer already took the number."""
+    mpath = os.path.join(_meta_dir(table_dir), f"v{version}.json")
+    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, ptr)
+        json.dump(doc, fh)
+    try:
+        os.link(tmp, mpath)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def read_version(
@@ -116,30 +124,18 @@ def read_version(
     if v == 0:
         raise ValueError("table has no committed snapshots")
     files = [f for fs in _manifest(table_dir, v)["buckets"].values() for f in fs]
+    if not files:
+        return spark.createDataFrame([], schema="conv_id string, turn_idx int")
     return spark.read.parquet(*files)
 
 
-def _new_files_between(table_dir: str, base: int, tip: int) -> list | None:
-    """Data files written by the commits on the parent chain from
-    ``tip`` down to (exclusive) ``base``.  Returns None when the chain
-    cannot be walked back to base (e.g. a concurrent rollback moved the
-    pointer to a different branch, or a pre-``new_files`` manifest) —
-    the caller must then treat the conflict as unresolvable."""
+def _new_files_between(table_dir: str, base: int, tip: int) -> list:
+    """Data files written by commits (base, tip] — versions are
+    contiguous, so this is a straight walk.  Rollback entries are
+    metadata-only (``new_files`` empty) and contribute nothing."""
     files: list = []
-    v = tip
-    while v != base:
-        if v <= 0:
-            return None
-        try:
-            m = _manifest(table_dir, v)
-        except FileNotFoundError:
-            return None
-        if "new_files" not in m:
-            return None
-        files.extend(m["new_files"])
-        v = m.get("parent", 0)
-        if v < base:
-            return None
+    for v in range(base + 1, tip + 1):
+        files.extend(_manifest(table_dir, v).get("new_files", []))
     return files
 
 
@@ -153,16 +149,17 @@ def commit_merge(
 ) -> dict:
     """Keyed MERGE as a snapshot commit.  Reads the base version, writes
     NEW files for affected buckets only (copy-on-write) under a
-    per-attempt unique prefix, publishes a monotonically-numbered
-    manifest, and swings the pointer.
+    per-attempt unique prefix, then publishes manifest base+1 — the
+    atomic hard-link IS the commit.
 
-    If the pointer moved since the base was read and ``retries`` remain,
-    the writer REBASES: it validates that the concurrent commits touched
-    none of its keys (else the conflict is a genuine write-write race
-    and ``CommitConflict`` is raised regardless of retries), re-merges
-    only the buckets whose backing files changed under it, and retries
-    the CAS.  On a terminal conflict every file this call wrote is
-    deleted — losers leave no orphans."""
+    If the link loses (someone committed base+1 first) and ``retries``
+    remain, the writer REBASES like an Iceberg commit retry: it
+    validates that the concurrent commits touched none of its keys
+    (else the conflict is a genuine write-write race and
+    ``CommitConflict`` is raised regardless of retries), re-merges only
+    the buckets whose backing files changed under it, and retries the
+    link at the new tip.  On a terminal conflict every file this call
+    wrote is deleted — losers leave no orphans."""
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
@@ -220,34 +217,14 @@ def commit_merge(
                     new_buckets[str(b)] = [attempt_files[b][0]]
                     new_files.append(attempt_files[b][0])
 
-                # CAS: allocate above every manifest ever published and
-                # hard-link (fails if a racer took the number); the
-                # pointer check catches a racer who already swung.
-                linked = False
-                if _current_version(table_dir) == base:
-                    version = _max_version(table_dir) + 1
-                    mpath = os.path.join(_meta_dir(table_dir), f"v{version}.json")
-                    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
-                    with open(tmp, "w") as fh:
-                        json.dump(
-                            {
-                                "version": version,
-                                "parent": base,
-                                "run_id": run_id,
-                                "buckets": new_buckets,
-                                "new_files": new_files,
-                            },
-                            fh,
-                        )
-                    try:
-                        os.link(tmp, mpath)
-                        linked = True
-                    except FileExistsError:
-                        pass
-                    finally:
-                        os.unlink(tmp)
-                if linked:
-                    _swing_pointer(table_dir, version)
+                version = base + 1
+                if _publish(table_dir, version, {
+                    "version": version,
+                    "parent": base,
+                    "run_id": run_id,
+                    "buckets": new_buckets,
+                    "new_files": new_files,
+                }):
                     return {
                         "version": version,
                         "parent": base,
@@ -256,8 +233,8 @@ def commit_merge(
                         "rebases": n_rebases,
                     }
 
-                # conflict: someone committed under us
-                current = max(_current_version(table_dir), _max_version(table_dir))
+                # lost the link: someone committed base+1 (or later) first
+                current = _current_version(table_dir)
                 if retries <= 0:
                     raise CommitConflict(
                         f"base was v{base}, current is v{current} "
@@ -265,12 +242,6 @@ def commit_merge(
                     )
                 retries -= 1
                 concurrent = _new_files_between(table_dir, base, current)
-                if concurrent is None:
-                    raise CommitConflict(
-                        f"base was v{base}, current is v{current}: history "
-                        "between them is not a walkable chain (concurrent "
-                        "rollback or legacy manifest) — cannot rebase"
-                    )
                 if concurrent:
                     theirs = spark.read.parquet(*concurrent).select(*KEY_COLS)
                     overlap = (
@@ -298,24 +269,36 @@ def commit_merge(
         keyed.unpersist()
 
 
-def rollback(table_dir: str, version: int) -> None:
-    """Metadata-only rollback: swing the pointer to a retained snapshot.
-    No data files move; the abandoned versions stay readable by explicit
-    ``read_version`` (and their manifests keep their numbers — the next
-    commit allocates ABOVE them, so the table stays writable)."""
-    if not os.path.exists(
-        os.path.join(_meta_dir(table_dir), f"v{version}.json")
-    ):
+def rollback(table_dir: str, version: int) -> int:
+    """Metadata-only rollback AS A FORWARD COMMIT: publish a new
+    manifest carrying snapshot ``version``'s files by reference.  No
+    data moves, versions never regress, and every abandoned snapshot
+    stays readable via explicit ``read_version``.  Returns the new
+    version number.  Raced like any commit (retried here since it
+    carries no data to rebase)."""
+    target = os.path.join(_meta_dir(table_dir), f"v{version}.json")
+    if not os.path.exists(target):
         raise ValueError(f"no manifest for version {version}")
-    _swing_pointer(table_dir, version)
+    old = _manifest(table_dir, version)
+    while True:
+        base = _current_version(table_dir)
+        v = base + 1
+        if _publish(table_dir, v, {
+            "version": v,
+            "parent": base,
+            "run_id": f"rollback-to-{version}",
+            "rolled_back_to": version,
+            "buckets": old["buckets"],
+            "new_files": [],
+        }):
+            return v
 
 
 def vacuum(table_dir: str) -> dict:
     """Retention sweep for ORPHANS: delete data files referenced by no
     manifest (the debris of a writer that crashed between its data write
-    and its CAS).  Never touches files any retained snapshot can read —
-    rolled-back branches keep their files because their manifests still
-    exist."""
+    and its commit link).  Never touches files any retained snapshot can
+    read — every published manifest keeps its files."""
     data_dir = os.path.join(table_dir, "data")
     referenced: set = set()
     md = _meta_dir(table_dir)
