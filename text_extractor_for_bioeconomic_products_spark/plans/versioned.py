@@ -125,7 +125,9 @@ def read_version(
         raise ValueError("table has no committed snapshots")
     files = [f for fs in _manifest(table_dir, v)["buckets"].values() for f in fs]
     if not files:
-        return spark.createDataFrame([], schema="conv_id string, turn_idx int")
+        # only reachable for a table whose every commit was empty — there
+        # is no schema on record to synthesize an empty frame from
+        raise ValueError(f"snapshot v{v} references no data files")
     return spark.read.parquet(*files)
 
 
