@@ -363,10 +363,14 @@ def main() -> None:
             ),
             "output_hash": top["output_hash"],
             # rates are corpus-normalized: pair levels measured on the
-            # 10× corpus, the top level on the 1× corpus
+            # 10× corpus, the top level on the 1× corpus.  Scale rates
+            # spread LAST so that when top_level is also a pair level
+            # (small hosts), the rate stays consistent with the
+            # scaling_pairs math; the 1×-corpus headline rate is always
+            # available as turns_per_sec.
             "turns_per_sec_by_cpus": {
-                **{str(c): scale_runs[c]["turns_per_sec"] for c in sorted(scale_runs)},
                 **{str(c): runs[c]["turns_per_sec"] for c in sorted(runs)},
+                **{str(c): scale_runs[c]["turns_per_sec"] for c in sorted(scale_runs)},
             },
             # raw per-repeat timings behind the min-selection (noise audit)
             "extract_runs_sec": {

@@ -1362,12 +1362,22 @@ def test_versioned_table_loser_cleanup_and_vacuum(
     # loser cleaned up after itself
     assert set(glob.glob(f"{table}/data/*")) == before
 
-    # crash debris: a data dir no manifest references
+    # crash debris: a data dir no manifest references + a stranded
+    # manifest temp (crashed mid-_publish)
     orphan = os.path.join(table, "data", "part-crashed-deadbeef-0.parquet")
     os.makedirs(orphan)
     open(os.path.join(orphan, "junk"), "w").write("x")
+    tmp_manifest = os.path.join(table, "meta", "v99.json.tmp.deadbeef")
+    open(tmp_manifest, "w").write("{}")
+    # default grace window: a FRESH unreferenced file is treated as a
+    # possibly-in-flight writer's and NOT swept (sweeping it would
+    # corrupt a commit that links right after)
     rep = vacuum(table)
-    assert rep["orphans_removed"] == 1 and not os.path.exists(orphan)
+    assert rep["orphans_removed"] == 0 and os.path.exists(orphan)
+    # past the grace window both debris kinds go
+    rep = vacuum(table, min_age_sec=0)
+    assert rep["orphans_removed"] == 2
+    assert not os.path.exists(orphan) and not os.path.exists(tmp_manifest)
     assert set(glob.glob(f"{table}/data/*")) == before
     assert read_version(spark, table).count() == turns.filter("turn_idx < 2").count()
 
@@ -1440,3 +1450,69 @@ def test_jpeg_roundtrip_property():
             assert np.abs(arr.astype(int) - px.astype(int)).max() <= 4
 
     roundtrip()
+
+
+def test_versioned_rebase_ignores_survivor_rows(spark, transcripts_df, tmp_path):
+    """Conflict validation is against the keys a concurrent commit
+    UPSERTED (the manifest's key_files), not the full rewritten bucket
+    files: a bucket file also carries the bucket's untouched survivor
+    rows, and counting those as conflicts would spuriously refuse any
+    update of an existing key that merely shares a bucket with
+    concurrent activity."""
+    import text_extractor_for_bioeconomic_products_spark.plans.versioned as V
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        commit_merge,
+        read_version,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt_sv")
+    turns = extract_turns(transcripts_df).drop("spans").cache()
+    # v1: the existing key set (turn_idx = 0) — one bucket per conv_id
+    base_rows = turns.filter("turn_idx = 0")
+    commit_merge(spark, table, base_rows, run_id="base")
+
+    # B upserts brand-new keys (turn_idx = 5) that land in the SAME
+    # buckets (same conv_ids); its bucket files therefore carry the
+    # turn_idx=0 survivors
+    commit_merge(spark, table, turns.filter("turn_idx = 5"), run_id="B")
+
+    # A concurrently UPDATES the existing turn_idx=0 keys from base v1.
+    # B never wrote those keys — A must rebase and land, not conflict.
+    real_current = V._current_version
+    calls = {"n": 0}
+
+    def stale_once(d):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real_current(d)
+
+    updated = base_rows.withColumn("n_tokens", F.col("n_tokens") + 7777)
+    V._current_version = stale_once
+    try:
+        r = commit_merge(spark, table, updated, run_id="A", retries=2)
+    finally:
+        V._current_version = real_current
+    assert r["rebases"] == 1 and r["version"] == 3
+    got = read_version(spark, table)
+    # A's update applied, B's inserts intact, no duplicate keys
+    assert got.filter("turn_idx = 0").filter("n_tokens < 7777").count() == 0
+    assert got.filter("turn_idx = 5").count() == turns.filter("turn_idx = 5").count()
+    assert got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+
+
+def test_jpeg_rejects_non_ycbcr():
+    """Grayscale (1-component) baseline JPEG must refuse loudly — the
+    YCbCr math would otherwise silently decode it green-tinted."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    sof_body = _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sof = _struct.pack(">HH", 0xFFC0, len(sof_body) + 2) + sof_body
+    gray = b"\xff\xd8" + sof + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="3-component"):
+        decode_jpeg(gray)

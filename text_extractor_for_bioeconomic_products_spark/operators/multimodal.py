@@ -646,6 +646,14 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, float, np.ndarray]:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG")
+            if nc != 3:
+                # a 1-component (grayscale) file would silently decode
+                # green-tinted through the YCbCr math; 4-component
+                # (Adobe CMYK) would index past the planes — refuse both
+                raise NotImplementedError(
+                    "only 3-component (YCbCr) JPEG; grayscale/CMYK "
+                    "unsupported"
+                )
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
@@ -954,11 +962,13 @@ def _safe_decode(payload: bytes):
 
 
 def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
-    """REAL nearest-neighbor resize for BMP and PNG images (decode
-    pixels → index-subsample → re-encode in the same format); non-image
-    payloads pass through unchanged (resizing audio/video is a different
-    operation).  Binary-in/binary-out mapInPandas with bounded Arrow
-    batches."""
+    """REAL nearest-neighbor resize for BMP, PNG, and JPEG images
+    (decode pixels → index-subsample → re-encode in the same format;
+    NOTE the JPEG path is lossy, so each resize pass accumulates
+    quantization error — resize once, not repeatedly); non-image
+    payloads pass through unchanged (resizing audio/video is a
+    different operation).  Binary-in/binary-out mapInPandas with
+    bounded Arrow batches."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -131,13 +131,16 @@ def read_version(
     return spark.read.parquet(*files)
 
 
-def _new_files_between(table_dir: str, base: int, tip: int) -> list:
-    """Data files written by commits (base, tip] — versions are
-    contiguous, so this is a straight walk.  Rollback entries are
-    metadata-only (``new_files`` empty) and contribute nothing."""
+def _upserted_key_files_between(table_dir: str, base: int, tip: int) -> list:
+    """Keys-only files recording what commits (base, tip] UPSERTED —
+    versions are contiguous, so this is a straight walk.  Rollback
+    entries are metadata-only and contribute nothing.  Falls back to
+    the commits' full data files for manifests predating ``key_files``
+    (conservative: survivors then count as conflicts)."""
     files: list = []
     for v in range(base + 1, tip + 1):
-        files.extend(_manifest(table_dir, v).get("new_files", []))
+        m = _manifest(table_dir, v)
+        files.extend(m.get("key_files", m.get("new_files", [])))
     return files
 
 
@@ -180,6 +183,19 @@ def commit_merge(
             r["bucket"] for r in keyed.select("bucket").distinct().collect()
         )
         n_upserted = keyed.count()
+        # the commit's UPSERTED KEY SET, persisted once as a tiny
+        # keys-only file and referenced by the manifest: concurrent
+        # writers validate against exactly the keys this commit WROTE —
+        # validating against the rewritten bucket files would also see
+        # the survivor rows they carry over, raising spurious conflicts
+        # whenever an untouched key shares a bucket with concurrent
+        # activity.  Keys are rebase-invariant, so one write suffices.
+        key_file = os.path.join(
+            data_dir, f"keys-{run_id}-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        keyed.select(*KEY_COLS).coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(key_file)
         # bucket -> (written file, the base files it was merged against)
         attempt_files: dict[int, tuple[str, tuple]] = {}
         n_rebases = 0
@@ -226,6 +242,7 @@ def commit_merge(
                     "run_id": run_id,
                     "buckets": new_buckets,
                     "new_files": new_files,
+                    "key_files": [key_file],
                 }):
                     return {
                         "version": version,
@@ -243,7 +260,9 @@ def commit_merge(
                         "(retries exhausted)"
                     )
                 retries -= 1
-                concurrent = _new_files_between(table_dir, base, current)
+                concurrent = _upserted_key_files_between(
+                    table_dir, base, current
+                )
                 if concurrent:
                     theirs = spark.read.parquet(*concurrent).select(*KEY_COLS)
                     overlap = (
@@ -266,6 +285,7 @@ def commit_merge(
             # call wrote is unreferenced — delete them all
             for fname, _olds in attempt_files.values():
                 shutil.rmtree(fname, ignore_errors=True)
+            shutil.rmtree(key_file, ignore_errors=True)
             raise
     finally:
         keyed.unpersist()
@@ -292,15 +312,27 @@ def rollback(table_dir: str, version: int) -> int:
             "rolled_back_to": version,
             "buckets": old["buckets"],
             "new_files": [],
+            "key_files": [],
         }):
             return v
 
 
-def vacuum(table_dir: str) -> dict:
-    """Retention sweep for ORPHANS: delete data files referenced by no
-    manifest (the debris of a writer that crashed between its data write
-    and its commit link).  Never touches files any retained snapshot can
-    read — every published manifest keeps its files."""
+def vacuum(table_dir: str, min_age_sec: float = 3600.0) -> dict:
+    """Retention sweep for ORPHANS: delete data/key files referenced by
+    no manifest, plus stranded manifest temp files in meta/ — the debris
+    of writers that crashed between their data write and their commit
+    link.  Never touches files any retained snapshot can read.
+
+    ``min_age_sec`` is the in-flight grace window: a writer that is
+    still BETWEEN its data write and its commit link also has
+    unreferenced files, and sweeping those would corrupt its
+    about-to-publish manifest — so only files older than the grace
+    are candidates (Iceberg's remove-orphan-files has the same knob
+    and the same default caveat: set it above your longest commit).
+    Paths are normalized with realpath on both sides, so a table
+    committed via a relative path vacuums correctly from any cwd."""
+    import time
+
     data_dir = os.path.join(table_dir, "data")
     referenced: set = set()
     md = _meta_dir(table_dir)
@@ -309,12 +341,30 @@ def vacuum(table_dir: str) -> dict:
             if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
                 man = _manifest(table_dir, int(f[1:-5]))
                 for fs in man["buckets"].values():
-                    referenced.update(fs)
+                    referenced.update(os.path.realpath(p) for p in fs)
+                referenced.update(
+                    os.path.realpath(p) for p in man.get("key_files", [])
+                )
+    cutoff = time.time() - min_age_sec
     removed = []
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) < cutoff
+        except OSError:
+            return False  # vanished under us — someone else's problem
+
     if os.path.isdir(data_dir):
         for d in sorted(os.listdir(data_dir)):
             full = os.path.join(data_dir, d)
-            if full not in referenced:
+            if os.path.realpath(full) not in referenced and _old_enough(full):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
+    if os.path.isdir(md):
+        for f in sorted(os.listdir(md)):
+            if ".json.tmp." in f:  # crashed mid-_publish
+                full = os.path.join(md, f)
+                if _old_enough(full):
+                    os.unlink(full)
+                    removed.append(f)
     return {"orphans_removed": len(removed), "removed": removed}
