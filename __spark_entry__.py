@@ -33,6 +33,9 @@ from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E
     temporal,
     textstats,
 )
+from text_extractor_for_bioeconomic_products_spark.plans import (  # noqa: E402
+    versioned,
+)
 from text_extractor_for_bioeconomic_products_spark.sources import (  # noqa: E402
     layout,
 )
@@ -77,18 +80,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
-    # deferred late round 3 to make window room for
-    # conversation_context_pack + heavy_keys_sketch + salted_hot_key_join
-    # (all new, never driver-verified); green in r2 with the implementing
-    # function untouched since
-    "doc_token_stats",
-    "dedup_exact",
-    "stratified_sample",
-    "curation_pipeline",
-    "benchmark_contamination_ngram",
-    "dedup_simhash_hamming",
-    "sequence_packing",
-    "doc_repetition",
+    # ROTATED BACK IN for round 5 (VERDICT r4 #5): the 12 queries whose
+    # only driver green was r2 — doc_token_stats, dedup_exact,
+    # stratified_sample, curation_pipeline, benchmark_contamination_ngram,
+    # dedup_simhash_hamming, sequence_packing, doc_repetition,
+    # user_sessions, signup_purchase_funnel, event_type_pivot,
+    # order_price_buckets — are back in the front window so every query
+    # has a green within the last 3 rounds.  Deferred in their place
+    # (all r4-green, implementing functions untouched this round): the
+    # 13-member ANN/embedding family below.
     "doc_chunks",
     "doc_extract_full",
     "transcript_extraction",
@@ -96,6 +96,23 @@ _DEFERRED_STAPLES = [
     # swept at sf0.01+sf0.1 and the same in-band-bound idiom IS driver-
     # checked via heavy_keys_sketch + order_price_percentiles_approx
     "approx_distinct_users",
+    # deferred round 5: every entry here was driver-green in r4
+    # (CORRECTNESS_r04) with multiple prior greens, and none of the
+    # implementing functions (similarity.py / clustering.py) change in
+    # round 5
+    "ann_brute_force",
+    "ann_batch_topk",
+    "ann_lsh",
+    "ann_lsh_multiprobe",
+    "ann_ivf",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "embedding_near_dups",
+    "embedding_near_dup_stats",
+    "embedding_pca",
+    "ann_pq_recall",
+    "kmeans_clusters",
+    "ann_ivf_kmeans",
     # deferred round 4 to rotate the 7 late-round-3 queries (the only
     # never-driver-checked set: lang_confusion, weighted_sample_topk,
     # bpe_merges, lm_quality_buckets, events_hourly_gapfilled,
@@ -124,7 +141,6 @@ _DEFERRED_STAPLES = [
     "doc_clean_basic",
     "doc_fingerprint",
     "topk_urgent_orders",
-    "user_sessions",
     "event_value_increases",
     "first_event_per_user",
     "active_nation_keys",
@@ -133,7 +149,6 @@ _DEFERRED_STAPLES = [
     "region_nation_list",
     "big_spenders",
     "idle_rich_customers",
-    "signup_purchase_funnel",
     "shipping_priority",
     "local_supplier_volume",
     "top_supplier_per_nation",
@@ -142,15 +157,11 @@ _DEFERRED_STAPLES = [
     "customers_without_orders",
     "customer_only_nations",
     "part_type_stats",
-    "event_type_pivot",
     "order_price_deciles",
     "recent_orders",
     "customers_per_nation",
     "american_suppliers",
     "events_hourly",
-    # deferred to make window room for events_day_pruned (new, never
-    # driver-verified); green in r1 AND r2, untouched since
-    "order_price_buckets",
 ]
 
 
@@ -168,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(conversation.QUERIES)
     q.update(bpe.QUERIES)
     q.update(layout.QUERIES)
+    q.update(versioned.QUERIES)
     front = {k: v for k, v in q.items() if k not in _DEFERRED_STAPLES}
     front.update({k: q[k] for k in _DEFERRED_STAPLES if k in q})
     return front

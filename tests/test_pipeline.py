@@ -141,8 +141,9 @@ def test_multimodal_plumbing(spark):
     assert all(f["width"] >= 8000 and f["height"] >= 500
                for f in by_kind["audio"])
     assert all(0.0 < f["mean_level"] < 1.0 for f in by_kind["audio"])
-    # video is a REAL uncompressed AVI now: real dims, real pixel means
-    assert all(f["codec"] == "avi" for f in by_kind["video"])
+    # video is a REAL AVI now, alternating raw and Motion-JPEG streams:
+    # real dims, real pixel means, both codecs must actually appear
+    assert {f["codec"] for f in by_kind["video"]} == {"avi", "mjpeg_avi"}
     assert all(8 <= f["width"] <= 32 and 8 <= f["height"] <= 32
                for f in by_kind["video"])
     assert all(0.0 < f["mean_level"] < 255.0 for f in by_kind["video"])
@@ -243,6 +244,50 @@ def test_png_codec_roundtrip():
     gray = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
     with _pytest.raises(NotImplementedError):
         decode_png(gray)
+
+
+def test_decoder_allocation_bounds():
+    """Untrusted-header allocation guards: crafted huge IHDR/SOF0
+    dimensions and zlib-bomb IDATs are REFUSED before any
+    dimension-sized allocation (a malicious row must raise ValueError
+    in the worker, not OOM it)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_jpeg,
+        decode_png,
+        encode_jpeg,
+    )
+
+    # PNG declaring 1 billion pixels: rejected at the IHDR, instantly
+    ihdr = _struct.pack(">IIBBBBB", 40000, 30000, 8, 2, 0, 0, 0)
+    huge = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="refusing to allocate"):
+        decode_png(huge)
+
+    # zlib bomb: sane 10x10 dims but an IDAT inflating to ~50 MB from
+    # ~50 KB — the bounded inflate stops at expected+1 bytes and raises
+    ihdr = _struct.pack(">IIBBBBB", 10, 10, 8, 2, 0, 0, 0)
+    bomb = _zlib.compress(b"\x00" * 50_000_000, 9)
+    assert len(bomb) < 100_000
+    payload = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="size mismatch"):
+        decode_png(payload)
+
+    # JPEG SOF0 declaring 1.2 billion pixels: rejected at the header
+    good = bytearray(encode_jpeg(8, 8, bytes(range(8 * 8 * 3))))
+    sof_at = good.index(b"\xff\xc0")
+    _struct.pack_into(">HH", good, sof_at + 5, 30000, 40000)  # h, w
+    with _pytest.raises(ValueError, match="refusing to allocate"):
+        decode_jpeg(bytes(good))
 
 
 def test_jpeg_codec_roundtrip():
@@ -1102,13 +1147,65 @@ def test_avi_codec_roundtrip():
             for f in range(n)
         ]
         payload = encode_avi(w, h, frames, fps=12)
-        rw, rh, rn, fps, mean_level, frame_means = decode_avi(payload)
-        assert (rw, rh, rn, fps) == (w, h, n, 12)
+        rw, rh, rn, fps, mean_level, frame_means, codec = decode_avi(payload)
+        assert (rw, rh, rn, fps, codec) == (w, h, n, 12, "rawvideo")
         for f, fm in zip(frames, frame_means):
             assert fm == round(float(np.frombuffer(f, np.uint8).mean()), 4)
         assert mean_level == round(float(np.mean(frame_means)), 4)
     with _pytest.raises(ValueError):
         decode_avi(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16)
+
+
+def test_avi_mjpeg_roundtrip():
+    """Motion-JPEG in AVI: '00dc' frames are complete baseline JPEGs
+    decoded by the repo's own JPEG codec; dimensions validate against
+    the avih header and per-frame means come from the DECODED pixels
+    (lossy: close to, not equal to, the raw means).  Mixed raw+mjpeg
+    streams are rejected."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_avi,
+        decode_media,
+        encode_avi,
+    )
+
+    w, h, n = 16, 8, 3
+    frames = [
+        bytes(((i * 31 + f * 7) % 256) for i in range(w * h * 3))
+        for f in range(n)
+    ]
+    payload = encode_avi(w, h, frames, fps=12, codec="mjpeg")
+    rw, rh, rn, fps, mean_level, frame_means, codec = decode_avi(payload)
+    assert (rw, rh, rn, fps, codec) == (w, h, n, 12, "mjpeg")
+    assert len(frame_means) == n
+    for f, fm in zip(frames, frame_means):
+        raw_mean = float(np.frombuffer(f, np.uint8).mean())
+        assert abs(fm - raw_mean) < 16.0  # lossy but in the neighborhood
+    assert decode_media(payload)[0] == "mjpeg_avi"
+
+    # mixed-stream refusal: splice a raw 00db chunk into the mjpeg movi
+    raw_chunk = b"00db" + struct.pack("<I", w * h * 3) + frames[0]
+    movi_at = payload.index(b"movi")
+    # extend the movi LIST and RIFF sizes to cover the spliced chunk
+    list_at = payload.rindex(b"LIST", 0, movi_at)
+    list_size = struct.unpack("<I", payload[list_at + 4:list_at + 8])[0]
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    mixed = (
+        payload[:4]
+        + struct.pack("<I", riff_size + len(raw_chunk))
+        + payload[8:list_at + 4]
+        + struct.pack("<I", list_size + len(raw_chunk))
+        + payload[list_at + 8:movi_at + 4]
+        + raw_chunk
+        + payload[movi_at + 4:]
+    )
+    # header frame count now disagrees too — either guard may fire first
+    with _pytest.raises(ValueError):
+        decode_avi(mixed)
 
 
 def test_versioned_table_time_travel_and_rollback(spark, transcripts_df, tmp_path):
@@ -1380,6 +1477,165 @@ def test_versioned_table_loser_cleanup_and_vacuum(
     assert not os.path.exists(orphan) and not os.path.exists(tmp_manifest)
     assert set(glob.glob(f"{table}/data/*")) == before
     assert read_version(spark, table).count() == turns.filter("turn_idx < 2").count()
+
+
+def test_versioned_vacuum_cwd_independent(spark, transcripts_df, tmp_path):
+    """Manifests store table_dir-RELATIVE paths, so vacuum computes the
+    same live-file set from any cwd (the r4 ADVICE medium: manifests
+    stored paths as written, and realpath resolved relative spellings
+    against the CALLER's cwd — vacuuming from a different cwd missed
+    every live file and swept them after the grace)."""
+    import json as _json
+    import os
+
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        commit_merge,
+        read_version,
+        vacuum,
+    )
+
+    table = str(tmp_path / "vt_cwd")
+    turns = extract_turns(transcripts_df).drop("spans")
+    commit_merge(spark, table, turns.filter("turn_idx < 2"), run_id="a")
+    commit_merge(spark, table, turns.filter("turn_idx = 2"), run_id="b")
+    n = read_version(spark, table).count()
+
+    # every manifest path is relative to the table root
+    for f in os.listdir(os.path.join(table, "meta")):
+        man = _json.load(open(os.path.join(table, "meta", f)))
+        paths = [p for fs in man["buckets"].values() for p in fs]
+        paths += man["key_files"] + man["new_files"]
+        assert paths and not any(os.path.isabs(p) for p in paths)
+
+    # vacuum with zero grace from a DIFFERENT cwd: nothing live is swept
+    old_cwd = os.getcwd()
+    os.chdir("/")
+    try:
+        rep = vacuum(table, min_age_sec=0)
+    finally:
+        os.chdir(old_cwd)
+    assert rep["orphans_removed"] == 0
+    assert read_version(spark, table).count() == n
+
+
+def test_versioned_legacy_manifest_conflict_fallback(
+    spark, transcripts_df, tmp_path
+):
+    """Rebase conflict-validation never silently skips a commit: for a
+    pre-key_files manifest (neither key_files nor new_files — the
+    round-3 format) the validator falls back to the bucket files that
+    commit introduced (diff vs its parent), so a rebasing writer still
+    sees the legacy commit's keys.  Conservative: survivor rows in
+    those files count as conflicts."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    import text_extractor_for_bioeconomic_products_spark.plans.versioned as V
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        CommitConflict,
+        commit_merge,
+    )
+
+    table = str(tmp_path / "vt_legacy")
+    turns = extract_turns(transcripts_df).drop("spans").cache()
+    commit_merge(spark, table, turns.filter("turn_idx < 2"), run_id="a")
+    # strip v1 down to the legacy (round-3) manifest shape
+    mpath = os.path.join(table, "meta", "v1.json")
+    man = _json.load(open(mpath))
+    del man["key_files"], man["new_files"]
+    os.unlink(mpath)  # _publish hard-links; rewrite in place
+    _json.dump(man, open(mpath, "w"))
+    assert V._upserted_key_files_between(table, 0, 1)  # diff vs v0 = all
+
+    # a stale-base writer whose keys OVERLAP the legacy commit must
+    # raise CommitConflict even with retries available
+    real_current, calls = V._current_version, {"n": 0}
+
+    def stale_once(d):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_current(d)
+
+    V._current_version = stale_once
+    try:
+        with _pytest.raises(CommitConflict, match="overlapping keys"):
+            commit_merge(
+                spark, table, turns.filter("turn_idx < 1"),
+                run_id="x", retries=2,
+            )
+    finally:
+        V._current_version = real_current
+
+    # disjoint keys still rebase fine across the legacy manifest
+    calls["n"] = 0
+    V._current_version = stale_once
+    try:
+        res = commit_merge(
+            spark, table, turns.filter("turn_idx = 3"),
+            run_id="y", retries=2,
+        )
+    finally:
+        V._current_version = real_current
+    assert res["version"] == 2 and res["rebases"] == 1
+
+
+def test_versioned_vacuum_during_inflight_commit(
+    spark, transcripts_df, tmp_path
+):
+    """Vacuum racing a slow commit: the writer's data files exist but
+    its manifest is not yet linked when vacuum runs.  Under the default
+    grace window the fresh unreferenced files survive and the in-flight
+    writer still lands; its snapshot reads back complete."""
+    import text_extractor_for_bioeconomic_products_spark.plans.versioned as V
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        commit_merge,
+        read_version,
+        vacuum,
+    )
+
+    table = str(tmp_path / "vt_race")
+    turns = extract_turns(transcripts_df).drop("spans").cache()
+    commit_merge(spark, table, turns.filter("turn_idx < 2"), run_id="a")
+
+    real_publish, swept = V._publish, {}
+
+    def vacuum_then_publish(table_dir, version, doc):
+        # the race: a retention sweep fires between the writer's data
+        # write and its commit link
+        swept.update(vacuum(table_dir))
+        return real_publish(table_dir, version, doc)
+
+    V._publish = vacuum_then_publish
+    try:
+        res = commit_merge(spark, table, turns.filter("turn_idx = 3"), run_id="b")
+    finally:
+        V._publish = real_publish
+    assert swept["orphans_removed"] == 0  # grace protected the in-flight files
+    assert res["version"] == 2
+    expect = turns.filter("turn_idx < 2").count() + turns.filter("turn_idx = 3").count()
+    assert read_version(spark, table).count() == expect
+
+
+def test_versioned_history_query(spark, sf001_dir):
+    """The driver-gate query: deterministic census of 3 commits + 1
+    rollback + 1 rebased racer, with time-travel row counts."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["versioned_table_history"](
+        spark, sf001_dir
+    ).collect()
+    assert [
+        (r["version"], r["parent"], r["run_id"], r["is_rollback"],
+         r["n_upserted"], r["n_rows_at_version"])
+        for r in rows
+    ] == [
+        (1, 0, "ingest", False, 8, 8),
+        (2, 1, "append", False, 5, 13),
+        (3, 2, "revise", False, 2, 14),
+        (4, 3, "rollback-to-2", True, 0, 13),
+        (5, 4, "racer", False, 1, 14),
+    ]
 
 
 def test_png_roundtrip_property():

@@ -259,6 +259,44 @@ def test_bench_headline_selection():
     assert sel == "none" and best["scaling_efficiency"] is None
 
 
+def test_bench_pair_efficiency():
+    """Interleaved-schedule pair efficiency: per-position ratios cancel
+    time-correlated interference; min-of-level cancels independent
+    outliers; selection = max over plausible (≤1.0) candidates."""
+    import bench
+
+    def runs(secs):
+        return [{"extract_sec": s} for s in secs]
+
+    # A slow co-tenancy window covering round 0 hits BOTH lo_0 and hi_0:
+    # position 0's ratio stays clean (160/40=4.0 ⇒ eff 1.0 — excluded as
+    # implausible boundary? no: ≤1.0 is plausible), while min-of-level
+    # pairs the clean lo min (100) with the clean hi min (25) ⇒ 1.0 too.
+    cand = bench.pair_efficiency_candidates(
+        runs([160.0, 100.0, 104.0]), runs([40.0, 25.0, 26.0]), 4, 16
+    )
+    assert cand["scaling_efficiency"] == 1.0
+    assert cand["efficiency_by_position"] == [1.0, 1.0, 1.0]
+
+    # r4 failure mode, interleaved: a slow window inflates ONLY lo_0
+    # (asymmetric hit).  Position 0 reads superlinear (excluded); the
+    # clean positions and min-of-level agree at 0.85.
+    cand = bench.pair_efficiency_candidates(
+        runs([180.0, 136.0, 136.0]), runs([40.0, 40.0, 40.0]), 4, 16
+    )
+    assert cand["efficiency_basis"] in (
+        "min_of_level", "position_1", "position_2",
+    )
+    assert cand["scaling_efficiency"] == 0.85
+
+    # every candidate superlinear → raw max ships (labeled upstream by
+    # select_scaling_headline), never a fabricated clamp
+    cand = bench.pair_efficiency_candidates(
+        runs([200.0]), runs([40.0]), 4, 16
+    )
+    assert cand["scaling_efficiency"] == 1.25
+
+
 # --- temporal.asof_join (distributed as-of; union-merge formulation) ------
 
 def _asof_fixture(spark):
@@ -1147,6 +1185,21 @@ def test_orc_dispatch_and_text_corpus_ingest(spark, transcripts_df, tmp_path):
     assert len(reports) == 2
     assert reports[0]["doc_id"] != reports[1]["doc_id"]
     assert len({r["doc_id"] for r in rows}) == 4
+
+    # location independence (r4 ADVICE): the SAME corpus ingested from a
+    # different root (relocated/remounted) must yield identical doc_ids —
+    # the id hashes the root-RELATIVE path, not the full URI
+    import shutil as _shutil
+
+    moved = tmp_path / "mounted_elsewhere" / "txt"
+    moved.parent.mkdir()
+    _shutil.copytree(str(txt_dir), str(moved))
+    ids_orig = {
+        (r["file_name"], r["doc_id"])
+        for r in rows
+    }
+    rel_ids = lambda rs: {(r["file_name"], r["doc_id"]) for r in rs}  # noqa: E731
+    assert rel_ids(read_text_corpus(spark, str(moved)).collect()) == ids_orig
 
 
 def test_bpe_matches_reference(spark, sf001_dir):

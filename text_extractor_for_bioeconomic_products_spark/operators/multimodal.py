@@ -18,13 +18,16 @@ Round 3 upgrade — **real decode where the standard library suffices**:
   numpy+stdlib: 8×8 DCT as matrix multiplies, Annex-K-shaped
   quantization, canonical Huffman with tables read from the file's own
   DQT/DHT segments; 4:4:4 scope (progressive/subsampled raise).
-* **video/AVI** — real uncompressed RIFF container walk (round 3).
+* **video/AVI** — real RIFF container walk (round 3), carrying either
+  raw RGB24 frames ('00db') or **Motion-JPEG** ('00dc', round 5): each
+  frame a complete baseline JPEG run through this module's own codec —
+  compressed video as a composition of two codecs the repo already has.
 
 ``decode_media`` on the one remaining compressed format family
 (MP4/H.264…) raises ``NotImplementedError`` — the single integration
 point where pyav would slot in (reference analog
-`src/core/text_extractor.py:157-245`); a video codec genuinely is not
-implementable from the stdlib.
+`src/core/text_extractor.py:157-245`); an inter-frame-predicted codec
+genuinely is not implementable from the stdlib.
 
 Fake payload format (video stub, produced by synthesize_media):
     bytes 0-3   magic  b'FAKE'
@@ -209,6 +212,28 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
+# Untrusted-header allocation bound (shared by the PNG/JPEG decoders):
+# a crafted IHDR/SOF0 declaring huge dimensions — or a small zlib-bomb
+# IDAT — must be rejected BEFORE any dimension-sized allocation, or a
+# single malicious row OOMs the mapInPandas worker in a way _safe_decode
+# can't contain.  16 MP ≈ 48 MB RGB (PNG) / ≈ 384 MB float64 planes
+# (JPEG) per row: comfortably above any synthetic/bench payload, far
+# below executor-killing.
+_MAX_PIXELS = 16_000_000
+
+
+def _check_dims(width: int, height: int, fmt: str) -> None:
+    if width <= 0 or height <= 0:
+        raise ValueError(f"{fmt} declares degenerate dimensions "
+                         f"{width}x{height}")
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"{fmt} declares {width}x{height} "
+            f"({width * height} px > {_MAX_PIXELS} cap) — refusing to "
+            "allocate from an untrusted header"
+        )
+
+
 def decode_png(payload: bytes) -> Tuple[int, int, float, np.ndarray]:
     """Parse a PNG → (width, height, mean_level, pixels[h,w,3] top-down).
     Real decode: chunk CRCs verified, IDAT inflated with zlib, all five
@@ -240,9 +265,14 @@ def decode_png(payload: bytes) -> Tuple[int, int, float, np.ndarray]:
         raise NotImplementedError(
             "only 8-bit truecolor non-interlaced PNG is decoded here"
         )
-    raw = zlib.decompress(bytes(idat))
+    _check_dims(width, height, "PNG IHDR")
     bpp, stride = 3, width * 3
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: never decompress past expected+1 bytes, so a
+    # zlib-bomb IDAT costs O(expected) memory, not O(bomb)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG scanline data size mismatch")
     pixels = np.zeros((height, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
@@ -654,6 +684,7 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, float, np.ndarray]:
                     "only 3-component (YCbCr) JPEG; grayscale/CMYK "
                     "unsupported"
                 )
+            _check_dims(w, h, "JPEG SOF0")
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
@@ -743,7 +774,20 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, float, np.ndarray]:
 _AVI_FPS = 10
 
 
-def encode_avi(width: int, height: int, frames: list, fps: int = _AVI_FPS) -> bytes:
+def encode_avi(
+    width: int, height: int, frames: list, fps: int = _AVI_FPS,
+    codec: str = "raw",
+) -> bytes:
+    """RIFF/AVI writer.  ``frames`` are raw top-down RGB24 buffers.
+
+    codec="raw"   → '00db' chunks (uncompressed, round-3 behavior);
+    codec="mjpeg" → each frame is baseline-JPEG-compressed (the repo's
+                    own encoder) into a '00dc' chunk — Motion-JPEG, the
+                    classic compressed-AVI layout, composed from two
+                    codecs this module already ships."""
+    if codec not in ("raw", "mjpeg"):
+        raise ValueError(f"unsupported AVI codec {codec!r}")
+
     def chunk(cid: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) % 2 else b""
         return cid + struct.pack("<I", len(data)) + data + pad
@@ -760,20 +804,30 @@ def encode_avi(width: int, height: int, frames: list, fps: int = _AVI_FPS) -> by
     )
     hdrl_body = b"hdrl" + chunk(b"avih", avih)
     hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
-    movi_body = b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    if codec == "mjpeg":
+        payloads = [encode_jpeg(width, height, f) for f in frames]
+        frame_chunks = b"".join(chunk(b"00dc", p) for p in payloads)
+    else:
+        frame_chunks = b"".join(chunk(b"00db", f) for f in frames)
+    movi_body = b"movi" + frame_chunks
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_avi(payload: bytes):
-    """→ (width, height, n_frames, fps, mean_level, frame_means).
-    Walks the RIFF chunk tree for real; malformed chunk sizes raise."""
+    """→ (width, height, n_frames, fps, mean_level, frame_means, codec).
+    Walks the RIFF chunk tree for real; malformed chunk sizes raise.
+    '00db' chunks are raw RGB24 frames (codec "rawvideo"); '00dc'
+    chunks are Motion-JPEG — each frame is a complete baseline JPEG
+    decoded with this module's own ``decode_jpeg`` and validated
+    against the avih dimensions (codec "mjpeg").  Mixed streams are
+    rejected."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     width = height = n_frames_hdr = 0
     fps = 0
-    frames: list = []
+    frames: list = []  # (chunk_id, bytes)
     pos = 12
     end = 8 + struct.unpack("<I", payload[4:8])[0]
 
@@ -792,8 +846,8 @@ def decode_avi(payload: bytes):
                 fps = 1_000_000 // max(vals[0], 1)
                 n_frames_hdr = vals[4]
                 width, height = vals[8], vals[9]
-            elif cid == b"00db":
-                frames.append(payload[data_start:data_start + size])
+            elif cid in (b"00db", b"00dc"):
+                frames.append((cid, payload[data_start:data_start + size]))
             pos = data_start + size + (size % 2)
 
     walk(pos, end)
@@ -803,16 +857,28 @@ def decode_avi(payload: bytes):
         raise ValueError(
             f"AVI header declares {n_frames_hdr} frames, found {len(frames)}"
         )
+    kinds = {cid for cid, _f in frames}
+    if len(kinds) > 1:
+        raise ValueError("AVI mixes raw (00db) and compressed (00dc) frames")
+    codec = "mjpeg" if kinds == {b"00dc"} else "rawvideo"
     frame_means = []
-    for f in frames:
-        if len(f) != width * height * 3:
-            raise ValueError("frame size != width*height*3")
-        arr = np.frombuffer(f, dtype=np.uint8)
-        frame_means.append(round(float(arr.mean()), 4))
+    for _cid, f in frames:
+        if codec == "mjpeg":
+            fw, fh, fmean, _px = decode_jpeg(f)
+            if (fw, fh) != (width, height):
+                raise ValueError(
+                    f"MJPEG frame is {fw}x{fh}, avih says {width}x{height}"
+                )
+            frame_means.append(fmean)
+        else:
+            if len(f) != width * height * 3:
+                raise ValueError("frame size != width*height*3")
+            arr = np.frombuffer(f, dtype=np.uint8)
+            frame_means.append(round(float(arr.mean()), 4))
     mean_level = (
         round(float(np.mean(frame_means)), 4) if frame_means else 0.0
     )
-    return width, height, len(frames), fps, mean_level, frame_means
+    return width, height, len(frames), fps, mean_level, frame_means, codec
 
 
 # ---------------------------------------------------------------------------
@@ -854,14 +920,15 @@ def synthesize_media(spark: SparkSession, n: int = 300, seed: int = 42) -> DataF
             n_frames = 500 + (i * 11) % 2000
             payload = encode_wav(rate, _noise(seed, i, n_frames * 2))
             mime = "audio/wav"
-        else:  # video: real uncompressed AVI (RIFF container)
+        else:  # video: real AVI (RIFF), alternating raw / Motion-JPEG
             w = 8 + (i * 7) % 24
             h = 8 + (i * 13) % 24
             n_frames = 3 + i % 6
             frames = [
                 _noise(seed, i * 1000 + f, w * h * 3) for f in range(n_frames)
             ]
-            payload = encode_avi(w, h, frames)
+            vid_codec = "mjpeg" if (i // 3) % 2 else "raw"
+            payload = encode_avi(w, h, frames, codec=vid_codec)
             mime = "video/avi"
         rows.append((i, KINDS[kind_i], payload, (f"src{i % 10}", mime)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -898,8 +965,8 @@ def decode_media(payload: bytes) -> Tuple[str, int, int, Optional[float]]:
         rate, n_frames, mean_level = decode_wav(payload)
         return "wav", rate, n_frames, mean_level
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        w, h, _n, _fps, mean_level, _ = decode_avi(payload)
-        return "avi", w, h, mean_level
+        w, h, _n, _fps, mean_level, _means, codec = decode_avi(payload)
+        return ("mjpeg_avi" if codec == "mjpeg" else "avi"), w, h, mean_level
     if payload[:4] == _MAGIC:
         _, w, h = struct.unpack(">BII", payload[4:13])
         return "fake", w, h, None
@@ -1018,7 +1085,9 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
                     continue
                 payload = bytes(payload)
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    w, h, n_frames, _fps, _m, frame_means = decode_avi(payload)
+                    w, h, n_frames, _fps, _m, frame_means, _codec = (
+                        decode_avi(payload)
+                    )
                     for f in range(0, n_frames, every_n):
                         rows.append(
                             (mid, f, frame_means[f],

@@ -52,9 +52,12 @@ Scale: a commit writes one file per affected bucket (bucket count scales
 with the table); manifests list file paths, not rows, so the metadata
 is O(buckets), and time travel costs one JSON read.  The rebase path
 re-reads (and re-merges) only buckets whose backing files changed under
-it.  Reference analog: the SQLite upsert
-(`src/storage/database_manager.py`) has no history at all — every
-write destroys the previous state.
+it.  Manifests store paths RELATIVE to ``table_dir`` (resolved against
+it on every read), so the table is relocatable and ``vacuum`` computes
+the same reference set from any cwd — Iceberg manifests are likewise
+location-relative to the table root.  Reference analog: the SQLite
+upsert (`src/storage/database.py:188-253`) has no history at all —
+every write destroys the previous state.
 """
 
 from __future__ import annotations
@@ -78,6 +81,23 @@ class CommitConflict(RuntimeError):
 
 def _meta_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "meta")
+
+
+def _rel(table_dir: str, path: str) -> str:
+    """Manifest spelling of a file path: relative to the table root, so
+    the manifest stays valid if the table moves and resolves identically
+    from any cwd (the r4 design stored paths as written — a relative
+    ``table_dir`` made vacuum's realpath resolve against the CALLER'S
+    cwd, missing live files and sweeping them after the grace)."""
+    return os.path.relpath(os.path.abspath(path), os.path.abspath(table_dir))
+
+
+def _abs(table_dir: str, path: str) -> str:
+    """Resolve a manifest path against the table root.  Absolute entries
+    (pre-relative-manifest commits) pass through unchanged."""
+    if os.path.isabs(path):
+        return path
+    return os.path.join(os.path.abspath(table_dir), path)
 
 
 def _current_version(table_dir: str) -> int:
@@ -123,7 +143,11 @@ def read_version(
     v = _current_version(table_dir) if version is None else version
     if v == 0:
         raise ValueError("table has no committed snapshots")
-    files = [f for fs in _manifest(table_dir, v)["buckets"].values() for f in fs]
+    files = [
+        _abs(table_dir, f)
+        for fs in _manifest(table_dir, v)["buckets"].values()
+        for f in fs
+    ]
     if not files:
         # only reachable for a table whose every commit was empty — there
         # is no schema on record to synthesize an empty frame from
@@ -134,13 +158,28 @@ def read_version(
 def _upserted_key_files_between(table_dir: str, base: int, tip: int) -> list:
     """Keys-only files recording what commits (base, tip] UPSERTED —
     versions are contiguous, so this is a straight walk.  Rollback
-    entries are metadata-only and contribute nothing.  Falls back to
-    the commits' full data files for manifests predating ``key_files``
-    (conservative: survivors then count as conflicts)."""
+    entries are metadata-only and contribute nothing.  Fallbacks for
+    older manifests, most→least precise (each conservative: survivor
+    rows in the fallback files count as conflicts):
+      * no ``key_files`` → the commit's ``new_files`` (full data files);
+      * neither field (pre-key_files manifests) → the bucket files this
+        commit introduced, computed as the diff of its bucket map vs its
+        parent's — never silently nothing, which would let a rebasing
+        writer overwrite a concurrent legacy commit's keys unvalidated."""
     files: list = []
     for v in range(base + 1, tip + 1):
         m = _manifest(table_dir, v)
-        files.extend(m.get("key_files", m.get("new_files", [])))
+        if "key_files" in m or "new_files" in m:
+            entry = m.get("key_files", m.get("new_files", []))
+        else:
+            parent_buckets = (
+                _manifest(table_dir, v - 1)["buckets"] if v > 1 else {}
+            )
+            prior = {f for fs in parent_buckets.values() for f in fs}
+            entry = [
+                f for fs in m["buckets"].values() for f in fs if f not in prior
+            ]
+        files.extend(_abs(table_dir, f) for f in entry)
     return files
 
 
@@ -165,6 +204,9 @@ def commit_merge(
     the buckets whose backing files changed under it, and retries the
     link at the new tip.  On a terminal conflict every file this call
     wrote is deleted — losers leave no orphans."""
+    # absolute from here on: Spark resolves relative write paths against
+    # the JVM's launch cwd, not the caller's current Python cwd
+    table_dir = os.path.abspath(table_dir)
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
@@ -205,7 +247,9 @@ def commit_merge(
                     _manifest(table_dir, base)["buckets"] if base else {}
                 )
                 for b in affected:
-                    olds = tuple(old_buckets.get(str(b), []))
+                    olds = tuple(
+                        _abs(table_dir, f) for f in old_buckets.get(str(b), [])
+                    )
                     prev = attempt_files.get(b)
                     if prev is not None and prev[1] == olds:
                         continue  # rebase: this bucket's base is unchanged
@@ -232,17 +276,19 @@ def commit_merge(
                 new_buckets = dict(old_buckets)
                 new_files = []
                 for b in affected:
-                    new_buckets[str(b)] = [attempt_files[b][0]]
-                    new_files.append(attempt_files[b][0])
+                    rel = _rel(table_dir, attempt_files[b][0])
+                    new_buckets[str(b)] = [rel]
+                    new_files.append(rel)
 
                 version = base + 1
                 if _publish(table_dir, version, {
                     "version": version,
                     "parent": base,
                     "run_id": run_id,
+                    "n_upserted": n_upserted,
                     "buckets": new_buckets,
                     "new_files": new_files,
-                    "key_files": [key_file],
+                    "key_files": [_rel(table_dir, key_file)],
                 }):
                     return {
                         "version": version,
@@ -310,6 +356,7 @@ def rollback(table_dir: str, version: int) -> int:
             "parent": base,
             "run_id": f"rollback-to-{version}",
             "rolled_back_to": version,
+            "n_upserted": 0,
             "buckets": old["buckets"],
             "new_files": [],
             "key_files": [],
@@ -329,8 +376,10 @@ def vacuum(table_dir: str, min_age_sec: float = 3600.0) -> dict:
     about-to-publish manifest — so only files older than the grace
     are candidates (Iceberg's remove-orphan-files has the same knob
     and the same default caveat: set it above your longest commit).
-    Paths are normalized with realpath on both sides, so a table
-    committed via a relative path vacuums correctly from any cwd."""
+    Manifest paths are table_dir-relative, so the reference set is
+    resolved against the TABLE root (then realpath-normalized for
+    symlink spelling) — never against the caller's cwd; vacuuming a
+    relative-path table from any directory sees the same live set."""
     import time
 
     data_dir = os.path.join(table_dir, "data")
@@ -341,9 +390,12 @@ def vacuum(table_dir: str, min_age_sec: float = 3600.0) -> dict:
             if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit():
                 man = _manifest(table_dir, int(f[1:-5]))
                 for fs in man["buckets"].values():
-                    referenced.update(os.path.realpath(p) for p in fs)
+                    referenced.update(
+                        os.path.realpath(_abs(table_dir, p)) for p in fs
+                    )
                 referenced.update(
-                    os.path.realpath(p) for p in man.get("key_files", [])
+                    os.path.realpath(_abs(table_dir, p))
+                    for p in man.get("key_files", [])
                 )
     cutoff = time.time() - min_age_sec
     removed = []
@@ -368,3 +420,81 @@ def vacuum(table_dir: str, min_age_sec: float = 3600.0) -> dict:
                     os.unlink(full)
                     removed.append(f)
     return {"orphans_removed": len(removed), "removed": removed}
+
+
+def versioned_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: executes the FULL commit protocol on a scratch
+    versioned table — 3 keyed-merge commits (insert, disjoint insert,
+    overwrite-upsert), a metadata-only rollback, and a concurrent
+    rebase-and-retry (a writer whose base version is stale by the time
+    it links) — then returns the version census read back from the
+    manifests plus each snapshot's time-travel row count.
+
+    Rows-only by design: the result is filesystem commit state with no
+    DuckDB analog (the reference's SQLite layer keeps no history at all
+    — `src/storage/database.py:188-253`).  Deterministic: fixed inputs,
+    fixed run_ids, scratch dir removed before returning (the census
+    DataFrame is built from plain rows, independent of the table files).
+    """
+    import shutil as _shutil
+    import tempfile
+
+    table = tempfile.mkdtemp(prefix="versioned_history_")
+    try:
+        def turns(rows):
+            return spark.createDataFrame(
+                rows, "conv_id string, turn_idx int, text string"
+            )
+
+        base = [(f"c{i}", t, f"c{i} turn {t}") for i in range(4) for t in (0, 1)]
+        commit_merge(spark, table, turns(base), run_id="ingest", n_buckets=4)
+        second = [(f"c{i}", 2, f"c{i} turn 2") for i in range(4)] + [
+            ("c4", 0, "c4 turn 0")
+        ]
+        commit_merge(spark, table, turns(second), run_id="append", n_buckets=4)
+        third = [("c0", 0, "c0 turn 0 REVISED"), ("c5", 0, "c5 turn 0")]
+        commit_merge(spark, table, turns(third), run_id="revise", n_buckets=4)
+        rollback(table, 2)
+
+        # concurrent rebase: this writer reads a STALE base (v1) once —
+        # as if three commits landed under it — and must rebase to the
+        # tip before its link succeeds (disjoint keys, so no conflict)
+        global _current_version
+        real_current, fired = _current_version, {"n": 0}
+
+        def stale_once(d):
+            fired["n"] += 1
+            return 1 if fired["n"] == 1 else real_current(d)
+
+        _current_version = stale_once
+        try:
+            res = commit_merge(
+                spark, table, turns([("c6", 0, "c6 turn 0")]),
+                run_id="racer", n_buckets=4, retries=2,
+            )
+        finally:
+            _current_version = real_current
+        assert res["rebases"] >= 1, "stale-base writer must have rebased"
+
+        census = []
+        for v in range(1, _current_version(table) + 1):
+            m = _manifest(table, v)
+            census.append((
+                v,
+                m["parent"],
+                m["run_id"],
+                "rolled_back_to" in m,
+                m["n_upserted"],
+                len(m["new_files"]),
+                read_version(spark, table, v).count(),
+            ))
+    finally:
+        _shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        census,
+        "version int, parent int, run_id string, is_rollback boolean, "
+        "n_upserted int, n_new_files int, n_rows_at_version long",
+    ).orderBy("version")
+
+
+QUERIES = {"versioned_table_history": versioned_table_history}

@@ -174,18 +174,37 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     100 TB each file is one task input and the scan parallelizes on
     file count.
 
-    doc_id hashes the FULL path, not the basename: file-per-document
-    corpora ingested recursively routinely repeat basenames across
-    subdirectories (r3 ADVICE — a basename hash silently merged such
-    documents in every downstream keyed op).  The scan is recursive for
-    the same reason."""
+    doc_id hashes the path RELATIVE TO THE INGEST ROOT, not the
+    basename and not the full URI: file-per-document corpora ingested
+    recursively routinely repeat basenames across subdirectories (r3
+    ADVICE — a basename hash silently merged such documents in every
+    downstream keyed op), while a full-URI hash changes whenever the
+    corpus is relocated/remounted or the scheme spelling differs
+    (file:/ vs file:/// — r4 ADVICE), breaking id stability across
+    ingests of the same corpus.  The root prefix is stripped from
+    ``input_file_name()`` by locating the normalized root inside the
+    URI, so any scheme spelling yields the same relative path.  The
+    scan is recursive for the same duplicate-basename reason."""
+    import os
+
     raw = (
         spark.read.option("recursiveFileLookup", "true")
         .text(path, wholetext=True)
     )
     fpath = F.input_file_name()
+    root = os.path.abspath(path).rstrip("/")
+    pos = F.locate(root + "/", fpath)
+    rel_path = F.when(
+        pos > 0,
+        F.substring(fpath, pos + len(root) + 1, 2_000_000_000),
+    ).otherwise(
+        # root not found as a directory prefix (single-file ingest, or a
+        # URI-encoded path component): fall back to the basename, which
+        # for a single file IS its root-relative path
+        F.element_at(F.split(fpath, "/"), -1)
+    )
     return raw.select(
-        F.xxhash64(fpath).alias("doc_id"),
+        F.xxhash64(rel_path).alias("doc_id"),
         F.element_at(F.split(fpath, "/"), -1).alias("file_name"),
         F.col("value").alias("text"),
     )
