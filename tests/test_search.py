@@ -83,6 +83,33 @@ def test_format_dispatch_roundtrip(spark, transcripts_df, tmp_path):
         read_transcripts(spark, pq, "xml")
 
 
+def test_read_transcripts_rejects_foreign_parquet(spark, tmp_path):
+    """S1 guard: a parquet dir with NONE of the transcript columns must
+    error instead of reading as all-NULL phantom rows (the explicit
+    read schema would otherwise silently null-fill every column — the
+    round-5 README audit flowed 9,890 such rows through the whole
+    extraction job before this guard)."""
+    from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
+        read_transcripts,
+    )
+
+    foreign = str(tmp_path / "foreign")
+    spark.range(10).selectExpr(
+        "id AS some_key", "CAST(id AS STRING) AS some_value"
+    ).write.parquet(foreign)
+    with pytest.raises(ValueError, match="not a transcripts table"):
+        read_transcripts(spark, foreign, "parquet")
+    # a table carrying the key columns still reads (extra cols ignored,
+    # missing optional cols null-filled — per-row quarantine's job)
+    partial = str(tmp_path / "partial")
+    spark.range(10).selectExpr(
+        "CAST(id AS STRING) AS conv_id",
+        "CAST(id AS STRING) AS text",
+        "id AS extra_col",
+    ).write.parquet(partial)
+    assert read_transcripts(spark, partial, "parquet").count() == 10
+
+
 def test_connected_components_long_chain(spark):
     """A 60-node chain (diameter 59) must converge within the iteration
     cap — pointer jumping gives O(log d) rounds — and collapse to one

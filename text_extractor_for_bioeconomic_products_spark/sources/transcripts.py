@@ -143,11 +143,32 @@ def write_transcripts(df: DataFrame, path: str, shuffled: bool = True) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _require_transcript_columns(spark: SparkSession, path: str, fmt: str) -> None:
+    """Fail fast when a self-describing input (parquet/orc footers) has
+    none of the transcript key columns.  An explicit read schema over
+    mismatched files silently fills every column with NULL — a
+    mis-pointed --input then flows 100%-quarantined phantom rows through
+    the whole job (round-5 README audit caught exactly this: an
+    arbitrary testdata dir "processed" 9,890 all-null turns, 0 spans).
+    Footer-only check — no data is scanned."""
+    actual = {f.name for f in spark.read.format(fmt).load(path).schema.fields}
+    required = {"conv_id", "text"}
+    if not (required & actual):
+        raise ValueError(
+            f"input at {path!r} has none of the transcript columns "
+            f"{sorted(required)} (found: {sorted(actual)[:8]}...) — "
+            "not a transcripts table"
+        )
+
+
 def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """S1 format-dispatch scan (text_extractor.py:28-48 analog): route by
     format with the explicit schema — never inferSchema (SURVEY §1.3).
-    Unsupported format ⇒ error, matching the reference's dispatch."""
+    Unsupported format ⇒ error, matching the reference's dispatch; a
+    self-describing input bearing NO transcript columns also errors
+    instead of reading as all-NULL rows."""
     if fmt == "parquet":
+        _require_transcript_columns(spark, path, fmt)
         return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
     if fmt == "json":
         return spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
@@ -160,6 +181,7 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
             .csv(path)
         )
     if fmt == "orc":
+        _require_transcript_columns(spark, path, fmt)
         return spark.read.schema(TRANSCRIPT_SCHEMA).orc(path)
     raise ValueError(f"unsupported transcript format: {fmt}")
 
