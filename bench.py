@@ -213,6 +213,17 @@ def pair_efficiency_candidates(
         two runs are adjacent in wall time, so time-correlated interference
         hits BOTH ends and divides out of the ratio.
 
+    A third estimator activates when hi_runs carries ONE MORE run than
+    lo_runs (the strict-alternation schedule prepends a hi warm-length
+    run, so the time order is hi₀,lo₀,hi₁,lo₁,…,hiₙ and every lo is
+    BRACKETED by two adjacent hi runs):
+      - bracket_i: lo_i / min(hi_i, hi_{i+1}) / ratio.  Interference is
+        additive, so of the two hi windows surrounding lo_i the faster
+        one is the cleaner estimate of the true hi-level time; a single
+        inflated hi sample can no longer sink its position (r5 live
+        data: hi spread 58.7–94.2 s while lo spread was ≤6%, so hi-side
+        noise dominated three of four positional ratios).
+
     Selection within the pair: max over plausible (≤1.0) candidates —
     same rule as the cross-pair headline (select_scaling_headline); if
     every candidate is superlinear the raw max ships (labeled upstream).
@@ -221,22 +232,35 @@ def pair_efficiency_candidates(
     lo_secs = [r["extract_sec"] for r in lo_runs]
     hi_secs = [r["extract_sec"] for r in hi_runs]
     eff_min = (min(lo_secs) / min(hi_secs)) / ratio if min(hi_secs) > 0 else 0.0
+    bracketed = len(hi_secs) == len(lo_secs) + 1
+    # positional his: the hi run that directly FOLLOWS lo_i in wall time
+    pos_his = hi_secs[1:] if bracketed else hi_secs
     eff_pos = [
         (lo / hi) / ratio
-        for lo, hi in zip(lo_secs, hi_secs)
+        for lo, hi in zip(lo_secs, pos_his)
         if hi > 0
     ]
-    candidates = [("min_of_level", round(eff_min, 3))] + [
-        (f"position_{i}", round(e, 3)) for i, e in enumerate(eff_pos)
-    ]
+    eff_bracket = [
+        (lo / min(a, b)) / ratio
+        for lo, a, b in zip(lo_secs, hi_secs, hi_secs[1:])
+        if min(a, b) > 0
+    ] if bracketed else []
+    candidates = (
+        [("min_of_level", round(eff_min, 3))]
+        + [(f"position_{i}", round(e, 3)) for i, e in enumerate(eff_pos)]
+        + [(f"bracket_{i}", round(e, 3)) for i, e in enumerate(eff_bracket)]
+    )
     plausible = [(b, e) for b, e in candidates if e <= 1.0]
     basis, eff = max(plausible or candidates, key=lambda be: be[1])
-    return {
+    out = {
         "scaling_efficiency": eff,
         "efficiency_basis": basis,
         "efficiency_min_of_level": round(eff_min, 3),
         "efficiency_by_position": [round(e, 3) for e in eff_pos],
     }
+    if bracketed:
+        out["efficiency_by_bracket"] = [round(e, 3) for e in eff_bracket]
+    return out
 
 
 def select_scaling_headline(pair_results: list) -> tuple:
@@ -353,6 +377,16 @@ def main() -> None:
         1, int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
     )
     scale_runs_all: dict = {c: [] for c in levels}
+    # strict 2-level alternation additionally PREPENDS one hi run so the
+    # wall-time order is hi,lo,hi,lo,…,hi: every lo run is then bracketed
+    # by two adjacent hi runs and pair_efficiency_candidates can score
+    # each position against the cleaner of its two hi neighbors (the hi
+    # level is the short, proportionally noisier end; one inflated hi
+    # sample otherwise sinks its whole position)
+    if len(levels) == 2:
+        scale_runs_all[levels[1]].append(
+            _run_subprocess_extract(levels[1], scale_dir)
+        )
     for _rep in range(scale_repeats):
         for c in levels:
             scale_runs_all[c].append(_run_subprocess_extract(c, scale_dir))
@@ -435,7 +469,10 @@ def main() -> None:
                     str(c): scale_runs[c]["turns_per_sec"]
                     for c in sorted(scale_runs)
                 },
-                "repeat_schedule": "interleaved",
+                "repeat_schedule": (
+                    "interleaved_bracketed" if len(levels) == 2
+                    else "interleaved"
+                ),
                 "extract_runs_sec": {
                     str(c): [r["extract_sec"] for r in rs]
                     for c, rs in sorted(scale_runs_all.items())

@@ -323,6 +323,32 @@ def test_bench_pair_efficiency():
     )
     assert cand["scaling_efficiency"] == 1.25
 
+    # BRACKETED mode (len(hi) == len(lo)+1: schedule hi,lo,hi,…,hi):
+    # r5 live failure shape — lo level tight, hi level noisy.  Position 1
+    # pairs lo_1 with an inflated trailing hi (88 s) and reads 0.55;
+    # its bracket takes the cleaner LEADING neighbor (60 s) and recovers
+    # 0.8.  A bracket can never use a hi that wasn't time-adjacent.
+    cand = bench.pair_efficiency_candidates(
+        runs([192.0, 192.0]), runs([120.0, 60.0, 88.0]), 4, 16
+    )
+    assert cand["efficiency_by_position"] == [0.8, 0.545]
+    assert cand["efficiency_by_bracket"] == [0.8, 0.8]
+    assert cand["scaling_efficiency"] == 0.8
+    assert cand["efficiency_basis"] in (
+        "min_of_level", "position_0", "bracket_0", "bracket_1",
+    )
+    # min_of_level in bracketed mode still uses ALL hi runs incl. the
+    # prepended one (120 is slowest so it changes nothing here)
+    assert cand["efficiency_min_of_level"] == 0.8
+
+    # bracket stays plausibility-filtered: an inflated lo between two
+    # clean his reads superlinear on BOTH estimators and is excluded
+    cand = bench.pair_efficiency_candidates(
+        runs([300.0, 192.0]), runs([60.0, 60.0, 60.0]), 4, 16
+    )
+    assert cand["scaling_efficiency"] == 0.8
+    assert cand["efficiency_basis"] in ("min_of_level", "position_1", "bracket_1")
+
 
 # --- temporal.asof_join (distributed as-of; union-merge formulation) ------
 
