@@ -10,6 +10,10 @@
 ``counts``   watermarked 10-min windowed span counts
 ``merge``    foreachBatch keyed MERGE upsert into the bucketed turns
              table (effectively-once under checkpoint replay)
+``admit``    foreachBatch content-hash corpus admission (streaming twin
+             of incremental_dedup: keep-first within batch, anti-join
+             the standing admitted corpus; replay-idempotent by the
+             admission semantics themselves)
 """
 
 from __future__ import annotations
@@ -27,7 +31,8 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="extract",
-                    choices=["extract", "dedup", "tracker", "counts", "merge"])
+                    choices=["extract", "dedup", "tracker", "counts",
+                             "merge", "admit"])
     ap.add_argument("--timeout-sec", type=int, default=300)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -51,6 +56,19 @@ def main() -> None:
         )
         n = spark.read.parquet(os.path.join(args.output, "turns_merged")).count()
         print(json.dumps({"mode": args.mode, "output_rows": n}))
+        spark.stop()
+        return
+    if args.mode == "admit":
+        stats = sp.run_streaming_dedup_admission(
+            spark, args.input,
+            os.path.join(args.output, "corpus_admitted"),
+            os.path.join(args.output, "_admit_checkpoint"),
+            timeout_sec=args.timeout_sec,
+        )
+        n = spark.read.parquet(
+            os.path.join(args.output, "corpus_admitted")
+        ).count()
+        print(json.dumps({"mode": args.mode, "output_rows": n, **stats}))
         spark.stop()
         return
     runner[args.mode](spark, args.input, args.output, timeout_sec=args.timeout_sec)

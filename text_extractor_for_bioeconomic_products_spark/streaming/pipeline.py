@@ -193,6 +193,105 @@ class InjectedCrash(RuntimeError):
     would double-apply the batch on restart."""
 
 
+def run_streaming_dedup_admission(
+    spark: SparkSession,
+    input_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    crash_after_batches: int | None = None,
+    timeout_sec: int = 300,
+) -> dict:
+    """Continuous corpus admission — the streaming face of
+    ``operators.dedup.incremental_dedup_census`` (which is the batch
+    census of the same decision): each micro-batch keeps ONE row per
+    normalized-content hash (keep-first within the batch, deterministic
+    (conv_id, turn_idx) order) and anti-joins the standing ADMITTED
+    corpus on that hash before appending — so the admitted table never
+    holds two rows with the same content.
+
+    Delivery semantics: the file-source checkpoint gives at-least-once
+    foreachBatch invocations; here the admission predicate ITSELF is the
+    idempotency mechanism.  If the driver dies after a batch's append
+    but before its offset commit (the ``crash_after_batches`` window),
+    the replayed batch re-derives the same candidate set and the
+    anti-join now rejects every row the dead attempt already admitted —
+    replay converges to the identical corpus instead of duplicating it.
+    The MERGE sink above needs key-conditioned overwrite for this
+    property; admission gets it from its own semantics.
+
+    100 TB shape: the standing side reduces to its ``content_hash``
+    column before the join (32-hex uniform key, column-pruned read of
+    the admitted parquet); at deployment scale that column is the
+    incrementally-maintained hash index a real pipeline keeps alongside
+    the corpus, not a rescan.  Within-batch keep-first and the
+    membership join key on the SAME hash, so the window reuses the
+    join's partitioning — one shuffle of the (small) micro-batch.
+    Reference analog: the duplicate-skip branch of the reference's
+    batch scan loop (`src/core/text_extractor.py`), lifted to a
+    continuously-ingested corpus.
+    """
+    from pyspark.sql import Window
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    seen = {"batches": 0, "admitted": 0, "rejected_standing": 0,
+            "rejected_within_batch": 0, "admitted_by_batch": []}
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        cand = batch_df.withColumn("content_hash", F.md5(norm)).persist()
+        n_batch = cand.count()
+        first = F.row_number().over(
+            Window.partitionBy("content_hash").orderBy("conv_id", "turn_idx")
+        )
+        uniq = (
+            cand.withColumn("__rn", first)
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        n_uniq = uniq.count()
+        from pyspark.errors import AnalysisException
+
+        try:
+            # schema read lists the dir eagerly, snapshotting the standing
+            # corpus BEFORE this batch's own append lands
+            standing = (
+                spark.read.parquet(admitted_dir)
+                .select("content_hash").distinct()
+            )
+            fresh = uniq.join(standing, "content_hash", "left_anti").persist()
+        except AnalysisException:  # first batch: no admitted output yet
+            fresh = uniq.persist()
+        n_fresh = fresh.count()
+        fresh.write.mode("append").parquet(admitted_dir)
+        fresh.unpersist()
+        cand.unpersist()
+        seen["batches"] += 1
+        seen["admitted"] += n_fresh
+        seen["rejected_standing"] += n_uniq - n_fresh
+        seen["rejected_within_batch"] += n_batch - n_uniq
+        seen["admitted_by_batch"].append(n_fresh)
+        if (
+            crash_after_batches is not None
+            and seen["batches"] >= crash_after_batches
+        ):
+            # append done, checkpoint commit for this batch never happens
+            raise InjectedCrash(f"after batch {batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(admit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return seen
+
+
 def run_streaming_merge_upsert(
     spark: SparkSession,
     input_dir: str,
