@@ -14,6 +14,9 @@
              of incremental_dedup: keep-first within batch, anti-join
              the standing admitted corpus; replay-idempotent by the
              admission semantics themselves)
+``near-admit`` foreachBatch NEAR-dup admission: minhash/LSH bands +
+             within-batch connected components, band-index anti-join
+             vs the standing corpus (the streaming fuzzy-dedup stack)
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="extract",
                     choices=["extract", "dedup", "tracker", "counts",
-                             "merge", "admit"])
+                             "merge", "admit", "near-admit"])
     ap.add_argument("--timeout-sec", type=int, default=300)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -58,16 +61,21 @@ def main() -> None:
         print(json.dumps({"mode": args.mode, "output_rows": n}))
         spark.stop()
         return
-    if args.mode == "admit":
-        stats = sp.run_streaming_dedup_admission(
+    if args.mode in ("admit", "near-admit"):
+        runner_fn = (
+            sp.run_streaming_dedup_admission if args.mode == "admit"
+            else sp.run_streaming_near_dup_admission
+        )
+        out_sub = (
+            "corpus_admitted" if args.mode == "admit" else "corpus_near"
+        )
+        stats = runner_fn(
             spark, args.input,
-            os.path.join(args.output, "corpus_admitted"),
+            os.path.join(args.output, out_sub),
             os.path.join(args.output, "_admit_checkpoint"),
             timeout_sec=args.timeout_sec,
         )
-        n = spark.read.parquet(
-            os.path.join(args.output, "corpus_admitted")
-        ).count()
+        n = spark.read.parquet(os.path.join(args.output, out_sub)).count()
         print(json.dumps({"mode": args.mode, "output_rows": n, **stats}))
         spark.stop()
         return

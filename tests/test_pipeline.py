@@ -1070,6 +1070,99 @@ def test_streaming_dedup_admission_replay_idempotent(
     assert recomputed.count() == 0
 
 
+def test_streaming_near_dup_admission(spark, tmp_path):
+    """NEAR-dup admission: within one micro-batch a near cluster (exact
+    copy + one-word variant) collapses to its (conv_id, turn_idx)-min;
+    across batches a later variant is rejected against the standing band
+    index; crash-replay admits nothing twice.  Fixture texts are chosen
+    so the planted variants share LSH bands deterministically (md5 is
+    fixed) and the premise is asserted before the semantics."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from text_extractor_for_bioeconomic_products_spark.streaming.pipeline import (
+        run_streaming_near_dup_admission,
+    )
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    A_near = A + " lambda"     # same-batch near variant of A
+    A2 = A + " sigma"          # later-batch near variant of A
+    C = "one two three four five six seven eight nine ten"
+    D = "red orange yellow green blue indigo violet pink brown black"
+    ts = datetime.datetime(2026, 1, 1)
+
+    def tdf(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", t, None, ts) for c, i, t in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    # premise: the variants collide on >=1 band; the unique docs don't
+    def band_set(text):
+        one = tdf([("x", 0, text)])
+        sig = minhash_signatures(one, id_col="conv_id").collect()[0]
+        return {
+            f"{b}:{sig[f'sig_{2 * b}'][:8]}|{sig[f'sig_{2 * b + 1}'][:8]}"
+            for b in range(2)
+        }
+
+    assert band_set(A) & band_set(A_near)
+    assert band_set(A) & band_set(A2)
+    assert not (band_set(A) & band_set(C))
+    assert not (band_set(C) & band_set(D))
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    admitted = str(tmp_path / "corpus_near")
+    ckpt = str(tmp_path / "ckpt")
+
+    # file-per-batch (maxFilesPerTrigger=1): each mini-DF becomes one
+    # part file placed directly in the stream dir
+    def add_batch(name, rows):
+        import shutil
+
+        scratch = tmp_path / f"scratch_{name}"
+        tdf(rows).coalesce(1).write.parquet(str(scratch))
+        part = next(scratch.glob("part-*.parquet"))
+        shutil.move(str(part), str(in_dir / f"{name}.parquet"))
+
+    # batch 1 carries the within-batch cluster {A, A_exact, A_near} +
+    # unique C; batch 2 the cross-batch variant A2 + unique D
+    add_batch("b1", [("c1", 0, A), ("c1", 1, A), ("c2", 0, A_near), ("c3", 0, C)])
+    add_batch("b2", [("c4", 0, A2), ("c5", 0, D)])
+
+    with pytest.raises(Exception) as exc_info:
+        run_streaming_near_dup_admission(
+            spark, str(in_dir), admitted, ckpt, crash_after_batches=1
+        )
+    assert "InjectedCrash" in str(exc_info.value) or "after batch" in str(
+        exc_info.value
+    )
+    # restart: the crashed batch replays (append committed, offset not)
+    stats = run_streaming_near_dup_admission(spark, str(in_dir), admitted, ckpt)
+    assert stats["batches"] >= 1
+
+    got = spark.read.parquet(admitted)
+    texts = {r["text"] for r in got.collect()}
+    # exactly one member of the A-family survives, plus the two uniques —
+    # regardless of which file the source scheduled first
+    assert len(texts & {A, A_near, A2}) == 1
+    assert C in texts and D in texts
+    assert got.count() == 3
+    # within the batch that held the cluster, the survivor is the
+    # (conv_id, turn_idx) minimum of ITS batch's members
+    if A in texts or A_near in texts:
+        surv = got.filter(F.col("text").isin([A, A_near])).collect()[0]
+        assert (surv["conv_id"], surv["turn_idx"]) == ("c1", 0)
+    # admitted rows carry their bands (the standing index column)
+    assert "bands" in got.columns
+    assert got.filter(F.size("bands") != 2).count() == 0
+
+
 def test_fuzzy_dedup_apply_drops_non_canonical(spark, tmp_path):
     """Census → action: in a planted near-dup pair only the higher
     doc_id drops; the unique doc and the canonical survive."""

@@ -390,6 +390,161 @@ def run_streaming_merge_upsert(
     return seen
 
 
+def run_streaming_near_dup_admission(
+    spark: SparkSession,
+    input_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    crash_after_batches: int | None = None,
+    timeout_sec: int = 300,
+) -> dict:
+    """NEAR-duplicate corpus admission — the streaming composition of the
+    batch fuzzy-dedup stack (`minhash_signatures` → band keys →
+    `connected_components` → keep-min, all reused verbatim from
+    ``operators.dedup``): a micro-batch row is admitted only if it is the
+    (conv_id, turn_idx)-minimal member of its within-batch near-dup
+    cluster AND none of its LSH bands already stand in the admitted
+    corpus.
+
+    Band collision IS the rejection decision (the Gopher/RefinedWeb
+    convention; the batch-side `dup_components` applies the same rule,
+    with its recall/precision characteristics measured in the ANN/dedup
+    ledgers).  Exact duplicates are subsumed: identical text ⇒ identical
+    signatures ⇒ identical bands ⇒ same cluster.
+
+    Replay idempotency again comes from the semantics, not a
+    transactional sink: a batch whose append committed but whose offset
+    did not re-derives the same survivors on restart, and every one of
+    them now collides with its own standing bands — the replay admits
+    nothing.  (Same property as the exact-hash sink above, one level up
+    the similarity hierarchy.)
+
+    100 TB shape: signatures/bands are narrow per-row expressions (zero
+    shuffle before the band key — the plan-pinned property of
+    `minhash_signatures`); the standing side reduces to its distinct
+    band keys (the column-pruned band INDEX of the admitted table, which
+    a deployment maintains incrementally); within-batch clustering runs
+    on star edges (member → band-min), bounded by micro-batch size.
+    """
+    from pyspark.sql import Window
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import (
+        LSH_BAND_ROWS,
+        N_LSH_BANDS,
+        connected_components,
+        minhash_signatures,
+    )
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    seen = {"batches": 0, "admitted": 0, "rejected_within_batch": 0,
+            "rejected_standing": 0, "rejected_null_text": 0,
+            "admitted_by_batch": []}
+
+    # identical band-key construction to minhash_band_census, over the
+    # sig_ columns minhash_signatures emits
+    band_array = F.array(*[
+        F.concat(
+            F.lit(f"{b}:"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.substring(f"sig_{LSH_BAND_ROWS * b + j}", 1, 8)
+                    for j in range(LSH_BAND_ROWS)
+                ],
+            ),
+        )
+        for b in range(N_LSH_BANDS)
+    ])
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        n_input = batch_df.count()
+        # numeric row key: connected_components' convergence check sums
+        # labels as decimal, so node ids must be numeric; keep-first
+        # determinism does NOT ride on this key (the component window
+        # below orders by the real (conv_id, turn_idx))
+        rows = batch_df.filter(F.col("text").isNotNull()).withColumn(
+            "row_key", F.xxhash64("conv_id", "turn_idx")
+        )
+        sigs = minhash_signatures(rows, id_col="row_key").withColumn(
+            "bands", band_array
+        ).select("row_key", "bands")
+        rows = rows.join(sigs, "row_key").persist()
+        n_rows = rows.count()
+        exploded = rows.select("row_key", F.explode("bands").alias("band"))
+        # within-batch star edges: every band member links to the band min
+        band_min = F.min("row_key").over(Window.partitionBy("band"))
+        edges = (
+            exploded.withColumn("m", band_min)
+            .filter(F.col("row_key") != F.col("m"))
+            .select(F.col("row_key").alias("doc_a"), F.col("m").alias("doc_b"))
+            .distinct()
+        )
+        comps = connected_components(edges)
+        # drop every clustered member except the (conv_id, turn_idx) min
+        # (members is the comma-joined string form the CC contract emits)
+        member = comps.select(
+            F.col("component"),
+            F.explode(
+                F.transform(F.split("members", ","), lambda x: x.cast("long"))
+            ).alias("row_key"),
+        ).join(rows.select("row_key", "conv_id", "turn_idx"), "row_key")
+        rn = F.row_number().over(
+            Window.partitionBy("component").orderBy("conv_id", "turn_idx")
+        )
+        losers = (
+            member.withColumn("rn", rn).filter(F.col("rn") > 1)
+            .select("row_key")
+        )
+        survivors = rows.join(losers, "row_key", "left_anti")
+        try:
+            standing_bands = (
+                spark.read.parquet(admitted_dir)
+                .select(F.explode("bands").alias("band")).distinct()
+            )
+            collided = (
+                survivors.select("row_key", F.explode("bands").alias("band"))
+                .join(standing_bands, "band", "left_semi")
+                .select("row_key").distinct()
+            )
+            fresh = survivors.join(collided, "row_key", "left_anti").persist()
+        except AnalysisException:  # first batch: no admitted output yet
+            fresh = survivors.persist()
+        n_fresh = fresh.count()
+        n_survivors = survivors.count()
+        fresh.drop("row_key").write.mode("append").parquet(admitted_dir)
+        fresh.unpersist()
+        rows.unpersist()
+        batch_df.unpersist()
+        seen["batches"] += 1
+        seen["admitted"] += n_fresh
+        seen["rejected_within_batch"] += n_rows - n_survivors
+        seen["rejected_standing"] += n_survivors - n_fresh
+        seen["rejected_null_text"] += n_input - n_rows
+        seen["admitted_by_batch"].append(n_fresh)
+        if (
+            crash_after_batches is not None
+            and seen["batches"] >= crash_after_batches
+        ):
+            raise InjectedCrash(f"after batch {batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(admit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return seen
+
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, "
     "event_type string, value double"
