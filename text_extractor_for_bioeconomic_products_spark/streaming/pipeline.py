@@ -426,6 +426,15 @@ def run_streaming_near_dup_admission(
     band keys (the column-pruned band INDEX of the admitted table, which
     a deployment maintains incrementally); within-batch clustering runs
     on star edges (member → band-min), bounded by micro-batch size.
+
+    The index is DERIVED from the admitted table rather than dual-written
+    to its own directory on purpose: with two non-atomic appends, a crash
+    between them either loses rows (index-first: the replay rejects rows
+    the corpus never got) or duplicates them (corpus-first: the replay's
+    index misses what the corpus holds) depending on write order.  One
+    physical commit point keeps replay exact; a deployment that wants a
+    materialized index commits corpus + index in one atomic snapshot —
+    exactly what ``plans.versioned.commit_merge`` provides.
     """
     from pyspark.sql import Window
 
