@@ -1070,6 +1070,73 @@ def test_streaming_dedup_admission_replay_idempotent(
     assert recomputed.count() == 0
 
 
+def test_bloom_membership_forced_false_positives(spark):
+    """Bloom census semantics under a deliberately tiny cell space
+    (hex_chars=1 ⇒ 16 cells): every count — members, might-contains,
+    false positives, cells set — equals a pure-hashlib recomputation of
+    the identical md5 construction, and a true member can never be a
+    false negative (positions are deterministic)."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        bloom_membership_census,
+    )
+
+    corpus_texts = [f"corpus doc number {i} with some words" for i in range(8)]
+    probes = [f"probe text variant {j} entirely different" for j in range(30)]
+    batch_texts = [corpus_texts[0]] + probes  # one true member + probes
+
+    def h(t):
+        return hashlib.md5(
+            re.sub(r"\s+", " ", t).strip().lower().encode()
+        ).hexdigest()
+
+    def cells_of(t, k=3, hexc=1):
+        return [
+            hashlib.md5(f"bloom{i}:{h(t)}".encode()).hexdigest()[:hexc]
+            for i in range(k)
+        ]
+
+    cellset = {c for t in corpus_texts for c in cells_of(t)}
+    corpus_hs = {h(t) for t in corpus_texts}
+    exp_exact = sum(h(t) in corpus_hs for t in batch_texts)
+    exp_might = sum(
+        all(c in cellset for c in cells_of(t)) for t in batch_texts
+    )
+    exp_fp = sum(
+        all(c in cellset for c in cells_of(t)) and h(t) not in corpus_hs
+        for t in batch_texts
+    )
+    assert exp_fp > 0  # the fixture must actually force collisions
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    row = bloom_membership_census(corpus, batch, hex_chars=1).collect()[0]
+    assert row["n_batch"] == len(batch_texts)
+    assert row["n_exact_members"] == exp_exact == 1
+    assert row["n_might_contain"] == exp_might
+    assert row["n_false_positives"] == exp_fp
+    assert row["cells_set"] == len(cellset)
+    assert row["fp_rate"] == round(
+        exp_fp / (len(batch_texts) - exp_exact), 4
+    )
+    assert row["load_factor"] == round(len(cellset) / 16, 4)
+    # no false negatives, ever: a member's cells are set by construction
+    assert row["n_might_contain"] >= row["n_exact_members"]
+    # default cell space on an empty-overlap pair: zero members and a
+    # fp_expected consistent with the measured load
+    clean = bloom_membership_census(corpus, batch).collect()[0]
+    assert clean["n_exact_members"] == 1
+    assert clean["load_factor"] < 0.001
+
+
 def test_streaming_near_dup_admission(spark, tmp_path):
     """NEAR-dup admission: within one micro-batch a near cluster (exact
     copy + one-word variant) collapses to its (conv_id, turn_idx)-min;

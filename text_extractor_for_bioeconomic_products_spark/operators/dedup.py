@@ -1271,6 +1271,168 @@ ORACLE_INCREMENTAL_DEDUP = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (relational formulation)
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 3          # hash functions per item
+BLOOM_HEX = 5        # cell key = 5 hex chars ⇒ 16^5 = 1,048,576 cells
+
+
+def _bloom_positions(hcol, k: int = BLOOM_K, hex_chars: int = BLOOM_HEX):
+    """k cell keys per item: substr(md5('bloom<i>:' || h), 1, hex_chars).
+    String cells instead of bit offsets so the construction is byte-
+    identical in Spark and DuckDB (no hex→int conversion, whose
+    width/sign semantics differ between engines)."""
+    return F.array(*[
+        F.substring(
+            F.md5(F.concat(F.lit(f"bloom{i}:"), hcol)), 1, hex_chars
+        )
+        for i in range(k)
+    ])
+
+
+def bloom_membership_census(
+    corpus: DataFrame, batch: DataFrame, text_col: str = "text",
+    k: int = BLOOM_K, hex_chars: int = BLOOM_HEX,
+) -> DataFrame:
+    """Bloom-filter admission census — the O(cells) membership path for
+    when even the content-hash index is too big to join: the standing
+    corpus reduces to its DISTINCT set cells (≤ 16^5 rows FOREVER,
+    regardless of corpus size — the compaction a bit array gives,
+    expressed relationally so it stays a plain equi-join Catalyst can
+    broadcast), and a batch row "might be a member" iff all k of its
+    cells are set.  False positives are the price; this census measures
+    them against the exact twin IN-BAND — the same
+    approximate-op-ships-its-error discipline as the HLL / GK /
+    Misra-Gries sketches (`relational.py`) and the ANN recall ledgers.
+
+    Deterministic across engines: cells are md5-derived strings, so the
+    measured fp_rate is itself oracle-checked, and fp_expected =
+    load_factor^k (the classic bound with k independent probes) ships
+    alongside for the comparison a deployment tunes cells/k against.
+    Reference analog: the seen-hash duplicate-skip set of the
+    reference's batch scan loop (`src/core/text_extractor.py`), replaced
+    by a fixed-size structure when the seen-set no longer fits.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    corpus_h = corpus.filter(F.col(text_col).isNotNull()).select(
+        F.md5(norm).alias("h")
+    )
+    batch_h = batch.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", F.md5(norm).alias("h")
+    )
+    cells = (
+        corpus_h.select(F.explode(_bloom_positions(F.col("h"), k, hex_chars)).alias("cell"))
+        .distinct()
+    )
+    batch_cells = batch_h.select(
+        "doc_id", F.explode(_bloom_positions(F.col("h"), k, hex_chars)).alias("cell")
+    )
+    hits = (
+        batch_cells.join(cells, "cell", "left_semi")
+        .groupBy("doc_id").agg(F.count("*").alias("hits"))
+    )
+    exact = corpus_h.distinct().withColumn("in_corpus", F.lit(1))
+    flagged = (
+        batch_h.join(hits, "doc_id", "left")
+        .join(exact, "h", "left")
+        .select(
+            (F.coalesce(F.col("hits"), F.lit(0)) == k).alias("might"),
+            F.col("in_corpus").isNotNull().alias("member"),
+        )
+    )
+    n_cells = F.lit(16 ** hex_chars)
+    agg = flagged.agg(
+        F.count("*").alias("n_batch"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).alias("n_exact_members"),
+        F.sum(F.when(F.col("might"), 1).otherwise(0)).alias("n_might_contain"),
+        F.sum(
+            F.when(F.col("might") & ~F.col("member"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+    )
+    bits = cells.agg(F.count("*").alias("cells_set"))
+    return agg.crossJoin(F.broadcast(bits)).select(
+        "n_batch", "n_exact_members", "n_might_contain", "n_false_positives",
+        F.round(
+            (
+                F.col("n_false_positives")
+                / F.greatest(F.col("n_batch") - F.col("n_exact_members"), F.lit(1))
+            ).cast("decimal(18,10)"),
+            4,
+        ).cast("double").alias("fp_rate"),
+        "cells_set",
+        F.round(
+            (F.col("cells_set") / n_cells).cast("decimal(18,10)"), 4
+        ).cast("double").alias("load_factor"),
+        F.round(
+            F.pow(F.col("cells_set") / n_cells, F.lit(k))
+            .cast("decimal(18,10)"),
+            4,
+        ).cast("double").alias("fp_expected"),
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents split by the incremental-dedup convention: standing
+    corpus (doc_id % NEW_BATCH_MOD != 0) vs new arrivals (== 0)."""
+    docs = load(spark, sf_dir, "documents")
+    return bloom_membership_census(
+        docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0),
+        docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0),
+    )
+
+
+ORACLE_BLOOM_MEMBERSHIP = f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,
+               (doc_id % {NEW_BATCH_MOD} = 0) AS is_batch
+        FROM documents WHERE text IS NOT NULL
+    ),
+    seeds AS (SELECT unnest(range({BLOOM_K})) AS i),
+    cells AS (
+        SELECT DISTINCT substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || h),
+                               1, {BLOOM_HEX}) AS cell
+        FROM hashed, seeds WHERE NOT is_batch
+    ),
+    bhits AS (
+        SELECT bp.doc_id, count(c.cell) AS hits
+        FROM (
+            SELECT doc_id,
+                   substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || h),
+                          1, {BLOOM_HEX}) AS cell
+            FROM hashed, seeds WHERE is_batch
+        ) bp LEFT JOIN cells c ON bp.cell = c.cell
+        GROUP BY bp.doc_id
+    ),
+    flagged AS (
+        SELECT (bh.hits = {BLOOM_K}) AS might,
+               b.h IN (SELECT h FROM hashed WHERE NOT is_batch) AS member
+        FROM hashed b JOIN bhits bh USING (doc_id)
+        WHERE b.is_batch
+    ),
+    agg AS (
+        SELECT count(*) AS n_batch,
+               CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_members,
+               CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS n_might_contain,
+               CAST(sum(CASE WHEN might AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+        FROM flagged
+    )
+    SELECT n_batch, n_exact_members, n_might_contain, n_false_positives,
+           CAST(round(CAST(n_false_positives::DOUBLE
+                 / greatest(n_batch - n_exact_members, 1) AS DECIMAL(18,10)), 4)
+                AS DOUBLE) AS fp_rate,
+           (SELECT count(*) FROM cells) AS cells_set,
+           CAST(round(CAST((SELECT count(*) FROM cells)::DOUBLE
+                 / {16 ** BLOOM_HEX} AS DECIMAL(18,10)), 4) AS DOUBLE) AS load_factor,
+           CAST(round(CAST(pow((SELECT count(*) FROM cells)::DOUBLE
+                 / {16 ** BLOOM_HEX}, {BLOOM_K}) AS DECIMAL(18,10)), 4)
+                AS DOUBLE) AS fp_expected
+    FROM agg
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -1283,6 +1445,7 @@ QUERIES = {
     "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
     "duplicate_passages": q_duplicate_passages,
     "incremental_dedup": q_incremental_dedup,
+    "bloom_membership": q_bloom_membership,
 }
 
 ORACLE_SQL = {
@@ -1297,4 +1460,5 @@ ORACLE_SQL = {
     "fuzzy_dedup_apply": ORACLE_FUZZY_DEDUP_APPLY,
     "duplicate_passages": ORACLE_DUPLICATE_PASSAGES,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
 }
