@@ -598,3 +598,23 @@ def test_write_target_sized_codec(spark, sf01_dir, tmp_path):
     ub = sum(os.path.getsize(f) for f in glob.glob(os.path.join(u, "*.parquet")))
     assert zb < 0.8 * ub, (zb, ub)
     assert spark.read.parquet(z).count() == spark.read.parquet(u).count() == df.count()
+
+
+def test_bloom_membership_broadcasts_cell_set(spark, sf001_dir):
+    """The bloom census's standing side (the distinct-cells table,
+    <= 16^5 rows forever) must reach the membership probe as a
+    broadcast: a sort-merge or shuffled-hash join there would shuffle
+    the BATCH on the cell key, defeating the O(cells) design.  The only
+    nested-loop join allowed is the final single-row-aggregate
+    crossJoin (the repo's established census idiom)."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        q_bloom_membership,
+    )
+
+    df = q_bloom_membership(spark, sf001_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # exactly one BNLJ: the 1-row x 1-row census-assembly crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
