@@ -84,6 +84,7 @@ _DEFERRED_STAPLES = [
     # verified tier (oracle swept at sf0.01+sf0.1, driver-contract mirror
     # test); same policy as round 3's late additions
     "bloom_membership",
+    "label_centroid_sim",
     # ROTATED BACK IN for round 5 (VERDICT r4 #5): the 12 queries whose
     # only driver green was r2 — doc_token_stats, dedup_exact,
     # stratified_sample, curation_pipeline, benchmark_contamination_ngram,

@@ -1070,6 +1070,47 @@ def test_streaming_dedup_admission_replay_idempotent(
     assert recomputed.count() == 0
 
 
+def test_centroid_similarity_planted_geometry(spark):
+    """Label-centroid cosine census on hand-built geometry: centroids
+    along orthogonal axes read 0.0, an identical-direction pair reads
+    1.0, and an opposed pair reads -1.0; per-label counts survive."""
+    from text_extractor_for_bioeconomic_products_spark.operators.clustering import (
+        centroid_similarity_census,
+    )
+
+    def vec(axis, scale, dim=4):
+        v = [0.0] * dim
+        v[axis] = scale
+        return v
+
+    rows = (
+        # label 0: x-axis (2 vectors, mean direction +x)
+        [(0, vec(0, 1.0)), (0, vec(0, 3.0))]
+        # label 1: y-axis — orthogonal to 0
+        + [(1, vec(1, 2.0)), (1, vec(1, 4.0))]
+        # label 2: also +x — parallel to 0
+        + [(2, vec(0, 5.0))]
+        # label 3: -x — opposed to 0
+        + [(3, vec(0, -2.0)), (3, vec(0, -6.0))]
+    )
+    emb = spark.createDataFrame(
+        [(i, l, v) for i, (l, v) in enumerate(rows)],
+        "vec_id long, label int, embedding array<float>",
+    ).select("label", "embedding")
+    got = {
+        (r["label_a"], r["label_b"]): (r["cos_sim"], r["n_a"], r["n_b"])
+        for r in centroid_similarity_census(emb, dim=4).collect()
+    }
+    assert len(got) == 6  # C(4,2)
+    assert got[(0, 1)][0] == 0.0
+    assert got[(0, 2)][0] == 1.0
+    assert got[(0, 3)][0] == -1.0
+    assert got[(1, 2)][0] == 0.0
+    assert got[(2, 3)][0] == -1.0
+    assert got[(0, 1)][1:] == (2, 2)
+    assert got[(0, 2)][2] == 1
+
+
 def test_bloom_membership_forced_false_positives(spark):
     """Bloom census semantics under a deliberately tiny cell space
     (hex_chars=1 ⇒ 16 cells): every count — members, might-contains,

@@ -867,7 +867,106 @@ ORACLE_EMBEDDING_PCA = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Label-centroid separation census
+# ---------------------------------------------------------------------------
+
+
+def centroid_similarity_census(
+    emb: DataFrame, key_col: str = "label", dim: int = PCA_DIM
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding centroids —
+    the separation diagnostic a mixture/quantizer design is tuned
+    against (this census's label geometry is exactly what drove the
+    `ann_ivf_kmeans` finding: label cells recall 0.3 vs 1.0 for learned
+    cells — here that difference is visible as high inter-label
+    centroid similarity).
+
+    Scale shape (the `embedding_pca` moment discipline): vectors reduce
+    position-keyed — posexplode feeds a map-side-partial sum/count per
+    (group, position), ≤ |groups|·dim rows through the exchange
+    regardless of corpus size; the pairwise stage runs on the
+    |groups|-row centroid frame (|groups|² work, corpus-independent).
+    The dot/norm folds iterate positions in fixed ascending order on
+    BOTH engines (left-to-right association), so the doubles agree
+    bit-for-bit given equal centroids.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        emb.select(key_col, F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(key_col, "pos")
+        .agg(
+            (F.sum(F.col("v").cast("double")) / F.count("*")).alias("m"),
+            F.count("*").alias("n"),
+        )
+    )
+    cent = cells.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("c"),
+        F.max("n").alias("n"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.c"), F.col("b.c"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(side):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(f"{side}.c"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return (
+        a.join(b, F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(
+            F.col(f"a.{key_col}").alias(f"{key_col}_a"),
+            F.col(f"b.{key_col}").alias(f"{key_col}_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(
+                (dot / (_norm("a") * _norm("b"))).cast("decimal(18,10)"), 4
+            ).cast("double").alias("cos_sim"),
+        )
+        .orderBy(f"{key_col}_a", f"{key_col}_b")
+    )
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return centroid_similarity_census(load(spark, sf_dir, "embeddings"))
+
+
+def _centroid_sim_sql_duckdb(dim: int = PCA_DIM) -> str:
+    comps = ", ".join(
+        f"sum(embedding[{i + 1}]::DOUBLE) / count(*) AS c{i}"
+        for i in range(dim)
+    )
+    dot = " + ".join(f"a.c{i} * b.c{i}" for i in range(dim))
+    na = " + ".join(f"a.c{i} * a.c{i}" for i in range(dim))
+    nb = " + ".join(f"b.c{i} * b.c{i}" for i in range(dim))
+    return f"""
+        WITH cent AS (
+            SELECT label, count(*) AS n, {comps}
+            FROM embeddings GROUP BY label
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               a.n AS n_a, b.n AS n_b,
+               CAST(round(CAST(({dot}) / (sqrt({na}) * sqrt({nb}))
+                    AS DECIMAL(18,10)), 4) AS DOUBLE) AS cos_sim
+        FROM cent a JOIN cent b ON a.label < b.label
+        ORDER BY label_a, label_b
+    """
+
+
 ORACLE_SQL = {
+    "label_centroid_sim": _centroid_sim_sql_duckdb(),
     "embedding_pca": ORACLE_EMBEDDING_PCA,
     "ann_pq_recall": _pq_oracle_sql(),
     "kmeans_clusters": ORACLE_KMEANS,
@@ -876,6 +975,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "label_centroid_sim": q_label_centroid_sim,
     "embedding_pca": q_embedding_pca,
     "ann_pq_recall": q_ann_pq_recall,
     "kmeans_clusters": q_kmeans_clusters,
