@@ -80,11 +80,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
-    # born round 5 AFTER the window was fixed → straight to the builder-
-    # verified tier (oracle swept at sf0.01+sf0.1, driver-contract mirror
-    # test); same policy as round 3's late additions
-    "bloom_membership",
-    "label_centroid_sim",
+    # deferred final-round rotation: both r3 AND r4 driver-green and
+    # normalize.py is untouched in round 5; their window slots go to the
+    # two round-5-born queries (bloom_membership, label_centroid_sim) so
+    # that the final driver gate leaves ZERO never-driver-checked queries
+    "normalize_use_types",
+    "correct_countries",
     # ROTATED BACK IN for round 5 (VERDICT r4 #5): the 12 queries whose
     # only driver green was r2 — doc_token_stats, dedup_exact,
     # stratified_sample, curation_pipeline, benchmark_contamination_ngram,
