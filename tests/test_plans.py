@@ -618,3 +618,19 @@ def test_bloom_membership_broadcasts_cell_set(spark, sf001_dir):
     assert "ShuffledHashJoin" not in plan
     # exactly one BNLJ: the 1-row x 1-row census-assembly crossJoin
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dsir_ratio_broadcasts_and_topk_takes_ordered(spark):
+    """DSIR's bucket-ratio table is <= DSIR_BUCKETS rows forever, so it
+    must come back onto the feature stream as a broadcast — a sort-merge
+    join there would shuffle the full exploded n-gram stream on the
+    bucket key (256 hot keys at 100 TB: the worst possible exchange).
+    The final selection must plan as TakeOrderedAndProject, not a global
+    sort."""
+    p = plan_of(spark, "dsir_importance")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    # only the single-row totals crossJoin may nest-loop
+    assert p.count("BroadcastNestedLoopJoin") <= 1

@@ -907,6 +907,43 @@ def test_quality_weighted_sample_deterministic_extremes(spark, tmp_path):
         assert r["kept_frac"] == 0.0 and r["n_kept"] == 0
 
 
+def test_dsir_importance_prefers_target_like_docs(spark, tmp_path):
+    """DSIR semantics: a raw-pool document written in the target slice's
+    vocabulary must out-score one written in the raw pool's own
+    vocabulary (that is the whole point of the importance weight), and
+    the selected set must be byte-identical under a different input
+    partitioning (Gumbel coin is a pure function of doc_id)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+
+    rows = []
+    for i in range(15):  # target slice: 'alpha beta' profile
+        rows.append((i, "alpha beta alpha beta alpha", "en", "tgt"))
+    for i in range(15, 30):  # raw-only slice: 'omega gamma' profile
+        rows.append((i, "omega gamma omega gamma omega", "fr", "raw"))
+    rows.append((100, "alpha beta alpha beta alpha", "fr", "probe"))  # target-like
+    rows.append((101, "omega gamma omega gamma omega", "fr", "probe"))  # raw-like
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    p1 = str(tmp_path / "p1")
+    docs.repartition(1).write.parquet(p1 + "/documents.parquet")
+    p8 = str(tmp_path / "p8")
+    docs.repartition(8, "source").write.parquet(p8 + "/documents.parquet")
+
+    q = entry_mod.queries()["dsir_importance"]
+    a = sorted(map(tuple, q(spark, p1).collect()))
+    b = sorted(map(tuple, q(spark, p8).collect()))
+    assert a == b  # partitioning-independent selection
+
+    by_id = {r["doc_id"]: r for r in q(spark, p1).collect()}
+    # 32 docs < top-40 cap, so both probes are present
+    assert by_id[100]["logw"] > by_id[101]["logw"]
+    # and the target-like probe scores like the target slice itself
+    assert by_id[100]["logw"] > 0 > by_id[101]["logw"]
+
+
 def test_misra_gries_bounds_and_summary_size(spark):
     """Per-partition summaries are ≤ k rows; merged estimates obey the
     proven MG bounds (est ≤ true, est ≥ true − n/k) under different

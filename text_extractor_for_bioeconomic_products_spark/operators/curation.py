@@ -473,6 +473,185 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256      # hashed-feature dimensionality (web scale would use ~10k)
+DSIR_ALPHA = 0.5        # Laplace smoothing per bucket
+DSIR_TOP_K = 40
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_log_ratio(feats: DataFrame, is_target) -> DataFrame:
+    """The DSIR bucket-weight table: per hashed-feature-bucket
+    log( p̂_target(b) / p̂_raw(b) ) with add-α smoothing, as an exact
+    DECIMAL(18,10) so downstream per-document sums are order-independent
+    (decimal addition is exact; a double sum's rounding would depend on
+    partitioning).  One groupBy over ≤DSIR_BUCKETS keys — map-side
+    partials reduce each task to ≤256 rows regardless of corpus size."""
+    dist = feats.groupBy("b").agg(
+        F.count("*").alias("nq"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("np"),
+    )
+    tot = dist.agg(F.sum("nq").alias("nq_tot"), F.sum("np").alias("np_tot"))
+    denom = float(DSIR_BUCKETS * DSIR_ALPHA)
+    return dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("np") + F.lit(DSIR_ALPHA))
+                  / (F.col("np_tot") + F.lit(denom)))
+            - F.log((F.col("nq") + F.lit(DSIR_ALPHA))
+                    / (F.col("nq_tot") + F.lit(denom)))
+        ).cast("decimal(18,10)").alias("wf"),
+    )
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much its hashed-n-gram profile looks like a target
+    distribution, then resample with deterministic Gumbel top-k.  The
+    method a pretraining pipeline uses to pull target-domain-like
+    documents out of a 100 TB crawl without training a classifier.
+
+    Features are unigrams + adjacent bigrams hashed into DSIR_BUCKETS
+    buckets (generated IN-ROW before the explode, like the minhash
+    shingles); the target here is the `lang = 'en'` slice of the same
+    corpus (self-contained — no external data).  Importance log-weight
+    logw(d) = Σ_features log(p̂_tgt(b)/p̂_raw(b)) with add-α smoothing;
+    the per-bucket weight is a rounded DECIMAL so the per-doc sum is
+    exact and partitioning-independent.  Selection = top-k by
+    logw + Gumbel(g), g = -ln(-ln(u)) with the same salted-md5 uniform
+    coin as `train_val_test_split` — a pure function of doc_id, so the
+    SELECTED SET is identical across re-runs, repartitions, and engines
+    (this is exactly DSIR's Gumbel-top-k resampling trick, made
+    deterministic).
+
+    Scale shape: narrow map → explode(features) → 256-row bucket agg
+    (map-side combined) → broadcast the tiny ratio table back onto the
+    feature stream → one shuffle on doc_id → TakeOrderedAndProject.
+    No join of two large sides anywhere; the only wide exchange is the
+    per-doc aggregation, keyed on the uniform doc_id.
+
+    Reference analog: the keyword relevance scorer at
+    src/utils/text_preprocessing.py:421 (calculate_relevance_score);
+    DSIR generalizes it to distribution matching over hashed n-grams."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )
+    base = docs.select("doc_id", "lang", "source", words.alias("w"))
+    # Bigrams in-row: sequence(1, size-1) is only valid when size >= 2
+    # (Spark's sequence(1, 0) counts DOWN, unlike DuckDB's empty range).
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> concat(element_at(w, i), '_', element_at(w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "doc_id", "lang", "source",
+        F.explode(F.concat(F.col("w"), bigrams)).alias("f"),
+    ).select(
+        "doc_id", "lang", "source",
+        (F.conv(F.substring(F.md5("f"), 1, 4), 16, 10).cast("long")
+         % DSIR_BUCKETS).alias("b"),
+    )
+    ratio = dsir_log_ratio(feats, F.col("lang") == DSIR_TARGET_LANG)
+    docw = (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count("*").alias("n_feats"), F.sum("wf").alias("logw_dec"))
+    )
+    logw = F.round(F.col("logw_dec"), 4).cast("double")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("dsir:"),
+                                 F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+        + F.lit(0.5)
+    ) / 1000000.0
+    gumbel = -F.log(-F.log(u))
+    scored = docw.select(
+        "doc_id", "lang", "source", "n_feats",
+        logw.alias("logw"),
+        F.round((logw + gumbel).cast("decimal(18,10)"), 4)
+        .cast("double")
+        .alias("sample_key"),
+    )
+    return scored.orderBy(F.desc("sample_key"), "doc_id").limit(DSIR_TOP_K)
+
+
+ORACLE_DSIR_IMPORTANCE = f"""
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS w
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5(f), 1, 4)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, lang, source,
+                   unnest(list_concat(w,
+                       list_transform(range(1, len(w)),
+                                      i -> w[i] || '_' || w[i + 1]))) AS f
+            FROM base
+        )
+    ),
+    dist AS (
+        SELECT b, count(*) AS nq,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                   AS np
+        FROM feat GROUP BY b
+    ),
+    tot AS (SELECT sum(nq) AS nq_tot, sum(np) AS np_tot FROM dist),
+    ratio AS (
+        SELECT b,
+               CAST(ln((np + {DSIR_ALPHA})
+                       / (np_tot + {DSIR_BUCKETS * DSIR_ALPHA}))
+                  - ln((nq + {DSIR_ALPHA})
+                       / (nq_tot + {DSIR_BUCKETS * DSIR_ALPHA}))
+                    AS DECIMAL(18,10)) AS wf
+        FROM dist CROSS JOIN tot
+    ),
+    docw AS (
+        SELECT f.doc_id, f.lang, f.source,
+               count(*) AS n_feats, sum(r.wf) AS logw_dec
+        FROM feat f JOIN ratio r USING (b)
+        GROUP BY f.doc_id, f.lang, f.source
+    ),
+    scored AS (
+        SELECT doc_id, lang, source, n_feats,
+               CAST(round(logw_dec, 4) AS DOUBLE) AS logw,
+               CAST(round(CAST(
+                   CAST(round(logw_dec, 4) AS DOUBLE)
+                   + (-ln(-ln(
+                       ((CAST(('0x' || substr(md5('dsir:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 1000000) + 0.5) / 1000000.0)))
+                   AS DECIMAL(18,10)), 4) AS DOUBLE) AS sample_key
+        FROM docw
+    )
+    SELECT doc_id, lang, source, n_feats, logw, sample_key
+    FROM scored
+    ORDER BY sample_key DESC, doc_id
+    LIMIT {DSIR_TOP_K}
+"""
+
+
 ORACLE_QUALITY_WEIGHTED_SAMPLE = """
     WITH scored AS (
         SELECT source,
@@ -605,6 +784,7 @@ ORACLE_SQL = {
         ORDER BY source
     """,
     "benchmark_contamination_ngram": ORACLE_CONTAMINATION_NGRAM,
+    "dsir_importance": ORACLE_DSIR_IMPORTANCE,
 }
 
 QUERIES = {
@@ -616,4 +796,5 @@ QUERIES = {
     "doc_pii_scrub": q_doc_pii_scrub,
     "benchmark_contamination": q_benchmark_contamination,
     "benchmark_contamination_ngram": q_benchmark_contamination_ngram,
+    "dsir_importance": q_dsir_importance,
 }
