@@ -25,6 +25,7 @@ from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E
     clustering,
     conversation,
     curation,
+    graph,
     multimodal,
     dedup,
     normalize,
@@ -86,6 +87,16 @@ _DEFERRED_STAPLES = [
     # that the final driver gate leaves ZERO never-driver-checked queries
     "normalize_use_types",
     "correct_countries",
+    # deferred final-session rotation: driver-green in ALL FOUR rounds
+    # (r1,r2,r3,r4 — the deepest evidence in the registry) and the
+    # minhash signature/band functions are byte-untouched in round 5;
+    # its slot goes to the round-5-born pagerank_suppliers so the final
+    # gate covers the new iterative-graph family
+    "dedup_minhash_lsh",
+    # deferred final-session rotation: r3 AND r4 driver-green,
+    # rules.py untouched in round 5; slot goes to the round-5-born
+    # gram_novelty (first-occurrence passage attribution census)
+    "fix_scientific_names",
     # ROTATED BACK IN for round 5 (VERDICT r4 #5): the 12 queries whose
     # only driver green was r2 — doc_token_stats, dedup_exact,
     # stratified_sample, curation_pipeline, benchmark_contamination_ngram,
@@ -188,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(multimodal.QUERIES)
     q.update(conversation.QUERIES)
     q.update(bpe.QUERIES)
+    q.update(graph.QUERIES)
     q.update(layout.QUERIES)
     q.update(versioned.QUERIES)
     front = {k: v for k, v in q.items() if k not in _DEFERRED_STAPLES}
@@ -206,5 +218,6 @@ def oracle_sql() -> dict[str, str]:
     o.update(temporal.ORACLE_SQL)
     o.update(normalize.ORACLE_SQL)
     o.update(conversation.ORACLE_SQL)
+    o.update(graph.ORACLE_SQL)
     o.update(layout.ORACLE_SQL)
     return o

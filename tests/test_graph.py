@@ -1,0 +1,86 @@
+"""Graph-operator tests: PageRank correctness on hand-checkable graphs
+plus the driver-query contract on real testdata.
+
+The numeric oracle here is the textbook recurrence computed in pure
+Python on the same adjacency — independent of both Spark and DuckDB
+(the DuckDB unrolled-CTE twin is exercised by jobs/sweep_oracles.py and
+the driver gate).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+    PR_DAMPING,
+    PR_ITERS,
+    pagerank,
+    q_pagerank_suppliers,
+)
+
+
+def _python_pagerank(edge_list, iters=PR_ITERS, d=PR_DAMPING):
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    ranks = {u: 1.0 / n for u in adj}
+    for _ in range(iters):
+        nxt = {}
+        for u in adj:
+            mass = sum(ranks[v] / len(adj[v]) for v in adj[u])
+            nxt[u] = (1.0 - d) / n + d * mass
+        ranks = nxt
+    return ranks
+
+
+@pytest.mark.parametrize(
+    "edge_list",
+    [
+        # path graph: ends must rank below the middle
+        [(1, 2), (2, 3)],
+        # star: hub dominates
+        [(0, 1), (0, 2), (0, 3), (0, 4)],
+        # two triangles bridged by one edge
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        # duplicate + reversed + self edges must not change the graph
+        [(1, 2), (2, 1), (1, 1), (2, 3), (2, 3)],
+    ],
+)
+def test_pagerank_matches_python_recurrence(spark, edge_list):
+    df = spark.createDataFrame(edge_list, "u long, v long")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    want = _python_pagerank(edge_list)
+    assert set(got) == set(want)
+    for node, rank in want.items():
+        assert got[node] == pytest.approx(rank, abs=1e-12)
+
+
+def test_pagerank_mass_conserved_and_degree(spark):
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    rows = pagerank(spark.createDataFrame(edge_list, "u long, v long")).collect()
+    # symmetric graph with no dangling nodes: total mass stays 1.0
+    assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    deg = {r["node"]: r["degree"] for r in rows}
+    assert deg == {1: 3, 2: 2, 3: 3, 4: 2}
+
+
+def test_pagerank_suppliers_contract(spark, sf001_dir):
+    """Driver-query shape on real testdata: one row per supplier that
+    ships ≥1 lineitem, ranks positive, hubs (higher degree) carry more
+    mass in aggregate than leaves."""
+    rows = q_pagerank_suppliers(spark, sf001_dir).collect()
+    assert rows
+    keys = [r["s_suppkey"] for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(r["pagerank"] > 0 for r in rows)
+    by_deg = sorted(rows, key=lambda r: r["degree"])
+    lo = by_deg[: len(rows) // 3] or by_deg
+    hi = by_deg[-(len(rows) // 3):] or by_deg
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean([r["pagerank"] for r in hi]) >= mean(
+        [r["pagerank"] for r in lo]
+    )

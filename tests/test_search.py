@@ -838,6 +838,40 @@ def test_duplicate_passage_planted_fixture(spark):
         assert r["dup_frac"] == round(r["n_dup_grams"] / r["n_grams"], 4)
 
 
+def test_gram_novelty_planted_fixture(spark):
+    """First-occurrence attribution, planted: the first doc owns every
+    one of its grams (novelty 1.0); an exact re-ingest of it owns none
+    (novelty 0.0); a doc sharing a 6-word passage with doc 1 loses
+    exactly the 2 grams inside that passage; a gram-less doc is
+    vacuously novel; and total attributed grams across docs equals the
+    number of distinct grams in the corpus (mass conservation)."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        gram_novelty_stats,
+    )
+
+    shared = "the quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} tail alpha"),
+            (2, f"intro one {shared} tail alpha"),
+            (3, f"other beginning {shared} closing words"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gram_novelty_stats(docs).collect()}
+    assert rows[1]["novelty"] == 1.0 and rows[1]["n_novel"] == rows[1]["n_grams"]
+    assert rows[2]["novelty"] == 0.0 and rows[2]["n_novel"] == 0
+    assert rows[3]["n_grams"] - rows[3]["n_novel"] == 2
+    assert rows[4]["n_grams"] == 0 and rows[4]["novelty"] == 1.0
+    # corpus distinct grams = doc1's ∪ doc3's, overlapping in the 2
+    # shared-passage grams (doc2 adds nothing); every one attributed once
+    assert (
+        sum(r["n_novel"] for r in rows.values())
+        == rows[1]["n_grams"] + rows[3]["n_grams"] - 2
+    )
+
+
 def test_incremental_dedup_planted_fixture(spark):
     """Batch admission outcomes, planted: a corpus copy is dropped as
     dup_vs_corpus (even when normalization differs by whitespace), the

@@ -1433,6 +1433,150 @@ ORACLE_BLOOM_MEMBERSHIP = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Gram-novelty census: first-occurrence attribution over ingest order.
+# duplicate_passages asks "how much of this doc exists elsewhere";
+# novelty asks the curation-side question "which docs/sources CONTRIBUTE
+# content the corpus hasn't seen yet" — each distinct passage gram is
+# attributed to its first holder (min doc_id = ingest order, matching
+# the keep-first convention above), and a document's novelty is the
+# share of its grams it owns.  This is the dashboard behind
+# ingest-ordering decisions (a source whose novelty decays to ~0 is
+# re-crawling known content).  Reference analog: the reference's
+# keep-first duplicate policy (src/core/batch_processor.py processed-set
+# skip) applied at passage rather than file granularity.
+# ---------------------------------------------------------------------------
+
+
+def gram_novelty_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc novelty: (doc_id, n_grams, n_novel, novelty).
+
+    Scale shape — identical single-shuffle discipline to
+    :func:`duplicate_passage_stats`: grams dedupe in-row, the exploded
+    stream carries only (doc_id, xxhash64(gram)), the first-owner
+    attribution is ONE groupBy-min with map-side partials, and the
+    ownership check joins back on the same 8-byte key (AQE splits hot
+    grams).  Gram-less docs are vacuously novel (novelty 1.0): they
+    contribute nothing already seen.
+    """
+    per_doc = docs.select(
+        "doc_id", _passage_grams(F.col(text_col)).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    pairs = per_doc.select(
+        "doc_id",
+        F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias(
+            "gram_h"
+        ),
+    )
+    first_owner = pairs.groupBy("gram_h").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    novel_counts = (
+        pairs.join(first_owner, "gram_h")
+        .filter(F.col("doc_id") == F.col("first_doc"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.when(F.col("n_grams") == 0, F.lit(1.0)).otherwise(
+                F.round(
+                    (F.col("n_novel") / F.col("n_grams")).cast(
+                        "decimal(18,10)"
+                    ),
+                    4,
+                ).cast("double")
+            ),
+        )
+    )
+
+
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty rollup: which sources still contribute unseen
+    passages, in ingest (doc_id) order of attribution."""
+    docs = load(spark, sf_dir, "documents")
+    stats = gram_novelty_stats(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(stats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_novel").alias("total_novel"),
+            F.round(F.avg(F.col("novelty").cast("decimal(18,10)")), 4)
+            .cast("double")
+            .alias("mean_novelty"),
+            F.sum(F.when(F.col("novelty") < 0.5, 1).otherwise(0)).alias(
+                "n_stale"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_GRAM_NOVELTY = f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(words) >= {PASSAGE_N}
+                        THEN list_transform(
+                            range(1, len(words) - {PASSAGE_N} + 2),
+                            i -> array_to_string(
+                                list_slice(words, i, i + {PASSAGE_N} - 1), ' ')
+                        )
+                        ELSE [] END
+               ) AS grams
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       w -> len(w) > 0
+                   ) AS words
+            FROM documents
+        )
+    ),
+    sized AS (SELECT doc_id, grams, len(grams) AS n_grams FROM per_doc),
+    pairs AS (SELECT doc_id, unnest(grams) AS gram FROM sized),
+    first_owner AS (
+        SELECT gram, min(doc_id) AS first_doc FROM pairs GROUP BY gram
+    ),
+    novel_counts AS (
+        SELECT doc_id, count(*) AS n_novel
+        FROM pairs JOIN first_owner USING (gram)
+        WHERE doc_id = first_doc
+        GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT s.doc_id, s.n_grams,
+               COALESCE(n.n_novel, 0) AS n_novel,
+               CASE WHEN s.n_grams = 0 THEN 1.0
+                    ELSE CAST(round(CAST(COALESCE(n.n_novel, 0)::DOUBLE
+                              / s.n_grams AS DECIMAL(18,10)), 4) AS DOUBLE)
+               END AS novelty
+        FROM sized s LEFT JOIN novel_counts n USING (doc_id)
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(st.n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(st.n_novel) AS BIGINT) AS total_novel,
+           CAST(round(avg(CAST(st.novelty AS DECIMAL(18,10))), 4) AS DOUBLE)
+               AS mean_novelty,
+           CAST(sum(CASE WHEN st.novelty < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stale
+    FROM documents d JOIN stats st USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -1446,6 +1590,7 @@ QUERIES = {
     "duplicate_passages": q_duplicate_passages,
     "incremental_dedup": q_incremental_dedup,
     "bloom_membership": q_bloom_membership,
+    "gram_novelty": q_gram_novelty,
 }
 
 ORACLE_SQL = {
@@ -1461,4 +1606,5 @@ ORACLE_SQL = {
     "duplicate_passages": ORACLE_DUPLICATE_PASSAGES,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
+    "gram_novelty": ORACLE_GRAM_NOVELTY,
 }

@@ -1,0 +1,183 @@
+"""Graph operators (graft extension): fixed-iteration PageRank over a
+co-occurrence graph derived from the relational tables.
+
+The reference ranks extraction sources implicitly (keep-first order,
+confidence sort — src/core/batch_processor.py's scheduling and
+src/storage/database.py's latest-run-wins upsert); a web-scale curation
+pipeline needs an explicit link-analysis rank: which suppliers (hosts,
+domains, sources) sit at the center of the purchase (link) graph.  This
+module implements the canonical distributed formulation — synchronous
+power iteration with a damping factor — as a DataFrame loop.
+
+Scale shape (the part that must survive 10^12 edges):
+
+* The edge list is built ONCE: distinct (customer, supplier) pairs out
+  of orders ⋈ lineitem, symmetrized, with the source node's out-degree
+  attached up front.  After that, every iteration joins the static
+  edge table against a rank table of one row per node — the edges
+  never move again.  On a real cluster the edge table would be
+  bucketed/bucket-sorted by ``src`` so the per-iteration shuffle is
+  only the (node, rank) table (8+8 bytes per node), which is the
+  standard Pregel/GraphX partitioning discipline.
+* Each iteration is exactly one shuffle: groupBy(dst) of
+  rank/out-degree contributions with map-side partial sums.  The rank
+  update ``(1-d)/n + d * Σ`` is a narrow projection.
+* The loop runs a FIXED number of iterations (deterministic output, no
+  float-threshold convergence test that could diverge between engines)
+  and severs lineage with one eager localCheckpoint per iteration —
+  the same plan-growth discipline as
+  :func:`..operators.dedup.connected_components_star`.
+* The graph is symmetrized, so every node has out-degree ≥ 1 and the
+  dangling-mass term vanishes — the oracle and the Spark plan compute
+  the identical recurrence.
+
+Oracle: PageRank with K fixed iterations is plain SQL — the power
+iteration unrolls into K chained CTEs (r1..rK), each one groupBy-join
+step.  DuckDB executes the identical arithmetic, so the census is fully
+hash-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def pagerank(edges: DataFrame,
+             iters: int = PR_ITERS,
+             damping: float = PR_DAMPING) -> DataFrame:
+    """Synchronous PageRank over an undirected edge list.
+
+    ``edges`` must have two long columns (u, v); the graph is
+    symmetrized and deduplicated here, so callers pass each undirected
+    edge once in either orientation.  Returns (node, degree, pagerank)
+    for every node incident to ≥1 edge.
+
+    One-time setup: symmetrize + distinct (one shuffle), degree count
+    (one shuffle), then the static (src, dst, outdeg) table is
+    checkpointed.  Per iteration: one groupBy(dst) shuffle of
+    contributions; ranks are one row per node and checkpoint eagerly so
+    iteration k's plan does not replay iterations 1..k-1.
+    """
+    u, v = edges.columns[0], edges.columns[1]
+    sym = (
+        edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+        .union(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # static per-iteration join input: every edge already carries its
+    # source's out-degree, so the loop never touches the degree table
+    linked = sym.join(deg, "src").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node"), "outdeg").localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            linked.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
+        )
+        new_ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.lit(damping) * F.col("mass")).alias("rank"),
+        ).localCheckpoint(eager=True)
+        ranks.unpersist()
+        ranks = new_ranks
+
+    return nodes.join(ranks, "node").select(
+        "node", F.col("outdeg").alias("degree"), "rank"
+    )
+
+
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank census of the supplier side of the customer↔supplier
+    co-purchase graph (an edge per distinct customer-supplier pair that
+    shares ≥1 order line).
+
+    Node encoding keeps the bipartite id spaces disjoint without
+    strings: customer c → 2c, supplier s → 2s+1.  Output is one row per
+    supplier: (s_suppkey, degree = #distinct customers, pagerank
+    rounded via the decimal idiom so Spark and DuckDB emit the same
+    double).
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges)
+    return pr.filter(F.col("node") % 2 == 1).select(
+        ((F.col("node") - 1) / 2).cast("bigint").alias("s_suppkey"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.round(F.col("rank").cast("decimal(28,18)"), 9)
+        .cast("double")
+        .alias("pagerank"),
+    )
+
+
+def _pagerank_sql_duckdb(iters: int = PR_ITERS,
+                         damping: float = PR_DAMPING) -> str:
+    """The identical power iteration unrolled as chained CTEs."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+        SELECT l.dst AS node,
+               (SELECT (1.0 - {damping}) / n FROM nn)
+                   + {damping} * SUM(r.rank / l.outdeg) AS rank
+        FROM linked l JOIN {prev} r ON l.src = r.node
+        GROUP BY l.dst
+    )"""
+        )
+        prev = f"r{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sym AS (
+        SELECT u AS src, v AS dst FROM edges WHERE u <> v
+        UNION
+        SELECT v AS src, u AS dst FROM edges WHERE u <> v
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+    linked AS (SELECT s.src, s.dst, d.outdeg FROM sym s JOIN deg d USING (src)),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+    {chain}
+    SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey,
+           CAST(d.outdeg AS BIGINT) AS degree,
+           CAST(round(CAST(r.rank AS DECIMAL(28,18)), 9) AS DOUBLE)
+               AS pagerank
+    FROM {prev} r JOIN deg d ON r.node = d.src
+    WHERE node % 2 = 1
+"""
+
+
+ORACLE_SQL = {
+    "pagerank_suppliers": _pagerank_sql_duckdb(),
+}
+
+QUERIES = {
+    "pagerank_suppliers": q_pagerank_suppliers,
+}
