@@ -634,3 +634,45 @@ def test_dsir_ratio_broadcasts_and_topk_takes_ordered(spark):
     assert "TakeOrderedAndProject" in p
     # only the single-row totals crossJoin may nest-loop
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pagerank_iteration_shuffle_discipline(spark):
+    """One PageRank iteration must (a) pre-reduce contributions map-side
+    (partial_sum below the dst exchange — a hub's in-mass combines per
+    partition before moving) and (b) read the static edge table from its
+    checkpointed RDD, never recomputing the orders⋈lineitem lineage
+    inside the loop.  The full query's own plan is lineage-severed by the
+    per-iteration localCheckpoint, so the pin is on a manually built
+    iteration over the same operators."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(1, 200)], "u long, v long"
+    )
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .filter("src != dst")
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    linked = sym.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(0.01).alias("rank"))
+    contrib = (
+        linked.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
+    )
+    contrib.collect()
+    p = contrib._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in p
+    assert "Exchange hashpartitioning(dst" in p
+    assert "Scan ExistingRDD" in p  # checkpointed edges, no lineage replay
+    # and the public operator agrees with the manual iteration's graph
+    got = {r["node"]: r["degree"] for r in pagerank(edges).collect()}
+    want = {r["src"]: r["outdeg"] for r in deg.collect()}
+    assert got == want
