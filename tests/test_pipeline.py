@@ -2040,3 +2040,76 @@ def test_jpeg_rejects_non_ycbcr():
     gray = b"\xff\xd8" + sof + b"\xff\xd9"
     with _pytest.raises(NotImplementedError, match="3-component"):
         decode_jpeg(gray)
+
+
+def test_versioned_schema_evolution_add_and_missing_columns(spark, tmp_path):
+    """Iceberg add-column semantics: a commit carrying a NEW column
+    null-fills survivors and untouched buckets; a later commit MISSING a
+    column null-fills its own rows instead of dropping the column; time
+    travel to a pre-evolution snapshot still returns the old schema; and
+    the manifest records each commit's written column list."""
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        _manifest,
+        commit_merge,
+        read_version,
+    )
+
+    table = str(tmp_path / "vtable_evo")
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    base = [(f"c{i}", t, f"c{i} turn {t}") for i in range(6) for t in (0, 1)]
+    commit_merge(
+        spark, table,
+        df(base, "conv_id string, turn_idx int, text string"),
+        run_id="v1", n_buckets=4,
+    )
+    assert set(read_version(spark, table, 1).columns) == {
+        "conv_id", "turn_idx", "text"
+    }
+
+    # v2 adds `lang`, touching only conv c0 (other buckets keep v1 files)
+    commit_merge(
+        spark, table,
+        df([("c0", 0, "c0 revised", "en")],
+           "conv_id string, turn_idx int, text string, lang string"),
+        run_id="v2", n_buckets=4,
+    )
+    cur = read_version(spark, table)
+    assert set(cur.columns) == {"conv_id", "turn_idx", "text", "lang"}
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in cur.collect()}
+    assert rows[("c0", 0)]["lang"] == "en"
+    assert rows[("c0", 0)]["text"] == "c0 revised"
+    # survivor in the same bucket and rows in untouched buckets: lang null
+    assert rows[("c0", 1)]["lang"] is None
+    assert all(
+        r["lang"] is None for k, r in rows.items() if k != ("c0", 0)
+    )
+    assert len(rows) == len(base)
+
+    # v3 lacks `text`: the column must survive with nulls for v3's rows
+    commit_merge(
+        spark, table,
+        df([("c0", 0, "fr"), ("c9", 5, "de")],
+           "conv_id string, turn_idx int, lang string"),
+        run_id="v3", n_buckets=4,
+    )
+    cur3 = {(r["conv_id"], r["turn_idx"]): r
+            for r in read_version(spark, table).collect()}
+    assert set(read_version(spark, table).columns) == {
+        "conv_id", "turn_idx", "text", "lang"
+    }
+    assert cur3[("c0", 0)]["lang"] == "fr" and cur3[("c0", 0)]["text"] is None
+    assert cur3[("c9", 5)]["lang"] == "de" and cur3[("c9", 5)]["text"] is None
+    assert cur3[("c1", 0)]["text"] == "c1 turn 0"
+
+    # time travel: pre-evolution snapshots keep their old schema
+    assert set(read_version(spark, table, 1).columns) == {
+        "conv_id", "turn_idx", "text"
+    }
+    # manifests record what each commit wrote
+    assert _manifest(table, 2)["columns"] == [
+        "conv_id", "turn_idx", "text", "lang"
+    ]
+    assert _manifest(table, 3)["columns"] == ["conv_id", "turn_idx", "lang"]

@@ -48,6 +48,17 @@ granularity, same contract as ``merge_turns``: only buckets containing
 new keys get NEW files; unaffected buckets' files carry over by
 reference in the next manifest — exactly Iceberg's copy-on-write.
 
+Schema evolution (Iceberg add-column semantics): a commit may carry
+columns its base lacks, or lack columns its base has — the per-bucket
+merge unions survivors and incoming BY NAME with null fill in both
+directions, untouched buckets keep their old file schema, and
+``read_version`` reads every snapshot with ``mergeSchema`` so the view
+is always the by-name union with nulls where a file predates a column.
+Time travel still returns the OLD schema for old snapshots (their
+manifests reference only old files).  Each manifest records the column
+list its commit wrote.  Same-named columns must keep a compatible type
+(parquet schema merge refuses conflicting types — rename instead).
+
 Scale: a commit writes one file per affected bucket (bucket count scales
 with the table); manifests list file paths, not rows, so the metadata
 is O(buckets), and time travel costs one JSON read.  The rebase path
@@ -152,7 +163,10 @@ def read_version(
         # only reachable for a table whose every commit was empty — there
         # is no schema on record to synthesize an empty frame from
         raise ValueError(f"snapshot v{v} references no data files")
-    return spark.read.parquet(*files)
+    # mergeSchema: buckets untouched since an add-column commit still
+    # carry the old file schema; the snapshot view is the by-name union
+    # with nulls for columns a file predates (Iceberg add-column reads)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def _upserted_key_files_between(table_dir: str, base: int, tip: int) -> list:
@@ -257,13 +271,20 @@ def commit_merge(
                         shutil.rmtree(prev[0], ignore_errors=True)
                     incoming = keyed.filter(F.col("bucket") == b).drop("bucket")
                     if olds:
-                        existing = spark.read.parquet(*olds)
+                        existing = spark.read.option(
+                            "mergeSchema", "true"
+                        ).parquet(*olds)
                         keys = incoming.select(*KEY_COLS).distinct()
                         survivors = existing.join(
                             keys, list(KEY_COLS), "left_anti"
                         )
+                        # schema evolution (Iceberg add/drop-column): the
+                        # by-name union in BOTH directions — a column new
+                        # in this commit null-fills the survivors, a
+                        # column absent from the source null-fills the
+                        # incoming rows instead of being silently dropped
                         merged = survivors.unionByName(
-                            incoming.select(*existing.columns)
+                            incoming, allowMissingColumns=True
                         )
                     else:
                         merged = incoming
@@ -289,6 +310,10 @@ def commit_merge(
                     "buckets": new_buckets,
                     "new_files": new_files,
                     "key_files": [_rel(table_dir, key_file)],
+                    # the schema this commit WROTE (Iceberg manifests
+                    # record the writer's schema id the same way); the
+                    # snapshot schema is the mergeSchema union over files
+                    "columns": [c for c in keyed.columns if c != "bucket"],
                 }):
                     return {
                         "version": version,
