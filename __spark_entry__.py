@@ -97,6 +97,10 @@ _DEFERRED_STAPLES = [
     # rules.py untouched in round 5; slot goes to the round-5-born
     # gram_novelty (first-occurrence passage attribution census)
     "fix_scientific_names",
+    # deferred final-session rotation: r3 AND r4 driver-green, the
+    # token estimator untouched in round 5; slot goes to the round-5-born
+    # doc_compress_ratio (zlib repetition signal, rows-only)
+    "doc_bpe_tokens",
     # ROTATED BACK IN for round 5 (VERDICT r4 #5): the 12 queries whose
     # only driver green was r2 — doc_token_stats, dedup_exact,
     # stratified_sample, curation_pipeline, benchmark_contamination_ngram,

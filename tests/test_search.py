@@ -1398,3 +1398,49 @@ def test_retention_cohorts_invariants(spark, sf001_dir):
         assert r["n_active"] <= r["cohort_size"]
         if r["offset"] == 0:
             assert r["retention_rate"] == 1.0
+
+
+def test_compression_signal_byte_exact_and_ordered(spark):
+    """The zlib signal must be byte-exact vs the same CPython zlib on
+    every doc, score a repeated-phrase doc far below prose, and treat
+    null/empty text as vacuously incompressible (ratio 1.0)."""
+    import zlib
+
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        doc_compression_signal,
+    )
+
+    prose = (
+        "Quinoa cultivation in the Andean highlands supports thousands "
+        "of smallholder farms with distinct rotations and varieties."
+    )
+    spam = "buy now " * 40
+    docs = spark.createDataFrame(
+        [(1, prose), (2, spam), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in doc_compression_signal(docs).collect()}
+    for doc_id, text in [(1, prose), (2, spam)]:
+        raw = text.encode("utf-8")
+        assert rows[doc_id]["n_bytes"] == len(raw)
+        assert rows[doc_id]["n_compressed"] == len(zlib.compress(raw, 6))
+        assert rows[doc_id]["compress_ratio"] == round(
+            len(zlib.compress(raw, 6)) / len(raw), 4
+        )
+    assert rows[2]["compress_ratio"] < 0.2 < rows[1]["compress_ratio"]
+    for doc_id in (3, 4):
+        assert rows[doc_id]["n_bytes"] == 0
+        assert rows[doc_id]["compress_ratio"] == 1.0
+
+
+def test_doc_compress_ratio_query_contract(spark, sf001_dir):
+    """Driver-query shape: one row per source, ratios in (0, 1] after
+    rounding, totals consistent, repetitive count bounded by n_docs."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["doc_compress_ratio"](spark, sf001_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["mean_ratio"] <= 1.0
+        assert 0 <= r["n_repetitive"] <= r["n_docs"]
+        assert r["total_compressed"] <= max(r["total_bytes"], 1)

@@ -1189,7 +1189,86 @@ ORACLE_LM_QUALITY_BUCKETS = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal.  zlib ratio (compressed/raw bytes)
+# is the classic cheap repetition detector (Dolma/Gopher-family
+# curation stacks use it alongside the n-gram repetition rules in
+# q_doc_repetition): boilerplate, template spam, and char-level
+# repetition compress far below prose.  DEFLATE is not expressible as a
+# Catalyst expression, so this is an Arrow-batched pandas UDF — the
+# sanctioned slow path — and the query is rows-only (no DuckDB zlib);
+# byte-exactness vs the same CPython zlib is test-pinned.
+# Reference analog: the repeated-content guards in the reference's
+# cleaning pass (src/core/text_extractor.py quality heuristics) —
+# generalized to a single content-agnostic signal.
+# ---------------------------------------------------------------------------
+
+COMPRESS_REPETITIVE_MAX = 0.35  # below this, flag as repetitive
+
+
+def doc_compression_signal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc zlib compression ratio: (doc_id, n_bytes, n_compressed,
+    compress_ratio).  One Arrow-batched map over the text column — no
+    shuffle; at 100 TB the only wide op is whatever rollup the caller
+    adds over the emitted narrow struct.  Empty/null text is vacuously
+    incompressible (ratio 1.0) so downstream thresholds never flag it."""
+    def _z(texts):
+        import pandas as pd
+        import zlib
+
+        filled = texts.fillna("")
+        raw = filled.map(lambda t: len(t.encode("utf-8")))
+        comp = filled.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+        return pd.DataFrame({"n_bytes": raw, "n_compressed": comp})
+
+    zudf = F.pandas_udf(_z, "struct<n_bytes:long,n_compressed:long>")
+    z = docs.select("doc_id", zudf(F.col(text_col)).alias("z"))
+    return z.select(
+        "doc_id",
+        F.col("z.n_bytes").alias("n_bytes"),
+        F.col("z.n_compressed").alias("n_compressed"),
+        F.when(F.col("z.n_bytes") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                (F.col("z.n_compressed") / F.col("z.n_bytes")).cast(
+                    "decimal(18,10)"
+                ),
+                4,
+            ).cast("double")
+        )
+        .alias("compress_ratio"),
+    )
+
+
+def q_doc_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression census: the curation dashboard for
+    template/boilerplate-heavy sources.  Rows-only by design (DEFLATE
+    has no SQL twin); determinism and byte-exactness are test-pinned."""
+    docs = load(spark, sf_dir, "documents")
+    sig = doc_compression_signal(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(sig, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_compressed").alias("total_compressed"),
+            F.round(F.avg(F.col("compress_ratio").cast("decimal(18,10)")), 4)
+            .cast("double")
+            .alias("mean_ratio"),
+            F.sum(
+                F.when(
+                    F.col("compress_ratio") < COMPRESS_REPETITIVE_MAX, 1
+                ).otherwise(0)
+            ).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "doc_compress_ratio": q_doc_compress_ratio,
     "lm_quality_buckets": q_lm_quality_buckets,
     "lang_confusion": q_lang_confusion,
     "token_pmi": q_token_pmi,
