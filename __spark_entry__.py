@@ -101,6 +101,13 @@ _DEFERRED_STAPLES = [
     # token estimator untouched in round 5; slot goes to the round-5-born
     # doc_compress_ratio (zlib repetition signal, rows-only)
     "doc_bpe_tokens",
+    # deferred final-session rotation: both r3 AND r4 driver-green with
+    # their implementing functions (normalize.py JSON path, layout.py
+    # bucketing) untouched in round 5; slots go to the round-5-born
+    # graph_distances (BFS layer census, all-integer oracle) and
+    # bpe_encode (tokenizer application, rows-only + pytest-exact)
+    "events_json_extract",
+    "bucketed_join_stats",
     # ROTATED BACK IN for round 5 (VERDICT r4 #5): the 12 queries whose
     # only driver green was r2 — doc_token_stats, dedup_exact,
     # stratified_sample, curation_pipeline, benchmark_contamination_ngram,

@@ -84,3 +84,38 @@ def test_pagerank_suppliers_contract(spark, sf001_dir):
     assert mean([r["pagerank"] for r in hi]) >= mean(
         [r["pagerank"] for r in lo]
     )
+
+
+def test_bfs_distances_planted(spark):
+    """BFS layers on a hand-checkable graph: path 1-2-3-4-5 plus a
+    shortcut 1-4 — node 4 is 1 hop (via shortcut), 5 is 2; and the
+    horizon binds: with rounds=1 node 5 is unreached."""
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "u long, v long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, 1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    one_round = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, 1, rounds=1).collect()
+    }
+    assert one_round == {1: 0, 2: 1, 4: 1}
+
+
+def test_graph_distances_census_consistency(spark, sf001_dir):
+    """Driver-query contract: exactly one source node at dist 0, layer
+    counts sum to the graph's node count, distances within horizon."""
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        BFS_ROUNDS,
+        q_graph_distances,
+    )
+
+    rows = q_graph_distances(spark, sf001_dir).collect()
+    census = {r["dist"]: r["n_nodes"] for r in rows}
+    assert census[0] == 1
+    assert all(-1 <= d <= BFS_ROUNDS for d in census)
+    assert sum(census.values()) > 1

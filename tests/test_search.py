@@ -1363,6 +1363,54 @@ def test_bpe_greedy_overlap_semantics(spark):
     assert toks["aab"] == ["aa", "b"]
 
 
+def test_bpe_encode_matches_reference(spark, sf001_dir):
+    """Encoding the corpus with the learned merges must agree with the
+    pure-Python reference word-by-word: each doc's token count equals
+    the sum of its words' reference tokenizations."""
+    from text_extractor_for_bioeconomic_products_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        reference_bpe,
+        word_frequencies,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+
+    docs = load(spark, sf001_dir, "documents").limit(40).cache()
+    vocab = word_frequencies(docs)
+    wf = {r["w"]: r["freq"] for r in vocab.collect()}
+    merges, _ = bpe_train(vocab)
+    _ref_merges, ref_toks = reference_bpe(wf)
+    got = {r["doc_id"]: r for r in
+           bpe_encode(docs, [(a, b) for a, b, _n in merges]).collect()}
+
+    import re
+
+    for d in docs.select("doc_id", "text").collect():
+        words = [w for w in re.split(r"[^a-z0-9]+", d["text"].lower()) if w]
+        want_tokens = sum(len(ref_toks[w]) for w in words)
+        assert got[d["doc_id"]]["n_words"] == len(words)
+        assert got[d["doc_id"]]["n_tokens"] == want_tokens
+    # merges bind: tokens strictly fewer than characters overall
+    total_chars = sum(
+        len(w) for d in docs.select("text").collect()
+        for w in re.split(r"[^a-z0-9]+", d["text"].lower()) if w
+    )
+    assert sum(r["n_tokens"] for r in got.values()) < total_chars
+
+
+def test_bpe_encode_query_contract(spark, sf001_dir):
+    """Driver-query shape: per-source rows, 1 <= tokens_per_word and
+    tokens never exceed raw characters-per-word bound."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["bpe_encode"](spark, sf001_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] > 0 and r["total_words"] > 0
+        assert r["total_tokens"] >= r["total_words"]  # every word ≥1 token
+        assert 1.0 <= r["tokens_per_word"]
+
+
 def test_gapfilled_series_is_continuous(spark, sf001_dir):
     """The spine closes every hole: consecutive hour_starts differ by
     exactly 1 hour, zero-filled gap rows exist (sparse tier), and the

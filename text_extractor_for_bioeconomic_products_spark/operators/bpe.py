@@ -144,6 +144,75 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text") -> DataFrame:
+    """Apply a learned merge list to a corpus: (doc_id, n_words,
+    n_tokens) per document — the tokenizer-application half of the BPE
+    loop (train above, encode here).
+
+    Entirely JVM-side: explode words (narrow — no shuffle), split to
+    characters, then chain one greedy left-to-right fold per merge in
+    rank order (the exact encoder semantics: merge k applies to the
+    output of merge k-1).  The ONLY shuffle is the final per-doc count
+    rollup.  At 100 TB this is the whole-stage-codegen path — zero
+    Python in the hot loop, unlike a per-row tokenizer UDF."""
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w"),
+    )
+    toks = words.withColumn(
+        "syms", F.filter(F.split("w", "(?!^)"), lambda x: F.length(x) > 0)
+    )
+    for a, b in merges:
+        toks = toks.withColumn("syms", _apply_merge_expr(a, b))
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("syms")).alias("n_tokens"),
+        )
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface: train on the corpus, encode the corpus, report
+    the per-source token census (docs, words, tokens, chars/token-style
+    compression as tokens-per-word).  Rows-only by design, like
+    bpe_merges: the merge list is runtime state a static SQL string
+    cannot carry; encoder byte-exactness vs the pure-Python reference
+    is pytest-pinned (test_bpe_encode_matches_reference)."""
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_frequencies(docs))
+    enc = bpe_encode(docs, [(a, b) for a, b, _n in merges])
+    return (
+        docs.select("doc_id", "source")
+        .join(enc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.avg(
+                    (F.col("n_tokens") / F.col("n_words")).cast(
+                        "decimal(18,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("tokens_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
 }

@@ -174,10 +174,130 @@ def _pagerank_sql_duckdb(iters: int = PR_ITERS,
 """
 
 
+BFS_ROUNDS = 4
+
+
+def bfs_distances(edges: DataFrame, source: int,
+                  rounds: int = BFS_ROUNDS) -> DataFrame:
+    """Fixed-round BFS over an undirected edge list: (node, dist) for
+    every node reached within ``rounds`` hops of ``source``.
+
+    Frontier-free formulation (deterministic, oracle-identical): each
+    round relaxes ALL known distances through every edge and keeps the
+    per-node minimum — Bellman-Ford's round, which for unit weights
+    computes exact BFS layers after k rounds ≤ k hops out.  Per round:
+    one edge⋈dist join + one groupBy-min shuffle (map-side partials);
+    dist rows are (8+4) bytes/node, the edge table is static and
+    checkpointed — the identical shuffle discipline to :func:`pagerank`.
+    A production variant would relax only the newly-reached frontier;
+    relaxing all keeps round k's output a pure function of round k-1's
+    (what the unrolled SQL twin computes) at the same asymptotic shuffle
+    volume for small round counts on short-diameter graphs.
+    """
+    u, v = edges.columns[0], edges.columns[1]
+    sym = (
+        edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+        .union(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = sym.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist int"
+    )
+    for _ in range(rounds):
+        relaxed = sym.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def q_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS layer census of the co-purchase graph from its minimum node
+    (a deterministic source both engines compute identically): one row
+    per distance 0..BFS_ROUNDS with the node count at that layer, plus
+    a dist = -1 row counting nodes not reached within the horizon.
+    All-integer output — no float drift surface at all."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    source = edges.agg(F.min(F.least("u", "v"))).collect()[0][0]
+    dist = bfs_distances(edges, int(source))
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
+    labeled = nodes.join(dist, "node", "left").select(
+        F.coalesce("dist", F.lit(-1)).alias("dist")
+    )
+    return (
+        labeled.groupBy("dist")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.col("dist").cast("int").alias("dist"), "n_nodes")
+        .orderBy("dist")
+    )
+
+
+def _bfs_sql_duckdb(rounds: int = BFS_ROUNDS) -> str:
+    """The identical all-relax rounds unrolled as chained CTEs."""
+    steps = []
+    prev = "d0"
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""d{k} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM sym e JOIN {prev} d ON e.src = d.node
+        ) GROUP BY node
+    )"""
+        )
+        prev = f"d{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sym AS (
+        SELECT u AS src, v AS dst FROM edges WHERE u <> v
+        UNION
+        SELECT v AS src, u AS dst FROM edges WHERE u <> v
+    ),
+    d0 AS (
+        SELECT least(min(u), min(v)) AS node, 0 AS dist FROM edges
+    ),
+    {chain},
+    nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges)
+    SELECT CAST(COALESCE(d.dist, -1) AS INT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM nodes n LEFT JOIN {prev} d USING (node)
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
 ORACLE_SQL = {
     "pagerank_suppliers": _pagerank_sql_duckdb(),
+    "graph_distances": _bfs_sql_duckdb(),
 }
 
 QUERIES = {
     "pagerank_suppliers": q_pagerank_suppliers,
+    "graph_distances": q_graph_distances,
 }
