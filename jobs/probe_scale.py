@@ -8,6 +8,7 @@ the sf0.1 tier, measuring the property each op's SCALE.md row claims.
     python jobs/probe_scale.py bpe      # BPE merge rounds over a 1M-word vocab
     python jobs/probe_scale.py minhash  # band rows vs naive token shuffle, 1M docs
     python jobs/probe_scale.py cc       # star-CC per-round edge contraction, 9.1M edges
+    python jobs/probe_scale.py pagerank # per-iteration rank shuffle on 2M nodes / 8M edges
 
 Deterministic inputs built from spark.range — no external data.
 """
@@ -344,6 +345,63 @@ def probe_cc(spark):
     }
 
 
+def probe_pagerank(spark):
+    """PageRank on a 2M-node / ~8M-sym-edge graph with a planted
+    100k-degree hub.  The claim under test: the per-iteration shuffle
+    payload is the RANK TABLE (one row per node, constant across
+    rounds) while the degree-carrying edge table sits static in its
+    checkpoint — so iteration wall time stays flat instead of growing
+    with lineage, and rank mass stays conserved (Σrank = 1) even under
+    a 100k-degree skew key."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        pagerank,
+    )
+
+    n = 2_000_000
+    n_hub = 100_000
+    ring = spark.range(n).select(
+        F.col("id").alias("u"), ((F.col("id") * 2 + 1) % n).alias("v")
+    )
+    cross = spark.range(n).select(
+        F.col("id").alias("u"), ((F.col("id") * 7 + 3) % n).alias("v")
+    )
+    hub = spark.range(1, n_hub + 1).select(
+        F.lit(0).cast("bigint").alias("u"),
+        ((F.col("id") * 101) % n).alias("v"),
+    )
+    edges = ring.union(cross).union(hub).repartition(64).persist()
+    n_edges_in = edges.count()
+
+    rounds: list = []
+    t0 = time.monotonic()
+    pr = pagerank(edges, round_log=rounds)
+    agg = pr.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("rank").alias("mass"),
+        F.max("degree").alias("max_degree"),
+    ).collect()[0]
+    dt = time.monotonic() - t0
+    hub_rank = pr.filter(F.col("node") == 0).collect()[0]["rank"]
+    edges.unpersist()
+    rank_rows = [r["n_rank_rows"] for r in rounds]
+    secs = [r["sec"] for r in rounds]
+    return {
+        "probe": "pagerank_iterations",
+        "n_edges_in": n_edges_in,
+        "n_nodes": agg["n_nodes"],
+        "per_iteration_rank_rows": rank_rows,
+        "rank_rows_constant": len(set(rank_rows)) == 1
+        and rank_rows[0] == agg["n_nodes"],
+        "per_iteration_sec": secs,
+        "mass_conserved": abs(agg["mass"] - 1.0) < 1e-6,
+        "max_degree": agg["max_degree"],
+        "hub_rank_over_uniform": round(hub_rank * agg["n_nodes"], 1),
+        "sec": round(dt, 1),
+    }
+
+
 PROBES = {
     "mg": probe_mg,
     "pack": probe_pack,
@@ -351,6 +409,7 @@ PROBES = {
     "bpe": probe_bpe,
     "minhash": probe_minhash,
     "cc": probe_cc,
+    "pagerank": probe_pagerank,
 }
 
 
