@@ -29,6 +29,7 @@ from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E
     multimodal,
     dedup,
     normalize,
+    profiling,
     relational,
     similarity,
     temporal,
@@ -108,6 +109,14 @@ _DEFERRED_STAPLES = [
     # bpe_encode (tokenizer application, rows-only + pytest-exact)
     "events_json_extract",
     "bucketed_join_stats",
+    # deferred final-session rotation: THREE driver greens each
+    # (r1, r3, r4) and the banded-jaccard / CC functions are
+    # byte-untouched in round 5 (gram_novelty was appended to dedup.py
+    # without touching them); slots go to the round-5-born
+    # graph_communities (LPA census) and table_profile (one-pass
+    # column-statistics census)
+    "dedup_jaccard_candidates",
+    "dup_components",
     # ROTATED BACK IN for round 5 (VERDICT r4 #5): the 12 queries whose
     # only driver green was r2 — doc_token_stats, dedup_exact,
     # stratified_sample, curation_pipeline, benchmark_contamination_ngram,
@@ -211,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(conversation.QUERIES)
     q.update(bpe.QUERIES)
     q.update(graph.QUERIES)
+    q.update(profiling.QUERIES)
     q.update(layout.QUERIES)
     q.update(versioned.QUERIES)
     front = {k: v for k, v in q.items() if k not in _DEFERRED_STAPLES}
@@ -230,5 +240,6 @@ def oracle_sql() -> dict[str, str]:
     o.update(normalize.ORACLE_SQL)
     o.update(conversation.ORACLE_SQL)
     o.update(graph.ORACLE_SQL)
+    o.update(profiling.ORACLE_SQL)
     o.update(layout.ORACLE_SQL)
     return o

@@ -119,3 +119,55 @@ def test_graph_distances_census_consistency(spark, sf001_dir):
     assert census[0] == 1
     assert all(-1 <= d <= BFS_ROUNDS for d in census)
     assert sum(census.values()) > 1
+
+
+def _python_lpa(edge_list, rounds=3):
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {u: u for u in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for u in adj:
+            counts = {}
+            for v in adj[u]:
+                counts[labels[v]] = counts.get(labels[v], 0) + 1
+            nxt[u] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+@pytest.mark.parametrize(
+    "edge_list",
+    [
+        # two triangles + bridge: communities must stay distinct
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)],
+        # star: leaves adopt the hub's label family
+        [(0, 1), (0, 2), (0, 3), (0, 4)],
+        # path with duplicate/reversed/self edges
+        [(1, 2), (2, 1), (1, 1), (2, 3), (3, 4)],
+    ],
+)
+def test_label_propagation_matches_python(spark, edge_list):
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edge_list, "u long, v long")
+    got = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    assert got == _python_lpa(edge_list)
+
+
+def test_graph_communities_census_contract(spark, sf001_dir):
+    """Census sanity on real testdata: sizes positive, total node count
+    equals the graph's node count."""
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        q_graph_communities,
+    )
+
+    rows = q_graph_communities(spark, sf001_dir).collect()
+    assert rows
+    assert all(r["community_size"] >= 1 and r["n_communities"] >= 1 for r in rows)

@@ -1492,3 +1492,47 @@ def test_doc_compress_ratio_query_contract(spark, sf001_dir):
         assert 0 < r["mean_ratio"] <= 1.0
         assert 0 <= r["n_repetitive"] <= r["n_docs"]
         assert r["total_compressed"] <= max(r["total_bytes"], 1)
+
+
+def test_table_profile_planted_exact(spark):
+    """One-pass profile on a planted frame: null counts, distinct
+    cardinalities, numeric ranges, string mean lengths — all exact."""
+    from text_extractor_for_bioeconomic_products_spark.operators.profiling import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.5, "aa", None),
+            (2, None, "bbbb", None),
+            (2, -3.0, None, None),
+            (None, 7.25, "cc", None),
+        ],
+        "k long, x double, s string, ts timestamp",
+    )
+    rows = {r["column"]: r for r in
+            profile_table(df, ["k", "x"], ["s"], ["ts"]).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 2.0
+    assert rows["x"]["n_nulls"] == 1 and rows["x"]["n_distinct"] == 3
+    assert rows["x"]["min_num"] == -3.0 and rows["x"]["max_num"] == 10.5
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 3
+    assert rows["s"]["avg_len"] == round((2 + 4 + 2) / 3, 4)
+    assert rows["s"]["min_num"] is None and rows["s"]["max_num"] is None
+    assert rows["ts"]["n_nulls"] == 4 and rows["ts"]["n_distinct"] == 0
+
+
+def test_table_profile_single_scan_plan(spark, sf001_dir):
+    """The profile must plan exactly ONE scan of the table (the whole
+    point vs per-column scans): a single FileScan over orders feeding
+    one Expand for the distinct aggregates."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["table_profile"](spark, sf001_dir)
+    df.collect()
+    # AQE prints Final + Initial sections; count scans in the final only
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert "Expand" in final

@@ -303,12 +303,135 @@ def _bfs_sql_duckdb(rounds: int = BFS_ROUNDS) -> str:
 """
 
 
+LPA_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame,
+                      rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), the
+    community-detection sibling of :func:`..dedup.connected_components`:
+    every node starts labeled with itself; each round it adopts the most
+    frequent label among its neighbors (ties → smallest label).
+    Deterministic by construction: synchronous updates + total
+    tie-order, so round k's labels are a pure function of round k-1's —
+    exactly what the unrolled SQL twin computes.
+
+    Per round: one groupBy(dst, label) count (map-side partials — a hub
+    node's repeated neighbor labels pre-reduce per partition) and one
+    groupBy(dst) argmax via ``max(struct(count, -label))`` — no window,
+    no sort.  Label rows are one per node; the edge table is static and
+    checkpointed, same discipline as :func:`pagerank`.
+    """
+    u, v = edges.columns[0], edges.columns[1]
+    sym = (
+        edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+        .union(edges.select(F.col(v).alias("src"), F.col(u).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("w")
+            )
+            .select(
+                F.col("dst").alias("node"), (-F.col("w.nl")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-size histogram of the co-purchase graph after
+    LPA_ROUNDS synchronous rounds: (community_size, n_communities) —
+    compact, all-integer, and a pure function of the edge set."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return (
+        sizes.groupBy("community_size")
+        .agg(F.count("*").alias("n_communities"))
+        .orderBy("community_size")
+    )
+
+
+def _lpa_sql_duckdb(rounds: int = LPA_ROUNDS) -> str:
+    """The identical synchronous rounds unrolled; the argmax is the
+    same (count desc, label asc) order expressed as a window rank."""
+    steps = []
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""l{k} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, p.label,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY count(*) DESC, p.label ASC
+                   ) AS rn
+            FROM sym e JOIN {prev} p ON e.src = p.node
+            GROUP BY e.dst, p.label
+        ) WHERE rn = 1
+    )"""
+        )
+        prev = f"l{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sym AS (
+        SELECT u AS src, v AS dst FROM edges WHERE u <> v
+        UNION
+        SELECT v AS src, u AS dst FROM edges WHERE u <> v
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    {chain},
+    sizes AS (
+        SELECT label, count(*) AS community_size FROM {prev} GROUP BY label
+    )
+    SELECT community_size, CAST(count(*) AS BIGINT) AS n_communities
+    FROM sizes
+    GROUP BY community_size
+    ORDER BY community_size
+"""
+
+
 ORACLE_SQL = {
     "pagerank_suppliers": _pagerank_sql_duckdb(),
     "graph_distances": _bfs_sql_duckdb(),
+    "graph_communities": _lpa_sql_duckdb(),
 }
 
 QUERIES = {
     "pagerank_suppliers": q_pagerank_suppliers,
     "graph_distances": q_graph_distances,
+    "graph_communities": q_graph_communities,
 }
