@@ -133,10 +133,11 @@ _DEFERRED_STAPLES = [
     # swept at sf0.01+sf0.1 and the same in-band-bound idiom IS driver-
     # checked via heavy_keys_sketch + order_price_percentiles_approx
     "approx_distinct_users",
-    # born late round 5 (after the r5 window was finalized): oracled and
-    # builder-swept at sf0.01+sf0.1; deferred so the front-50 the driver
-    # checks stays exactly the VERDICT-r4 rotation set
-    "dsir_importance",
+    # deferred final-session rotation: r3 AND r4 driver-green, layout.py
+    # untouched in round 5; its slot goes to dsir_importance (the last
+    # never-driver-checked query) so the final gate covers EVERY query
+    # born in round 5
+    "events_day_pruned",
     # deferred round 5: every entry here was driver-green in r4
     # (CORRECTNESS_r04) with multiple prior greens, and none of the
     # implementing functions (similarity.py / clustering.py) change in

@@ -117,6 +117,13 @@ def main() -> None:
          "becomes a partition column and the probe prunes at the scan.\n"
          "Pinned by `test_ann_ivf_kmeans_corpus_never_hash_shuffles`.",
          qs["ann_ivf_kmeans"](spark, SF)),
+        ("table_profile (one-pass column census)",
+         "All per-column aggregates (null counts, exact distincts, ranges,\n"
+         "mean lengths) plan as a SINGLE FileScan feeding one Expand (the\n"
+         "multi-count(distinct) rewrite, map-side partials intact), then a\n"
+         "literal stack unpivots the one aggregate row — never one scan per\n"
+         "column.  Pinned by `test_table_profile_single_scan_plan`.",
+         qs["table_profile"](spark, SF)),
     ]
     # Bucketed co-located join: rendered eagerly under no-broadcast so the
     # SortMergeJoin-with-zero-Exchange shape (the layout's whole point) is
