@@ -1178,7 +1178,7 @@ ORACLE_DUPLICATE_PASSAGES = f"""
 # batch of arrivals is admitted only where its content hash is unseen in
 # the standing corpus AND first-of-hash within the batch.  The reference
 # processes directories batch-at-a-time with no memory across runs
-# (src/core/direct_batch_process.py re-reads everything); at 100 TB the
+# (scripts/direct_batch_process.py re-reads everything); at 100 TB the
 # standing corpus IS the state, and the admission check must be a join,
 # not a rescan.
 # ---------------------------------------------------------------------------
@@ -1442,9 +1442,10 @@ ORACLE_BLOOM_MEMBERSHIP = f"""
 # the keep-first convention above), and a document's novelty is the
 # share of its grams it owns.  This is the dashboard behind
 # ingest-ordering decisions (a source whose novelty decays to ~0 is
-# re-crawling known content).  Reference analog: the reference's
-# keep-first duplicate policy (src/core/batch_processor.py processed-set
-# skip) applied at passage rather than file granularity.
+# re-crawling known content).  Reference analog: the reference re-reads
+# whole directories per run with no cross-run memory
+# (scripts/direct_batch_process.py:124-158) — this census is the
+# cross-run attribution that absence calls for, at passage granularity.
 # ---------------------------------------------------------------------------
 
 

@@ -1,11 +1,11 @@
 """Graph operators (graft extension): fixed-iteration PageRank over a
 co-occurrence graph derived from the relational tables.
 
-The reference ranks extraction sources implicitly (keep-first order,
-confidence sort — src/core/batch_processor.py's scheduling and
-src/storage/database.py's latest-run-wins upsert); a web-scale curation
-pipeline needs an explicit link-analysis rank: which suppliers (hosts,
-domains, sources) sit at the center of the purchase (link) graph.  This
+The reference ranks its inputs only implicitly (smallest-file-first
+scheduling, scripts/direct_batch_process.py:158; latest-run-wins upsert,
+src/storage/database.py:188-253); a web-scale curation pipeline needs an
+explicit link-analysis rank: which suppliers (hosts, domains, sources)
+sit at the center of the purchase (link) graph.  This
 module implements the canonical distributed formulation — synchronous
 power iteration with a damping factor — as a DataFrame loop.
 

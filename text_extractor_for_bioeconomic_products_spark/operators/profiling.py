@@ -2,8 +2,8 @@
 census every ingest pipeline runs before trusting a new drop of data.
 
 The reference validates inputs field-by-field with per-row Python
-checks (src/core/text_extractor.py's validation helpers and the
-country/use-type gates in src/utils); at 100 TB the equivalent health
+checks (src/utils/helpers.py:153 ``validate_file_path``, :233
+``extract_countries`` region gate); at 100 TB the equivalent health
 check is a COLUMN census: null counts, distinct cardinalities, numeric
 ranges, string lengths — computed in ONE pass over the table, not one
 scan per column.

@@ -1,8 +1,9 @@
 """Bucketed table layout — shuffle elimination via storage layout.
 
-The reference re-reads its own parquet exports for follow-up queries
-(``src/storage/export_manager.py:69-249`` writes per-run parquet/CSV that
-``src/search/query_search.py`` then re-scans).  At 100 TB that repeat
+The reference re-reads its own stored rows for follow-up queries
+(``src/storage/export_manager.py:69-249`` writes per-run exports that
+``src/storage/database.py:290-364`` ``search_products`` re-queries).  At
+100 TB that repeat
 workload is dominated by re-shuffling the same fact tables on the same
 join key every run.  The Spark-native answer is to bake the join key
 into the FILE LAYOUT once: ``bucketBy(key)`` at write time hash-places

@@ -306,7 +306,7 @@ def run_streaming_merge_upsert(
     """Stream transcripts → extract → **keyed MERGE upsert** via
     foreachBatch — the streaming face of ``plans.pipeline.merge_turns``
     (the Iceberg ``MERGE INTO`` analog; reference's batch-only SQLite
-    upsert is `src/storage/database_manager.py`, lifted here to a
+    upsert is `src/storage/database.py:188-253`, lifted here to a
     continuously-maintained table).
 
     Delivery semantics: the file-source checkpoint gives at-least-once
