@@ -86,6 +86,18 @@ def test_pagerank_suppliers_contract(spark, sf001_dir):
     )
 
 
+def test_pagerank_empty_graph_raises(spark):
+    """A graph with only self-edges has no rankable nodes — refuse
+    loudly instead of dividing by zero."""
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        pagerank,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "u long, v long")
+    with pytest.raises(ValueError, match="no non-self edges"):
+        pagerank(df)
+
+
 def test_bfs_distances_planted(spark):
     """BFS layers on a hand-checkable graph: path 1-2-3-4-5 plus a
     shortcut 1-4 — node 4 is 1 hop (via shortcut), 5 is 2; and the

@@ -80,6 +80,8 @@ def pagerank(edges: DataFrame,
         eager=True
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: edge list has no non-self edges")
     base = (1.0 - damping) / n
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
