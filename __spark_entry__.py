@@ -138,6 +138,17 @@ _DEFERRED_STAPLES = [
     # never-driver-checked query) so the final gate covers EVERY query
     # born in round 5
     "events_day_pruned",
+    # deferred final-session rotation (batch 2): each r3 AND r4
+    # driver-green with its implementing function byte-untouched by the
+    # round-5 additions (the new code is appended to the same modules
+    # without modifying these); their slots go to the round-5-born
+    # revenue_rollup (ROLLUP grouping-sets census), doc_bigram_lm
+    # (order-2 LM cross-entropy), and set_similarity_join (exact
+    # PPJoin-style prefix-filtered Jaccard join) so the final driver
+    # gate covers every new family
+    "order_price_percentiles_approx",
+    "token_pmi",
+    "source_mix_weights",
     # deferred round 5: every entry here was driver-green in r4
     # (CORRECTNESS_r04) with multiple prior greens, and none of the
     # implementing functions (similarity.py / clustering.py) change in

@@ -1578,6 +1578,181 @@ ORACLE_GRAM_NOVELTY = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (PPJoin-style prefix filtering)
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold for the exact join.  The synthetic corpus draws from a
+# ~40-word vocabulary, so pairwise Jaccard is high across the board
+# (p50 ≈ 0.60); 0.9 keeps the verified-pair set selective (~1% of pairs).
+SSJOIN_TAU = 0.9
+# Deterministic subsample modulus: bounds the DuckDB oracle's
+# candidate-pair join (the oracle generates candidates from EVERY shared
+# token; with a 40-word vocab that is quadratic in the subsample size).
+# The Spark side applies the same filter so both engines see one corpus.
+SSJOIN_MOD = 4
+
+
+def set_similarity_pairs(
+    docs: DataFrame, tau: float = SSJOIN_TAU, text_col: str = "text"
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    PPJoin family, Xiao et al. 2008) — the exact complement of the
+    approximate LSH candidates in `q_dedup_jaccard_candidates`.
+
+    Guarantee: two token SETS with |A∩B|/|A∪B| ≥ τ must share at least
+    one token among the first |A| − ⌈τ·|A|⌉ + 1 tokens of A when both
+    sets are ordered by the SAME global token order — so exploding only
+    that prefix generates a candidate superset with ZERO false
+    negatives, and the exact Jaccard verify makes the result identical
+    to the brute-force all-pairs join.
+
+    Scale shape: the global order is ascending document frequency
+    (rarest first — minimizes candidate fan-out because prefixes land on
+    the rarest tokens); df is a |V|-sized partial agg broadcast into the
+    token stream, and each document sorts its own tokens IN-ROW by
+    (df, token) struct order — no global rank window, no single
+    partition anywhere.  The candidate exchange shuffles only prefix
+    tokens (≈(1−τ)·|doc| of them), verification joins the two
+    doc→token-set maps back by id.  At 100 TB the prefix explode is the
+    only superlinear term and it shrinks as τ → 1; skewed prefix tokens
+    are exactly the rare ones, so bucket sizes stay bounded by
+    construction.  Returns (d1, d2, jaccard) with d1 < d2."""
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 0,
+            )
+        )
+    )
+    sets = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    tok_stream = sets.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = tok_stream.groupBy("tok").agg(F.count("*").alias("df"))
+    # order each doc's tokens rarest-first: collect (df, tok) structs and
+    # array_sort's lexicographic struct order IS the global token order
+    ordered = (
+        tok_stream.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("by_rarity")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(by_rarity, s -> s.tok)").alias("ordered"),
+        )
+    )
+    prefix_len = (
+        F.size("ordered")
+        - F.ceil(F.lit(tau) * F.size("ordered")).cast("int")
+        + F.lit(1)
+    )
+    prefixes = ordered.select(
+        "doc_id", F.explode(F.slice("ordered", 1, prefix_len)).alias("tok")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("toks").alias("t1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("toks").alias("t2"))
+    inter = F.size(F.array_intersect("t1", "t2"))
+    union = F.size("t1") + F.size("t2") - inter
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jac", inter.cast("double") / union)
+        .filter(F.col("jac") >= tau)
+        .select("d1", "d2", "jac")
+    )
+
+
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of the exact τ-Jaccard self-join on the deterministic
+    doc_id % SSJOIN_MOD subsample.  The oracle computes the SAME pairs
+    brute-force (candidates from every shared token + exact verify), so
+    a green row proves the prefix filter dropped no qualifying pair."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SSJOIN_MOD == 0
+    )
+    pairs = set_similarity_pairs(docs).select(
+        "d1",
+        "d2",
+        # round surprisal-style to DECIMAL(18,6) so the avg below is a
+        # partition-order-independent exact decimal sum on both engines
+        F.round(F.col("jac").cast("decimal(18,10)"), 6)
+        .cast("decimal(18,6)")
+        .alias("j6"),
+    )
+    n_docs = (
+        pairs.select(F.col("d1").alias("d"))
+        .unionByName(pairs.select(F.col("d2").alias("d")))
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        pairs.agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                (F.sum("j6").cast("double") / F.count("*")).cast(
+                    "decimal(18,10)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("avg_jaccard"),
+            F.max("j6").cast("double").alias("max_jaccard"),
+            F.min("j6").cast("double").alias("min_jaccard"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select("n_pairs", "n_docs", "avg_jaccard", "max_jaccard", "min_jaccard")
+    )
+
+
+# Brute-force twin: candidates from EVERY shared token (not just the
+# prefix) + the same exact verify — any qualifying pair the Spark-side
+# prefix filter missed would show up here as a count/value mismatch.
+ORACLE_SET_SIMILARITY_JOIN = f"""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {SSJOIN_MOD} = 0
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+            FROM sub
+        ) WHERE length(term) > 0
+    ),
+    sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2,
+               CAST(round(CAST(i * 1.0 / (s1.s + s2.s - i)
+                               AS DECIMAL(18,10)), 6) AS DECIMAL(18,6)) AS j6
+        FROM inter
+        JOIN sz s1 ON inter.d1 = s1.doc_id
+        JOIN sz s2 ON inter.d2 = s2.doc_id
+        WHERE i * 1.0 / (s1.s + s2.s - i) >= {SSJOIN_TAU}
+    )
+    SELECT count(*) AS n_pairs,
+           (SELECT count(*) FROM
+               (SELECT d1 AS d FROM pairs UNION SELECT d2 FROM pairs)) AS n_docs,
+           CAST(round(CAST(CAST(sum(j6) AS DOUBLE) / count(*)
+                           AS DECIMAL(18,10)), 4) AS DOUBLE) AS avg_jaccard,
+           CAST(max(j6) AS DOUBLE) AS max_jaccard,
+           CAST(min(j6) AS DOUBLE) AS min_jaccard
+    FROM pairs
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -1592,6 +1767,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "bloom_membership": q_bloom_membership,
     "gram_novelty": q_gram_novelty,
+    "set_similarity_join": q_set_similarity_join,
 }
 
 ORACLE_SQL = {
@@ -1608,4 +1784,5 @@ ORACLE_SQL = {
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
     "gram_novelty": ORACLE_GRAM_NOVELTY,
+    "set_similarity_join": ORACLE_SET_SIMILARITY_JOIN,
 }

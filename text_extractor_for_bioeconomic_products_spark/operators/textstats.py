@@ -737,6 +737,83 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model cross-entropy per document — the order-2
+    extension of `q_doc_lm_score`'s unigram model and the closest
+    rule-based analog of the KenLM-perplexity gate used by CCNet-style
+    curation.  Each adjacent token pair is scored by its add-one-smoothed
+    conditional surprisal −ln p(w₂|w₁) = ln(c(w₁·)+|V|) − ln(c(w₁,w₂)+1)
+    under the corpus's own bigram counts; a document's score is the mean
+    over its bigrams, so formulaic/repetitive text (predictable
+    continuations) scores low and incoherent token salad scores high.
+
+    Scale shape: bigrams are generated IN-ROW (transform over the token
+    array — no explode-then-self-join on position, which would shuffle
+    the token stream twice); the count tables are vocabulary²-bounded
+    partial aggs that broadcast back into the bigram stream, and the
+    only row-volume shuffle is the final doc_id rollup.  Cross-engine
+    exactness: per-bigram surprisal rounds to DECIMAL(18,6) before the
+    sum (the `q_doc_lm_score` idiom — decimal addition is exact and
+    partition-order-independent), then divides in double."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    with_toks = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), (x, i) -> "
+                "named_struct('w1', x, 'w2', element_at(toks, i + 2)))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cxy = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("n_w1"))
+    vocab = (
+        with_toks.select(F.explode("toks").alias("t"))
+        .agg(F.countDistinct("t").alias("vsz"))
+    )
+    scored = (
+        bigrams.join(F.broadcast(cxy), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                (
+                    F.log(F.col("n_w1") + F.col("vsz"))
+                    - F.log(F.col("n_xy") + F.lit(1))
+                ).cast("decimal(18,10)"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("neglogp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("neglogp").alias("_s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                (F.col("_s").cast("double") / F.col("n_bigrams")).cast(
+                    "decimal(18,10)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("bigram_ce"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # CCNet-style quality bucketing (Wenzek et al. 2020): per-language
 # head/middle/tail terciles of the LM score — the canonical "keep the
 # head, sample the middle, drop the tail" curation split.  Thresholds
@@ -805,6 +882,46 @@ ORACLE_DOC_LM_SCORE = f"""
                            AS DECIMAL(18,10)), 4) AS DOUBLE) AS lm_score,
            CAST(round(CAST(CAST(SUM(oov) AS DOUBLE) / count(*)
                            AS DECIMAL(18,10)), 4) AS DOUBLE) AS oov_frac
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# Bigrams via unnest-with-subscripts + ord+1 self-join (SQL has no
+# in-row transform); the Spark side generates them in-row.  Same
+# DECIMAL(18,6)-before-sum exactness idiom as ORACLE_DOC_LM_SCORE.
+ORACLE_DOC_BIGRAM_LM = """
+    WITH lists AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    tokpos AS (
+        SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS ord
+        FROM lists WHERE len(toks) >= 2
+    ),
+    big AS (
+        SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM tokpos a JOIN tokpos b
+          ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    ),
+    cxy AS (SELECT w1, w2, count(*) AS n_xy FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n_w1 FROM big GROUP BY w1),
+    v AS (SELECT count(DISTINCT term) AS vsz FROM tokpos),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(round(CAST(ln(c1.n_w1 + v.vsz) - ln(cxy.n_xy + 1)
+                               AS DECIMAL(18,10)), 6) AS DECIMAL(18,6)) AS neglogp
+        FROM big g
+        JOIN cxy ON g.w1 = cxy.w1 AND g.w2 = cxy.w2
+        JOIN c1 ON g.w1 = c1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(round(CAST(CAST(SUM(neglogp) AS DOUBLE) / count(*)
+                           AS DECIMAL(18,10)), 4) AS DOUBLE) AS bigram_ce
     FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -1274,6 +1391,7 @@ QUERIES = {
     "token_pmi": q_token_pmi,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
+    "doc_bigram_lm": q_doc_bigram_lm,
     "top_tokens": q_top_tokens,
     "doc_repetition": q_doc_repetition,
     "doc_gopher_rules": q_doc_gopher_rules,
@@ -1294,6 +1412,7 @@ ORACLE_SQL = {
     "token_pmi": ORACLE_TOKEN_PMI,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "doc_lm_score": ORACLE_DOC_LM_SCORE,
+    "doc_bigram_lm": ORACLE_DOC_BIGRAM_LM,
     "top_tokens": ORACLE_TOP_TOKENS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "doc_clean_basic": ORACLE_DOC_CLEAN,
