@@ -149,6 +149,12 @@ _DEFERRED_STAPLES = [
     "order_price_percentiles_approx",
     "token_pmi",
     "source_mix_weights",
+    # deferred final-session rotation (batch 3): r3 AND r4 driver-green,
+    # functions byte-untouched; slots go to the round-5-born
+    # containment_census (asymmetric prefix-filtered containment join)
+    # and source_token_divergence (per-source JSD drift census)
+    "tfidf_top_terms",
+    "doc_gopher_rules",
     # deferred round 5: every entry here was driver-green in r4
     # (CORRECTNESS_r04) with multiple prior greens, and none of the
     # implementing functions (similarity.py / clustering.py) change in

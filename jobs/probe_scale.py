@@ -9,6 +9,7 @@ the sf0.1 tier, measuring the property each op's SCALE.md row claims.
     python jobs/probe_scale.py minhash  # band rows vs naive token shuffle, 1M docs
     python jobs/probe_scale.py cc       # star-CC per-round edge contraction, 9.1M edges
     python jobs/probe_scale.py pagerank # per-iteration rank shuffle on 2M nodes / 8M edges
+    python jobs/probe_scale.py ssjoin   # prefix-filter candidate collapse, 1M docs
 
 Deterministic inputs built from spark.range — no external data.
 """
@@ -402,6 +403,89 @@ def probe_pagerank(spark):
     }
 
 
+def probe_ssjoin(spark):
+    """Exact set-similarity join (PPJoin prefix filtering) on 1M synthetic
+    docs of 12 tokens from a 400k vocab, with 5k planted identical pairs.
+    The claim under test (the docstring claim of
+    `dedup.set_similarity_pairs`): at τ=0.9 the prefix is 2 of 12 tokens,
+    so the candidate exchange moves ~⅙ of the token stream and the
+    candidate-pair space collapses by ~(df_full/df_prefix)² per token —
+    measured analytically from the df tables as Σ C(df,2) — while the
+    verify stage still finds EVERY planted pair (exactness is
+    pytest-pinned against brute force; here we check the planted count
+    surfaces at scale)."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        set_similarity_pairs,
+    )
+
+    n_docs = 1_000_000
+    n_planted = 5_000
+    vocab = 400_000
+    s = 12
+    seed = F.when(
+        F.col("id") >= n_docs - n_planted,
+        F.col("id") - (n_docs - n_planted),
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(s - 1)),
+        lambda j: F.lower(
+            F.hex(F.pmod(F.xxhash64(seed * s + j), F.lit(vocab)))
+        ),
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    docs.count()
+
+    tau = 0.9
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("t"),
+    )
+    # candidate pairs each strategy would generate, from the df tables:
+    # Σ C(df, 2) over tokens — no need to materialize the naive join
+    full_cand = (
+        tok.groupBy("t").count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .collect()[0][0]
+    )
+    full_rows = tok.count()
+
+    t0 = time.monotonic()
+    pairs = set_similarity_pairs(docs, tau=tau).persist()
+    n_pairs = pairs.count()
+    n_exact = pairs.filter(F.col("jac") >= 0.999999).count()
+    dt = time.monotonic() - t0
+    # prefix stream volume: ceil-based prefix of an s-token set at tau
+    import math
+
+    prefix_len = s - math.ceil(tau * s) + 1  # 12 - 11 + 1 == 2
+    prefix_rows = n_docs * prefix_len
+    pairs.unpersist()
+    docs.unpersist()
+    return {
+        "probe": "ssjoin_prefix_filter",
+        "n_docs": n_docs,
+        "planted_identical_pairs": n_planted,
+        "tau": tau,
+        "prefix_tokens_per_doc": prefix_len,
+        "prefix_rows_through_exchange": prefix_rows,
+        "full_token_rows_through_exchange": full_rows,
+        "full_candidate_pairs_sum_c_df_2": int(full_cand),
+        "verified_pairs": n_pairs,
+        "planted_pairs_surfaced": n_exact >= n_planted,
+        "join_sec": round(dt, 1),
+    }
+
+
 PROBES = {
     "mg": probe_mg,
     "pack": probe_pack,
@@ -410,6 +494,7 @@ PROBES = {
     "minhash": probe_minhash,
     "cc": probe_cc,
     "pagerank": probe_pagerank,
+    "ssjoin": probe_ssjoin,
 }
 
 

@@ -1694,3 +1694,108 @@ def test_set_similarity_join_plan_no_global_window(spark, sf001_dir):
     final = p.split("== Initial Plan ==")[0]
     assert "Window" not in final, final
     assert "BroadcastHashJoin" in final, final
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """The asymmetric case that motivates containment: a short doc fully
+    quoted inside a long one has containment 1.0 but Jaccard well below
+    any dedup threshold — the symmetric join must miss it, the directed
+    join must find it (direction: contained -> container)."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        containment_pairs,
+        set_similarity_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(5))
+    host = quote + " " + " ".join(f"h{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, quote), (1, host), (2, "x1 x2 x3 x4")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["d1"], r["d2"]): r["containment"]
+        for r in containment_pairs(docs, theta=0.9).collect()
+    }
+    assert cont == {(0, 1): 1.0}  # directed: quote contained in host only
+    jac = set_similarity_pairs(docs, tau=0.9).collect()
+    assert jac == []  # jaccard 5/25 = 0.2 — symmetric join blind to it
+
+
+def test_containment_prefix_filter_is_exact(spark):
+    """Asymmetric prefix filtering must equal the directed brute force
+    (every ordered pair, exact |A∩B|/|A|) — zero false negatives."""
+    import itertools
+
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _ssj_toy_corpus(spark)
+    theta = 0.75
+    got = {
+        (r["d1"], r["d2"]): round(r["containment"], 6)
+        for r in containment_pairs(docs, theta=theta).collect()
+    }
+    sets = {
+        r["doc_id"]: frozenset(r["text"].split(" ")) for r in docs.collect()
+    }
+    want = {}
+    for a, b in itertools.permutations(sorted(sets), 2):
+        c = len(sets[a] & sets[b]) / len(sets[a])
+        if c >= theta:
+            want[(a, b)] = round(c, 6)
+    assert want, "toy corpus produced no qualifying directed pairs"
+    assert got == want
+
+
+def test_source_token_divergence_toy_corpus(spark):
+    """Two symmetric single-token sources: hand-computable JSD
+    (= ½·1·ln(1/m₁) + ½·½·ln(½/m₁) + ½·½·ln(½/m₂) with m₁=¾, m₂=¼),
+    equal across the two sources by symmetry, within (0, ln 2)."""
+    import math
+    import tempfile
+
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        q_source_token_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a a", "en", "X", 5), (1, "b b b", "en", "Y", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        rows = {
+            r["source"]: r
+            for r in q_source_token_divergence(spark, td).collect()
+        }
+    expected = (
+        0.5 * 1.0 * math.log(1.0 / 0.75)
+        + 0.5 * 0.5 * math.log(0.5 / 0.75)
+        + 0.5 * 0.5 * math.log(0.5 / 0.25)
+    )
+    assert set(rows) == {"X", "Y"}
+    for r in rows.values():
+        assert r["n_tokens"] == 3
+        assert abs(r["jsd"] - expected) < 1e-5
+        assert 0 < r["jsd"] < math.log(2)
+    assert rows["X"]["jsd"] == rows["Y"]["jsd"]  # symmetric by construction
+
+
+def test_source_token_divergence_zero_for_identical_sources(spark):
+    """A source whose token distribution equals the corpus distribution
+    must score exactly 0 (p == q == m → every log term vanishes)."""
+    import tempfile
+
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        q_source_token_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "X", 5), (1, "a b c", "en", "Y", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        rows = q_source_token_divergence(spark, td).collect()
+    assert [r["jsd"] for r in rows] == [0.0, 0.0]

@@ -1753,6 +1753,151 @@ ORACLE_SET_SIMILARITY_JOIN = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Asymmetric containment join (quote/subset detection)
+# ---------------------------------------------------------------------------
+
+# Containment threshold: C(A→B) = |A∩B|/|A| ≥ θ flags documents whose
+# token set is (near-)contained in another's — the asymmetric dual of
+# the Jaccard join above (a short doc quoted inside a long one has low
+# Jaccard but containment ≈ 1, so a symmetric join misses it).
+CONTAIN_THETA = 0.95
+
+
+def containment_pairs(
+    docs: DataFrame, theta: float = CONTAIN_THETA, text_col: str = "text"
+) -> DataFrame:
+    """EXACT directed containment self-join via asymmetric prefix
+    filtering.  If |A∩B| ≥ θ·|A| then A misses at most |A|−⌈θ·|A|⌉ of
+    its own tokens from B, so among any |A|−⌈θ·|A|⌉+1 tokens of A at
+    least one is in B — probe-side A explodes only that prefix (in the
+    global rarest-first order), build-side B explodes ALL tokens (the
+    PPJoin containment variant: the probe prefix bound does not apply
+    to the build side).  Zero false negatives; exact verify after.
+
+    Scale shape: identical discipline to `set_similarity_pairs` — df is
+    a broadcast |V|-row agg, per-doc ordering is in-row, no windows.
+    The build-side full explode is the token stream itself (the same
+    volume every inverted-index build moves); the probe side shrinks
+    with θ.  Returns (d1, d2, containment) for d1 ≠ d2, where d1 is the
+    (near-)contained document."""
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 0,
+            )
+        )
+    )
+    sets = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    tok_stream = sets.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = tok_stream.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        tok_stream.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("by_rarity")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(by_rarity, s -> s.tok)").alias("ordered"),
+        )
+    )
+    prefix_len = (
+        F.size("ordered")
+        - F.ceil(F.lit(theta) * F.size("ordered")).cast("int")
+        + F.lit(1)
+    )
+    probe = ordered.select(
+        F.col("doc_id").alias("d1"),
+        F.explode(F.slice("ordered", 1, prefix_len)).alias("tok"),
+    )
+    build = tok_stream.select(
+        F.col("doc_id").alias("d2"), F.col("tok")
+    )
+    cand = (
+        probe.join(build, (probe.tok == build.tok)
+                   & (F.col("d1") != F.col("d2")))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("toks").alias("t1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("toks").alias("t2"))
+    contain = F.size(F.array_intersect("t1", "t2")).cast("double") / F.size("t1")
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("containment", contain)
+        .filter(F.col("containment") >= theta)
+        .select("d1", "d2", "containment")
+    )
+
+
+def q_containment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of the exact directed θ-containment join on the same
+    deterministic subsample as `set_similarity_join`; the oracle is the
+    all-shared-token brute force, so green == the asymmetric prefix
+    filter dropped no qualifying (contained, container) pair."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SSJOIN_MOD == 0
+    )
+    pairs = containment_pairs(docs).select(
+        "d1",
+        "d2",
+        F.round(F.col("containment").cast("decimal(18,10)"), 6)
+        .cast("decimal(18,6)")
+        .alias("c6"),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("d1").alias("n_contained_docs"),
+        F.sum((F.col("c6") >= 1.0).cast("bigint")).alias("n_full"),
+        F.round(
+            (F.sum("c6").cast("double") / F.count("*")).cast("decimal(18,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("avg_containment"),
+        F.min("c6").cast("double").alias("min_containment"),
+    )
+
+
+ORACLE_CONTAINMENT_CENSUS = f"""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {SSJOIN_MOD} = 0
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+            FROM sub
+        ) WHERE length(term) > 0
+    ),
+    sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2,
+               CAST(round(CAST(i * 1.0 / s1.s AS DECIMAL(18,10)), 6)
+                    AS DECIMAL(18,6)) AS c6
+        FROM inter JOIN sz s1 ON inter.d1 = s1.doc_id
+        WHERE i * 1.0 / s1.s >= {CONTAIN_THETA}
+    )
+    SELECT count(*) AS n_pairs,
+           count(DISTINCT d1) AS n_contained_docs,
+           CAST(sum(CASE WHEN c6 >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+           CAST(round(CAST(CAST(sum(c6) AS DOUBLE) / count(*)
+                           AS DECIMAL(18,10)), 4) AS DOUBLE) AS avg_containment,
+           CAST(min(c6) AS DOUBLE) AS min_containment
+    FROM pairs
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -1768,6 +1913,7 @@ QUERIES = {
     "bloom_membership": q_bloom_membership,
     "gram_novelty": q_gram_novelty,
     "set_similarity_join": q_set_similarity_join,
+    "containment_census": q_containment_census,
 }
 
 ORACLE_SQL = {
@@ -1785,4 +1931,5 @@ ORACLE_SQL = {
     "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
     "gram_novelty": ORACLE_GRAM_NOVELTY,
     "set_similarity_join": ORACLE_SET_SIMILARITY_JOIN,
+    "containment_census": ORACLE_CONTAINMENT_CENSUS,
 }

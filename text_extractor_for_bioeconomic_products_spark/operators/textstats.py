@@ -814,6 +814,110 @@ def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: Jensen-Shannon divergence between
+    each source's unigram token distribution and the corpus-wide one —
+    the curation dashboard for 'which ingest stream changed under us'
+    (a source whose JSD jumps between snapshots has shifted vocabulary:
+    new boilerplate, a scraper bug, a language drift).  JSD is used over
+    KL because it is symmetric, finite even when a source lacks corpus
+    terms, and bounded by ln 2.
+
+    Scale shape: the only row-volume work is the two token-count
+    aggregates ((source, term) and (term) — map-side partials, uniform
+    keys); the JSD itself runs on the |sources|×|vocab| grid built from
+    two broadcast aggregates, never on row-level data, so the 100 TB
+    cost is one pass over the token stream.  Cross-engine exactness:
+    per-term contributions round to DECIMAL(18,8) before the sum
+    (finer than the LM idiom's 6dp because single contributions are
+    O(jsd/|vocab|)), then the total rounds to 6dp."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    src_counts = tokens.groupBy("source", "term").agg(
+        F.count("*").alias("n_st")
+    )
+    src_totals = tokens.groupBy("source").agg(F.count("*").alias("n_s"))
+    corpus = tokens.groupBy("term").agg(F.count("*").alias("n_t"))
+    n_total = tokens.agg(F.count("*").alias("n")).collect()[0][0]
+    grid = src_totals.crossJoin(F.broadcast(corpus)).join(
+        src_counts, ["source", "term"], "left"
+    )
+    p = F.coalesce(F.col("n_st"), F.lit(0)).cast("double") / F.col("n_s")
+    q = F.col("n_t").cast("double") / F.lit(float(n_total))
+    m = (p + q) / 2
+    contrib = (
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + 0.5 * q * F.log(q / m)
+    )
+    return (
+        grid.select(
+            "source",
+            F.col("n_s"),
+            F.round(contrib.cast("decimal(18,12)"), 8)
+            .cast("decimal(18,8)")
+            .alias("c8"),
+        )
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.round(F.sum("c8").cast("decimal(18,10)"), 6)
+            .cast("double")
+            .alias("jsd"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_TOKEN_DIVERGENCE = """
+    WITH tok AS (
+        SELECT source, term
+        FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+            FROM documents
+        )
+        WHERE length(term) > 0
+    ),
+    src_counts AS (
+        SELECT source, term, count(*) AS n_st FROM tok GROUP BY source, term
+    ),
+    src_totals AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
+    corpus AS (SELECT term, count(*) AS n_t FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM tok),
+    grid AS (
+        SELECT st.source, st.n_s, c.term, c.n_t,
+               COALESCE(sc.n_st, 0) AS n_st
+        FROM src_totals st
+        CROSS JOIN corpus c
+        LEFT JOIN src_counts sc
+          ON sc.source = st.source AND sc.term = c.term
+    ),
+    contrib AS (
+        SELECT source, n_s,
+               CAST(round(CAST(
+                   CASE WHEN n_st > 0
+                        THEN 0.5 * (n_st * 1.0 / n_s)
+                             * ln((n_st * 1.0 / n_s)
+                                  / ((n_st * 1.0 / n_s + n_t * 1.0 / tot.n) / 2))
+                        ELSE 0.0 END
+                   + 0.5 * (n_t * 1.0 / tot.n)
+                     * ln((n_t * 1.0 / tot.n)
+                          / ((n_st * 1.0 / n_s + n_t * 1.0 / tot.n) / 2))
+                   AS DECIMAL(18,12)), 8) AS DECIMAL(18,8)) AS c8
+        FROM grid CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+           CAST(round(CAST(sum(c8) AS DECIMAL(18,10)), 6) AS DOUBLE) AS jsd
+    FROM contrib
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 # CCNet-style quality bucketing (Wenzek et al. 2020): per-language
 # head/middle/tail terciles of the LM score — the canonical "keep the
 # head, sample the middle, drop the tail" curation split.  Thresholds
@@ -1392,6 +1496,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_lm_score": q_doc_lm_score,
     "doc_bigram_lm": q_doc_bigram_lm,
+    "source_token_divergence": q_source_token_divergence,
     "top_tokens": q_top_tokens,
     "doc_repetition": q_doc_repetition,
     "doc_gopher_rules": q_doc_gopher_rules,
@@ -1413,6 +1518,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "doc_lm_score": ORACLE_DOC_LM_SCORE,
     "doc_bigram_lm": ORACLE_DOC_BIGRAM_LM,
+    "source_token_divergence": ORACLE_SOURCE_TOKEN_DIVERGENCE,
     "top_tokens": ORACLE_TOP_TOKENS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "doc_clean_basic": ORACLE_DOC_CLEAN,
