@@ -1799,3 +1799,63 @@ def test_source_token_divergence_zero_for_identical_sources(spark):
         docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
         rows = q_source_token_divergence(spark, td).collect()
     assert [r["jsd"] for r in rows] == [0.0, 0.0]
+
+
+def test_prefix_filter_exactness_property(spark):
+    """Hypothesis battery: on random corpora (varied vocab, doc sizes,
+    duplicates, singleton-token docs) and random thresholds, BOTH
+    prefix-filtered joins must equal their brute-force duals exactly —
+    the zero-false-negative guarantee is structural, not corpus-luck."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        containment_pairs,
+        set_similarity_pairs,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        data=st.lists(
+            st.sets(
+                st.integers(min_value=0, max_value=17),
+                min_size=1, max_size=9,
+            ),
+            min_size=3, max_size=14,
+        ),
+        tau=st.sampled_from([0.5, 0.6, 0.75, 0.9, 1.0]),
+    )
+    def check(data, tau):
+        rows = [
+            (i, " ".join(f"w{t}" for t in sorted(s)))
+            for i, s in enumerate(data)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sets = {i: frozenset(f"w{t}" for t in s) for i, s in enumerate(data)}
+
+        got_j = {
+            (r["d1"], r["d2"]): round(r["jac"], 6)
+            for r in set_similarity_pairs(docs, tau=tau).collect()
+        }
+        want_j = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= tau:
+                want_j[(a, b)] = round(j, 6)
+        assert got_j == want_j
+
+        got_c = {
+            (r["d1"], r["d2"]): round(r["containment"], 6)
+            for r in containment_pairs(docs, theta=tau).collect()
+        }
+        want_c = {}
+        for a, b in itertools.permutations(sorted(sets), 2):
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= tau:
+                want_c[(a, b)] = round(c, 6)
+        assert got_c == want_c
+
+    check()
