@@ -155,6 +155,10 @@ _DEFERRED_STAPLES = [
     # and source_token_divergence (per-source JSD drift census)
     "tfidf_top_terms",
     "doc_gopher_rules",
+    # deferred final-session rotation (batch 4): r3 AND r4 driver-green,
+    # grams/explode functions byte-untouched; slot goes to the
+    # round-5-born per_source_cap (deterministic domain-cap reservoir)
+    "duplicate_passages",
     # deferred round 5: every entry here was driver-green in r4
     # (CORRECTNESS_r04) with multiple prior greens, and none of the
     # implementing functions (similarity.py / clustering.py) change in

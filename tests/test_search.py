@@ -1859,3 +1859,31 @@ def test_prefix_filter_exactness_property(spark):
         assert got_c == want_c
 
     check()
+
+
+def test_per_source_cap_deterministic_and_binding(spark, sf001_dir):
+    """The domain cap must (a) bind: no source keeps more than
+    CAP_PER_SOURCE docs; (b) select the SAME documents regardless of
+    physical layout — kept_id_sum (the census checksum of selected ids)
+    must be identical when the input arrives with a different partition
+    count, because the coin is a pure function of doc_id."""
+    import __spark_entry__ as entry_mod
+    from text_extractor_for_bioeconomic_products_spark.operators.curation import (
+        CAP_PER_SOURCE,
+    )
+
+    rows = entry_mod.queries()["per_source_cap"](spark, sf001_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] == min(CAP_PER_SOURCE, r["n_docs"])
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        rows2 = entry_mod.queries()["per_source_cap"](
+            spark, sf001_dir
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    key = lambda rs: sorted((r["source"], r["kept_id_sum"]) for r in rs)  # noqa: E731
+    assert key(rows) == key(rows2)

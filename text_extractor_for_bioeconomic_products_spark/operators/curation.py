@@ -700,6 +700,78 @@ ORACLE_TRAIN_VAL_TEST_SPLIT = """
 """
 
 
+# Per-source document cap: no single source (domain) may contribute more
+# than this many documents — the classic "cap any one domain's share"
+# pretraining guard against a crawler loop or a dominant site flooding
+# the mix.  CAP binds at both test tiers (25 docs/source at sf0.01).
+CAP_PER_SOURCE = 20
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source reservoir: keep the CAP_PER_SOURCE docs
+    with the smallest salted-md5 coin within each source — a uniform
+    without-replacement sample per source that is a pure function of
+    doc_id (re-runs, repartitions, and scale changes select the SAME
+    documents; `rand()` would not).  kept_id_sum is the census proof
+    that both engines selected the identical document set, not merely
+    the same count.
+
+    Scale shape: the window partitions by source — each source's rows
+    sort locally after one hash exchange, no global ordering anywhere;
+    a pathologically hot source is exactly the case the cap exists for,
+    and its sort is a top-K (the optimizer needs only the K smallest
+    coins).  Output is |sources| rows."""
+    docs = load(spark, sf_dir, "documents")
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("coin", "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", coin.alias("coin")
+    ).withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") <= CAP_PER_SOURCE, 1).otherwise(0)
+    return (
+        ranked.select(
+            "source",
+            kept.alias("kept"),
+            (F.col("doc_id") * kept).alias("kept_id"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum("kept_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PER_SOURCE_CAP = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {CAP_PER_SOURCE} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= {CAP_PER_SOURCE} THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 ORACLE_SQL = {
     "weighted_sample_topk": ORACLE_WEIGHTED_SAMPLE_TOPK,
     "train_val_test_split": ORACLE_TRAIN_VAL_TEST_SPLIT,
@@ -785,6 +857,7 @@ ORACLE_SQL = {
     """,
     "benchmark_contamination_ngram": ORACLE_CONTAMINATION_NGRAM,
     "dsir_importance": ORACLE_DSIR_IMPORTANCE,
+    "per_source_cap": ORACLE_PER_SOURCE_CAP,
 }
 
 QUERIES = {
@@ -797,4 +870,5 @@ QUERIES = {
     "benchmark_contamination": q_benchmark_contamination,
     "benchmark_contamination_ngram": q_benchmark_contamination_ngram,
     "dsir_importance": q_dsir_importance,
+    "per_source_cap": q_per_source_cap,
 }
