@@ -117,6 +117,24 @@ def main() -> None:
          "becomes a partition column and the probe prunes at the scan.\n"
          "Pinned by `test_ann_ivf_kmeans_corpus_never_hash_shuffles`.",
          qs["ann_ivf_kmeans"](spark, SF)),
+        ("set_similarity_join (exact PPJoin prefix filtering)",
+         "The global rarest-first token order is built IN-ROW: the df\n"
+         "table rides a BroadcastExchange into the token stream and each\n"
+         "doc array_sorts its own (df, tok) structs — no rank Window, no\n"
+         "single partition.  Only the per-doc PREFIX explodes into the\n"
+         "candidate self-join; the full token sets come back by doc_id for\n"
+         "the exact Jaccard verify.  Exactness pinned by\n"
+         "`test_set_similarity_prefix_filter_is_exact` (+ hypothesis\n"
+         "battery); plan pinned by\n"
+         "`test_set_similarity_join_plan_no_global_window`.",
+         qs["set_similarity_join"](spark, SF)),
+        ("revenue_rollup (grouping sets from one fact scan)",
+         "ROLLUP plans as a single orders scan feeding one Expand (a row\n"
+         "per grouping set BEFORE the exchange, so map-side partial agg\n"
+         "still applies) with all three dim joins broadcast — one fact\n"
+         "pass where the naive per-level formulation scans three times.\n"
+         "Pinned by `test_revenue_rollup_single_fact_scan_plan`.",
+         qs["revenue_rollup"](spark, SF)),
         ("table_profile (one-pass column census)",
          "All per-column aggregates (null counts, exact distincts, ranges,\n"
          "mean lengths) plan as a SINGLE FileScan feeding one Expand (the\n"
