@@ -32,6 +32,7 @@ from text_extractor_for_bioeconomic_products_spark.operators import (  # noqa: E
     profiling,
     relational,
     similarity,
+    stringjoin,
     temporal,
     textstats,
 )
@@ -82,6 +83,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    # deferred final-session rotation (batch 5): both r3 AND r4
+    # driver-green and their implementing functions (key_skew_census,
+    # salted-join) are byte-untouched this session (part_skyline was
+    # appended to relational.py without modifying them); their slots go
+    # to the two session-born queries edit_distance_join (exact Ed-Join
+    # prefix-filtered levenshtein self-join) and part_skyline (grouped
+    # Pareto frontier, bucketed prefix-max sweep)
+    "key_skew_profile",
+    "salted_hot_key_join",
     # deferred final-round rotation: both r3 AND r4 driver-green and
     # normalize.py is untouched in round 5; their window slots go to the
     # two round-5-born queries (bloom_membership, label_centroid_sim) so
@@ -235,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textstats.QUERIES)
     q.update(dedup.QUERIES)
     q.update(similarity.QUERIES)
+    q.update(stringjoin.QUERIES)
     q.update(clustering.QUERIES)
     q.update(temporal.QUERIES)
     q.update(normalize.QUERIES)
@@ -257,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(textstats.ORACLE_SQL)
     o.update(dedup.ORACLE_SQL)
     o.update(similarity.ORACLE_SQL)
+    o.update(stringjoin.ORACLE_SQL)
     o.update(clustering.ORACLE_SQL)
     o.update(temporal.ORACLE_SQL)
     o.update(normalize.ORACLE_SQL)

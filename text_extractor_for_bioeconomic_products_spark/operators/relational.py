@@ -1259,7 +1259,119 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_2d(
+    df: DataFrame,
+    group: str,
+    x: str,
+    y: str,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Grouped 2-D skyline (Pareto frontier): per ``group``, the rows
+    not dominated under (minimize ``x``, maximize ``y``) — a dominates b
+    iff a.x <= b.x, a.y >= b.y and the points differ.  The preference-
+    query operator class (Börzsönyi et al., ICDE 2001) the reference's
+    best-of-three parse selection (src/core/pdf_processor.py:84's
+    max-by-score over candidate parses) is the k=1 special case of.
+
+    Scale shape — NO global sort or single-partition window anywhere:
+
+    1. ``groupBy(group, x) → max(y)``: map-side partial agg collapses
+       the input to one row per distinct (group, x) — at 10^12 rows the
+       only full-data pass.
+    2. Distinct x values land in width-``bucket_width`` buckets; the
+       per-(group, bucket) maxima form a metadata-sized spine (|groups|
+       × |range/width| rows) whose running prefix-max per group is the
+       cross-bucket dominance summary — the same tiny-spine discipline
+       as the gap-filled calendar in `q_events_hourly_gapfilled`.
+    3. The spine broadcasts back; each (group, bucket) partition sweeps
+       its own rows ordered by x against max(bucket-local running max,
+       spine prefix).  Survivors are exactly the frontier: the skyline
+       is mergeable (skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B)), so
+       bucket-local sweeps + the prefix summary lose nothing.
+
+    Returns (group, x, y) frontier rows.
+    """
+    g = df.groupBy(group, x).agg(F.max(y).alias("_best"))
+    b = g.withColumn("_bkt", F.floor(F.col(x) / F.lit(bucket_width)))
+    spine_w = (
+        Window.partitionBy(group)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spine = (
+        b.groupBy(group, "_bkt")
+        .agg(F.max("_best").alias("_bmax"))
+        .select(group, "_bkt", F.max("_bmax").over(spine_w).alias("_prefix"))
+    )
+    in_w = (
+        Window.partitionBy(group, "_bkt")
+        .orderBy(x)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = b.join(F.broadcast(spine), [group, "_bkt"]).withColumn(
+        "_prev", F.greatest(F.max("_best").over(in_w), F.col("_prefix"))
+    )
+    return swept.filter(
+        F.col("_prev").isNull() | (F.col("_best") > F.col("_prev"))
+    ).select(group, x, F.col("_best").alias(y))
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price/size Pareto frontier over part: the parts no
+    same-brand part beats on BOTH cheapness and size, with the count of
+    parts sitting exactly on each frontier point.  The oracle derives
+    the identical frontier from an independent quadratic NOT-EXISTS
+    dominance test, so a green row proves the bucketed sweep."""
+    part = load(spark, sf_dir, "part")
+    sky = skyline_2d(
+        part.select("p_brand", "p_retailprice", "p_size"),
+        group="p_brand",
+        x="p_retailprice",
+        y="p_size",
+    )
+    on_frontier = part.join(
+        F.broadcast(sky), ["p_brand", "p_retailprice", "p_size"]
+    )
+    return (
+        on_frontier.groupBy("p_brand", "p_retailprice", "p_size")
+        .agg(F.count("*").alias("n_parts"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+        )
+        .orderBy("brand", "price")
+    )
+
+
 ORACLE_SQL = {
+    # independent formulation: quadratic NOT-EXISTS dominance test over
+    # the per-(brand, price) maxima — a different algorithm from the
+    # Spark side's bucketed prefix-max sweep, so a hash match proves the
+    # sweep IS the frontier
+    "part_skyline": """
+        WITH g AS (
+            SELECT p_brand AS brand, p_retailprice AS price,
+                   max(p_size) AS size
+            FROM part GROUP BY 1, 2
+        ), sky AS (
+            SELECT brand, price, size FROM g a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM g b
+                WHERE b.brand = a.brand
+                  AND b.price <= a.price AND b.size >= a.size
+                  AND (b.price < a.price OR b.size > a.size)
+            )
+        )
+        SELECT s.brand, s.price, CAST(s.size AS INTEGER) AS size,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM part p
+        JOIN sky s ON p.p_brand = s.brand
+                  AND p.p_retailprice = s.price AND p.p_size = s.size
+        GROUP BY 1, 2, 3
+        ORDER BY brand, price
+    """,
     "order_price_percentiles": """
         SELECT CAST(round(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p25,
                CAST(round(CAST(quantile_cont(o_totalprice, 0.50) AS DECIMAL(18,10)), 4) AS DOUBLE) AS p50,
@@ -1848,6 +1960,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "event_type_pivot": q_event_type_pivot,
     "events_hourly": q_events_hourly,
+    "part_skyline": q_part_skyline,
     "order_price_deciles": q_order_price_deciles,
     "topk_urgent_orders": q_topk_urgent_orders,
     "recent_orders": q_recent_orders,
