@@ -135,6 +135,26 @@ def main() -> None:
          "pass where the naive per-level formulation scans three times.\n"
          "Pinned by `test_revenue_rollup_single_fact_scan_plan`.",
          qs["revenue_rollup"](spark, SF)),
+        ("edit_distance_join (exact Ed-Join prefix filtering)",
+         "The edit-distance complement of set_similarity_join: only the\n"
+         "q*k+1 RAREST positional q-grams per string (rarity broadcast,\n"
+         "in-row struct sort — no Window anywhere) enter the candidate\n"
+         "equi-join, with |Δpos|<=k and |Δlen|<=k pruning inside it; the\n"
+         "JVM-side levenshtein verify touches candidates only.  Exactness\n"
+         "pinned by the hypothesis brute-force battery in\n"
+         "`tests/test_stringjoin.py`; plan pinned by\n"
+         "`test_edit_distance_join_plan_shape`.",
+         qs["edit_distance_join"](spark, SF)),
+        ("part_skyline (grouped Pareto frontier, bucketed sweep)",
+         "Skylines are mergeable, so the frontier needs no global sort:\n"
+         "groupBy(group, x)->max(y) collapses the input, x lands in width\n"
+         "buckets, the per-(group,bucket) maxima spine (metadata-sized)\n"
+         "carries cross-bucket dominance via a per-group prefix max and\n"
+         "BROADCASTS back, and each (group,bucket) partition sweeps only\n"
+         "its own rows.  Every windowspecdefinition in the plan leads with\n"
+         "the group column — pinned by\n"
+         "`test_part_skyline_plan_windows_are_bucket_partitioned`.",
+         qs["part_skyline"](spark, SF)),
         ("table_profile (one-pass column census)",
          "All per-column aggregates (null counts, exact distincts, ranges,\n"
          "mean lengths) plan as a SINGLE FileScan feeding one Expand (the\n"
