@@ -92,6 +92,12 @@ _DEFERRED_STAPLES = [
     # Pareto frontier, bucketed prefix-max sweep)
     "key_skew_profile",
     "salted_hot_key_join",
+    # deferred final-session rotation (batch 6): r3 AND r4 driver-green
+    # and clustering.py is byte-untouched in round 5 (the same basis as
+    # the 13-member ANN/embedding deferral below); its slot goes to the
+    # session-born cms_user_frequency (count-min sketch point-frequency
+    # census, fully hash-checked via engine-identical md5 cells)
+    "semantic_dedup",
     # deferred final-round rotation: both r3 AND r4 driver-green and
     # normalize.py is untouched in round 5; their window slots go to the
     # two round-5-born queries (bloom_membership, label_centroid_sim) so

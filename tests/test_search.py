@@ -1887,3 +1887,60 @@ def test_per_source_cap_deterministic_and_binding(spark, sf001_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     key = lambda rs: sorted((r["source"], r["kept_id_sum"]) for r in rs)  # noqa: E731
     assert key(rows) == key(rows2)
+
+
+def test_cms_point_estimates_match_hashlib_recomputation(spark):
+    """Count-min estimates under a deliberately collision-heavy fixture
+    (256 cells, CMS_HEX=2 construction) equal a pure-hashlib
+    recomputation of the identical md5 sketch, and every estimate is
+    >= the true count (an occurrence can never vanish from its cell)."""
+    import hashlib
+    from collections import Counter
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        CMS_DEPTH,
+        CMS_HEX,
+        cms_point_estimates,
+    )
+
+    # zipf-ish stream over 40 keys: key i occurs (41 - i) times
+    keys = list(range(1, 41))
+    stream_rows = [(k,) for k in keys for _ in range(41 - k)]
+    true = Counter(k for (k,) in stream_rows)
+
+    def cell(k, j):
+        return hashlib.md5(f"cms{j}:{k}".encode()).hexdigest()[:CMS_HEX]
+
+    sketch = Counter(
+        (j, cell(k, j)) for (k,) in stream_rows for j in range(CMS_DEPTH)
+    )
+    expected = {
+        k: min(sketch[(j, cell(k, j))] for j in range(CMS_DEPTH))
+        for k in keys
+    }
+
+    stream = spark.createDataFrame(stream_rows, "user_id long")
+    probe = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    got = {
+        r["user_id"]: r["cms_est"]
+        for r in cms_point_estimates(stream, probe, key="user_id").collect()
+    }
+    assert got == expected
+    assert all(got[k] >= true[k] for k in keys)
+
+
+def test_cms_query_plan_broadcasts_sketch(spark, sf001_dir):
+    """The probe join must broadcast the constant-size cell table — the
+    raw key space never hash-partitions for the estimate, and no window
+    or cartesian appears anywhere."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["cms_user_frequency"](spark, sf001_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "Window" not in final, final

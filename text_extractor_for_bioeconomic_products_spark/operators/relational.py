@@ -1259,6 +1259,100 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 3
+CMS_HEX = 2  # w = 16^2 = 256 cells per row — forces real collisions
+CMS_TOPK = 10
+
+
+def _cms_cell(key_col, depth: int):
+    """Deterministic CMS cell key: first CMS_HEX chars of
+    md5('cms<depth>:' || key) — the same string in Spark and DuckDB, so
+    the whole sketch is byte-identical across engines (the
+    `bloom_membership` idiom applied to counting)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"cms{depth}:"), key_col.cast("string"))),
+        1,
+        CMS_HEX,
+    )
+
+
+def cms_point_estimates(
+    stream: DataFrame, probe: DataFrame, key: str,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Count-min sketch point-frequency estimates (Cormode &
+    Muthukrishnan 2005): the ``stream``'s per-key counts compressed to a
+    d × w cell table, probed for the keys in ``probe``.  Completes the
+    mergeable-summary family — Misra-Gries answers "which keys are
+    heavy", HLL "how many distinct", GK "what quantile"; CMS answers
+    "how often did THIS key occur" without ever shuffling the key space.
+
+    Scale shape: each stream row expands to d (depth, cell) pairs that
+    partial-aggregate map-side into at most d·w cells — the exchange
+    carries the SKETCH (d·16^CMS_HEX rows, constant in the stream size),
+    never the keys; the probe join broadcasts that constant-size cell
+    table.  Estimates are deterministic given the md5 cell function:
+    always >= the true count (every occurrence lands in the cell), over
+    by the colliding keys' mass, min across the d independent rows.
+    Returns probe columns + ``cms_est`` (long).
+    """
+    cells = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _cms_cell(F.col(key), j).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("o")
+    ).select("o.depth", "o.cell")
+    sketch = cells.groupBy("depth", "cell").agg(F.count("*").alias("c"))
+    probes = probe.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _cms_cell(F.col(key), j).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("o"),
+    ).select("*", "o.depth", "o.cell").drop("o")
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "cell"])
+        .groupBy(*probe.columns)
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
+def q_cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the exact top-CMS_TOPK event users,
+    with the exact count and the (deterministic) overcount beside each
+    estimate — the sketch-ships-its-error discipline, hash-checked
+    because the md5 cell construction is engine-identical.  CMS_HEX=2
+    deliberately undersizes w (256 cells vs ~1.5k keys at sf0.1) so the
+    census exercises real collisions and the min-across-depths path;
+    production sizes w = ⌈e/ε⌉ for an εN overcount bound."""
+    events = load(spark, sf_dir, "events")
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probe = exact.orderBy(F.desc("exact_n"), "user_id").limit(CMS_TOPK)
+    est = cms_point_estimates(
+        events.select("user_id"), probe, key="user_id"
+    )
+    return est.select(
+        "user_id",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+    ).orderBy(F.desc("exact_n"), "user_id")
+
+
 def skyline_2d(
     df: DataFrame,
     group: str,
@@ -1346,6 +1440,43 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL = {
+    # the md5 cell construction is engine-identical, so the whole sketch
+    # (and therefore every estimate and overcount) is hash-checked, not
+    # just bounded — the bloom_membership idiom applied to counting
+    "cms_user_frequency": f"""
+        WITH depths AS (
+            SELECT * FROM (VALUES (0), (1), (2)) AS t(d)
+        ), cells AS (
+            SELECT d.d AS depth,
+                   substr(md5('cms' || d.d || ':'
+                              || CAST(e.user_id AS VARCHAR)),
+                          1, {CMS_HEX}) AS cell,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events e CROSS JOIN depths d
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+            FROM events GROUP BY 1
+        ), probe AS (
+            SELECT * FROM exact ORDER BY exact_n DESC, user_id
+            LIMIT {CMS_TOPK}
+        ), est AS (
+            SELECT p.user_id, p.exact_n, min(c.c) AS cms_est
+            FROM probe p
+            CROSS JOIN depths d
+            JOIN cells c
+              ON c.depth = d.d
+             AND c.cell = substr(md5('cms' || d.d || ':'
+                                     || CAST(p.user_id AS VARCHAR)),
+                                 1, {CMS_HEX})
+            GROUP BY 1, 2
+        )
+        SELECT user_id, exact_n,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(cms_est - exact_n AS BIGINT) AS overcount
+        FROM est
+        ORDER BY exact_n DESC, user_id
+    """,
     # independent formulation: quadratic NOT-EXISTS dominance test over
     # the per-(brand, price) maxima — a different algorithm from the
     # Spark side's bucketed prefix-max sweep, so a hash match proves the
@@ -1961,6 +2092,7 @@ QUERIES = {
     "event_type_pivot": q_event_type_pivot,
     "events_hourly": q_events_hourly,
     "part_skyline": q_part_skyline,
+    "cms_user_frequency": q_cms_user_frequency,
     "order_price_deciles": q_order_price_deciles,
     "topk_urgent_orders": q_topk_urgent_orders,
     "recent_orders": q_recent_orders,
