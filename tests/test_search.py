@@ -1944,3 +1944,96 @@ def test_cms_query_plan_broadcasts_sketch(spark, sf001_dir):
     assert "BroadcastHashJoin" in final, final
     assert "CartesianProduct" not in final, final
     assert "Window" not in final, final
+
+
+def test_kmv_exhaustive_pair_is_exact(spark):
+    """When both groups' distinct sets fit under k, the Theta-sketch
+    union/intersection estimates ARE the exact values — the exhaustive
+    branch, the base case every scale-up must still satisfy."""
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        kmv_set_estimates,
+        kmv_sketches,
+    )
+
+    rows = [("a", k) for k in range(20)] + [("b", k) for k in range(10, 40)]
+    keyed = spark.createDataFrame(rows, "g string, key long")
+    sk = kmv_sketches(keyed, group="g", key="key")
+    got = kmv_set_estimates(sk, group="g").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["exact_a"], r["exact_b"]) == (20, 30)
+    assert r["union_est"] == 40.0          # |0..39| exactly
+    assert r["inter_est"] == 10.0          # |10..19| exactly
+    assert r["jaccard_est"] == 0.25
+
+
+def test_kmv_estimates_match_hashlib_recomputation(spark):
+    """Above k the estimator path engages: the sketch rows, the merged
+    k-minimum set, and the (k-1)/h_k estimate all equal a pure-hashlib
+    recomputation of the identical md5 construction, and the union
+    estimate lands within the KMV error envelope of the truth."""
+    import hashlib
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        KMV_K,
+        _KMV_DENOM,
+        kmv_set_estimates,
+        kmv_sketches,
+    )
+
+    a_keys = list(range(100))            # 100 distinct
+    b_keys = list(range(50, 200))        # 150 distinct, overlap 50
+    rows = [("a", k) for k in a_keys] + [("b", k) for k in b_keys]
+    keyed = spark.createDataFrame(rows, "g string, key long")
+
+    def h(k):
+        return hashlib.md5(f"kmv:{k}".encode()).hexdigest()
+
+    sk_a = sorted(h(k) for k in set(a_keys))[:KMV_K]
+    sk_b = sorted(h(k) for k in set(b_keys))[:KMV_K]
+    kmin = sorted(set(sk_a) | set(sk_b))[:KMV_K]
+    n_both = sum(1 for x in kmin if x in set(sk_a) and x in set(sk_b))
+    h_k = kmin[-1]
+    union_exp = (KMV_K - 1) / (int(h_k[:15], 16) / _KMV_DENOM)
+    jac_exp = n_both / KMV_K
+
+    sk = kmv_sketches(keyed, group="g", key="key")
+    # Spark's per-group sketch IS the hashlib sketch
+    spark_a = sorted(r["h"] for r in sk.filter("g = 'a'").collect())
+    assert spark_a == sk_a
+
+    r = kmv_set_estimates(sk, group="g").collect()[0]
+    assert (r["exact_a"], r["exact_b"]) == (100, 150)
+    assert abs(r["union_est"] - union_exp) < 1e-3
+    assert abs(r["jaccard_est"] - jac_exp) < 1e-5
+    assert abs(r["inter_est"] - jac_exp * union_exp) < 1e-3
+    # estimator quality: true union is 200; k=64 gives ~12.7% std error
+    assert abs(r["union_est"] - 200) / 200 < 0.5
+
+
+def test_kmv_sketch_rows_bounded_by_k(spark, sf001_dir):
+    """The pair comparison never touches more than k rows per group —
+    the property that lets two petabyte corpora compare via broadcast."""
+    import __spark_entry__ as entry_mod
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        KMV_K,
+        kmv_sketches,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    events = load(spark, sf001_dir, "events")
+    keyed = events.select(
+        "event_type", F.col("user_id").cast("string").alias("k")
+    )
+    sk = kmv_sketches(keyed, group="event_type", key="k")
+    per_group = {
+        r["event_type"]: r["n"]
+        for r in sk.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_group and all(n <= KMV_K for n in per_group.values())
+    # and the driver query runs end to end on the small tier
+    out = entry_mod.queries()["kmv_type_overlap"](spark, sf001_dir).collect()
+    assert len(out) == 10  # C(5,2) event-type pairs
+    for row in out:
+        assert row["union_est"] >= row["exact_a"] * 0.3  # sane scale

@@ -1439,7 +1439,287 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64
+# 16^15 = 2^60: the first 15 hex chars of an md5 parse into a bigint and
+# normalize to [0,1) by an EXACT power-of-two double, so the fraction is
+# bit-identical in every IEEE engine
+_KMV_DENOM = float(16 ** 15)
+
+
+def _kmv_frac(h):
+    """Uniform (0,1) fraction of an md5-hex string: first 15 nibbles as
+    an integer over 2^60.  Engine-identical (DuckDB: CAST('0x'||… )."""
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") / F.lit(_KMV_DENOM)
+    )
+
+
+def kmv_sketches(keyed: DataFrame, group: str, key: str,
+                 k: int = KMV_K) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per group (Bar-Yossef et
+    al. 2002 / the Theta-sketch base): the k smallest md5 hashes of the
+    group's distinct keys.  Returns (group, rank, h, n_distinct) sketch
+    rows — ≤ k per group plus the exact distinct count as the in-band
+    ledger (the same approximate-op-ships-its-error discipline as the
+    HLL / GK / Misra-Gries / CMS family members; this member adds what
+    none of them can do: SET OPERATIONS on the summaries —
+    union/intersection estimates between groups, `kmv_set_estimates`).
+
+    Scale shape: the only full-data pass is the distinct(group, h) —
+    the identical one shuffle any exact distinct-count pays.  The k-min
+    selection is a per-group window over DISTINCT hashes; k-min is a
+    mergeable aggregate (min-of-mins), so a 10^12-row deployment runs
+    the same selection as partial per-partition k-mins that reduce
+    map-side, exactly like the Misra-Gries partials in
+    `q_heavy_keys_sketch` — the exchange then carries ≤ k·|groups|
+    sketch rows, never the key space.
+    """
+    hashed = keyed.select(
+        F.col(group).alias("g"),
+        F.md5(F.concat(F.lit("kmv:"), F.col(key).cast("string"))).alias("h"),
+    ).distinct()
+    counts = hashed.groupBy("g").agg(F.count("*").alias("n_distinct"))
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(counts), "g")
+        .select(F.col("g").alias(group), "rank", "h", "n_distinct")
+    )
+
+
+def kmv_set_estimates(sketches: DataFrame, group: str,
+                      k: int = KMV_K) -> DataFrame:
+    """Theta-sketch set operations over per-group KMV sketches: for
+    every unordered group pair, the distinct-union / distinct-
+    intersection / Jaccard ESTIMATES computed purely from the two k-row
+    summaries (Dasgupta et al. 2016's union-then-filter rule: merge the
+    two hash sets, keep the k smallest = the union's KMV; the fraction
+    of those present in both sides estimates Jaccard; union_est =
+    (k-1)/h_(k) unless the merged set is exhaustive, in which case it
+    is exact).  Never touches the raw data — the pair join runs on
+    ≤ k·|groups| sketch rows, which is why two 10-PB corpora can be
+    compared for overlap with a broadcast.
+
+    Deterministic across engines: hashes are md5 strings, the
+    normalizing denominator is the exact power of two 2^60, and the
+    division expression tree is written identically in the SQL twin —
+    so the estimates themselves hash-check, not just bound-check.
+    """
+    # pair table: every unordered group pair — a |groups|² METADATA
+    # cross join (groups are categories, not data; the broadcast makes
+    # the cartesian explicit and driver-bounded, same discipline as the
+    # single-row crossJoin aggregates elsewhere in this module)
+    groups_df = sketches.select(F.col(group).alias("ga")).distinct()
+    pairs = groups_df.crossJoin(
+        F.broadcast(groups_df.select(F.col("ga").alias("gb")))
+    ).filter(F.col("ga") < F.col("gb"))
+    side_a = pairs.join(
+        sketches.select(F.col(group).alias("ga"), "h"), "ga"
+    ).select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = pairs.join(
+        sketches.select(F.col(group).alias("gb"), "h"), "gb"
+    ).select("ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    union_rows = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    kmin = union_rows.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    sizes = sketches.groupBy(group).agg(
+        F.max("n_distinct").alias("n_distinct"),
+        F.count("*").alias("sk_rows"),
+    )
+    agg = (
+        kmin.groupBy("ga", "gb")
+        .agg(
+            F.count("*").alias("n_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+            F.max("h").alias("h_k"),
+        )
+        .join(
+            F.broadcast(sizes.select(
+                F.col(group).alias("ga"),
+                F.col("n_distinct").alias("exact_a"),
+                F.col("sk_rows").alias("rows_a"),
+            )),
+            "ga",
+        )
+        .join(
+            F.broadcast(sizes.select(
+                F.col(group).alias("gb"),
+                F.col("n_distinct").alias("exact_b"),
+                F.col("sk_rows").alias("rows_b"),
+            )),
+            "gb",
+        )
+    )
+    # exhaustive iff both sides' sketches hold their FULL hash sets and
+    # the merged set fit under k — then the union sketch IS the union
+    exhaustive = (
+        (F.col("rows_a") == F.col("exact_a"))
+        & (F.col("rows_b") == F.col("exact_b"))
+        & (F.col("n_k") < F.lit(k))
+    )
+    union_est = F.when(exhaustive, F.col("n_k").cast("double")).otherwise(
+        F.lit(float(k - 1)) / _kmv_frac(F.col("h_k"))
+    )
+    jac = F.col("n_both") / F.col("n_k")
+    return agg.select(
+        F.col("ga"), F.col("gb"),
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("n_both").cast("long").alias("k_overlap"),
+        F.round(union_est.cast("decimal(28,12)"), 4)
+        .cast("double").alias("union_est"),
+        F.round(jac.cast("decimal(28,12)"), 6)
+        .cast("double").alias("jaccard_est"),
+        F.round((jac * union_est).cast("decimal(28,12)"), 4)
+        .cast("double").alias("inter_est"),
+    )
+
+
+def q_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct user-day overlap between every pair of event types,
+    estimated ONLY from 64-row KMV sketches, with the exact per-type
+    distinct counts in-band and the exact pairwise intersection joined
+    beside the estimate as the error ledger.  The `approx_distinct_users`
+    HLL census answers "how many distinct per group"; this one answers
+    the question HLL structurally cannot — "how many distinct are
+    SHARED between groups" — from summaries that never grow with the
+    data.  Reference analog: the reference dedupes per-run via one
+    global seen-set (src/core/text_extractor.py's seen hashes) and has
+    no cross-corpus overlap facility at all."""
+    events = load(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("@"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("user_day"),
+    )
+    sk = kmv_sketches(keyed, group="event_type", key="user_day")
+    est = kmv_set_estimates(sk, group="event_type")
+    # exact pairwise intersection: the ledger the estimate is judged by
+    d = keyed.distinct()
+    exact_pairs = (
+        d.select(F.col("event_type").alias("ga"), "user_day")
+        .join(d.select(F.col("event_type").alias("gb"), "user_day"), "user_day")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        est.join(exact_pairs, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "exact_a", "exact_b",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias("exact_inter"),
+            "union_est", "jaccard_est", "inter_est",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_KMV_SQL = f"""
+    WITH keyed AS (
+        SELECT DISTINCT event_type AS g,
+               md5('kmv:' || CAST(user_id AS VARCHAR) || '@'
+                   || strftime(ts, '%Y-%m-%d')) AS h
+        FROM events
+    ),
+    counts AS (SELECT g, count(*) AS n_distinct FROM keyed GROUP BY g),
+    sk AS (
+        SELECT g, h, n_distinct FROM (
+            SELECT k.g, k.h, c.n_distinct,
+                   row_number() OVER (PARTITION BY k.g ORDER BY k.h) AS rank
+            FROM keyed k JOIN counts c USING (g)
+        ) WHERE rank <= {KMV_K}
+    ),
+    sizes AS (
+        SELECT g, max(n_distinct) AS n_distinct, count(*) AS sk_rows
+        FROM sk GROUP BY g
+    ),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb
+        FROM sizes a, sizes b WHERE a.g < b.g
+    ),
+    union_rows AS (
+        SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sk s ON s.g = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, s.h, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN sk s ON s.g = p.gb
+        ) GROUP BY ga, gb, h
+    ),
+    kmin AS (
+        SELECT * FROM (
+            SELECT ga, gb, h, in_a, in_b,
+                   row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rank
+            FROM union_rows
+        ) WHERE rank <= {KMV_K}
+    ),
+    agg AS (
+        SELECT k.ga, k.gb,
+               count(*) AS n_k,
+               CAST(sum(k.in_a * k.in_b) AS BIGINT) AS n_both,
+               max(k.h) AS h_k,
+               sa.n_distinct AS exact_a, sa.sk_rows AS rows_a,
+               sb.n_distinct AS exact_b, sb.sk_rows AS rows_b
+        FROM kmin k
+        JOIN sizes sa ON sa.g = k.ga
+        JOIN sizes sb ON sb.g = k.gb
+        GROUP BY k.ga, k.gb, sa.n_distinct, sa.sk_rows,
+                 sb.n_distinct, sb.sk_rows
+    ),
+    est AS (
+        SELECT ga, gb, exact_a, exact_b, n_both AS k_overlap,
+               CASE WHEN rows_a = exact_a AND rows_b = exact_b
+                         AND n_k < {KMV_K}
+                    THEN CAST(n_k AS DOUBLE)
+                    ELSE {float(KMV_K - 1)} /
+                         (CAST(('0x' || substr(h_k, 1, 15)) AS BIGINT)
+                          / {_KMV_DENOM})
+               END AS union_est,
+               CAST(n_both AS DOUBLE) / n_k AS jac
+        FROM agg
+    ),
+    keyed_full AS (
+        SELECT DISTINCT event_type AS g,
+               CAST(user_id AS VARCHAR) || '@'
+                   || strftime(ts, '%Y-%m-%d') AS ud
+        FROM events
+    ),
+    exact_pairs AS (
+        SELECT a.g AS ga, b.g AS gb, count(*) AS exact_inter
+        FROM keyed_full a JOIN keyed_full b ON a.ud = b.ud AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT e.ga AS type_a, e.gb AS type_b,
+           CAST(e.exact_a AS BIGINT) AS exact_a,
+           CAST(e.exact_b AS BIGINT) AS exact_b,
+           CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(round(CAST(e.union_est AS DECIMAL(28,12)), 4) AS DOUBLE)
+               AS union_est,
+           CAST(round(CAST(e.jac AS DECIMAL(28,12)), 6) AS DOUBLE)
+               AS jaccard_est,
+           CAST(round(CAST(e.jac * e.union_est AS DECIMAL(28,12)), 4)
+                AS DOUBLE) AS inter_est
+    FROM est e LEFT JOIN exact_pairs x ON e.ga = x.ga AND e.gb = x.gb
+    ORDER BY type_a, type_b
+"""
+
+
 ORACLE_SQL = {
+    # the md5 hash + exact power-of-two normalizer are engine-identical,
+    # so the Theta-sketch union/intersection ESTIMATES hash-check too
+    "kmv_type_overlap": _KMV_SQL,
     # the md5 cell construction is engine-identical, so the whole sketch
     # (and therefore every estimate and overcount) is hash-checked, not
     # just bounded — the bloom_membership idiom applied to counting
@@ -2093,6 +2373,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "part_skyline": q_part_skyline,
     "cms_user_frequency": q_cms_user_frequency,
+    "kmv_type_overlap": q_kmv_type_overlap,
     "order_price_deciles": q_order_price_deciles,
     "topk_urgent_orders": q_topk_urgent_orders,
     "recent_orders": q_recent_orders,
