@@ -2037,3 +2037,72 @@ def test_kmv_sketch_rows_bounded_by_k(spark, sf001_dir):
     assert len(out) == 10  # C(5,2) event-type pairs
     for row in out:
         assert row["union_est"] >= row["exact_a"] * 0.3  # sane scale
+
+
+def test_markov_transitions_hand_computed(spark):
+    """Transition matrix over a hand-built two-user sequence equals the
+    enumerated pairs, probabilities condition on from_state, and no
+    transition crosses a user boundary."""
+    from datetime import datetime
+
+    from text_extractor_for_bioeconomic_products_spark.operators.temporal import (
+        markov_transitions,
+    )
+
+    def t(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    # u1: a a b ; u2: b a   — pairs: (a,a) (a,b) from u1, (b,a) from u2
+    rows = [
+        (1, t(0), 1, "a"), (1, t(1), 2, "a"), (1, t(2), 3, "b"),
+        (2, t(0), 4, "b"), (2, t(5), 5, "a"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["prob"])
+        for r in markov_transitions(
+            events, key="user_id", time_col="ts",
+            tiebreak_col="event_id", state="event_type",
+        ).collect()
+    }
+    assert got == {
+        ("a", "a"): (1, 0.5),
+        ("a", "b"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }
+    # the u1-end → u2-start pair ("b","b") must NOT exist
+    assert ("b", "b") not in got
+
+
+def test_burstiness_periodic_user_hits_minus_one_bin(spark):
+    """A perfectly periodic user (σ=0 ⇒ B=−1) lands in bin −10; a user
+    with < 2 gaps is excluded; the histogram sums are exact integers."""
+    from datetime import datetime, timedelta
+
+    from text_extractor_for_bioeconomic_products_spark.operators.temporal import (
+        interarrival_burstiness,
+    )
+
+    base = datetime(2026, 1, 1)
+    rows = []
+    # user 1: 5 events exactly 60 s apart — periodic, B = -1
+    rows += [(1, base + timedelta(seconds=60 * i), i) for i in range(5)]
+    # user 2: gaps 1 s, 1 s, 3598 s — bursty, B > 0
+    for i, off in enumerate([0, 1, 2, 3600]):
+        rows.append((2, base + timedelta(seconds=off), 10 + i))
+    # user 3: only two events (one gap) — excluded (sample σ undefined)
+    rows += [(3, base, 20), (3, base + timedelta(seconds=9), 21)]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {
+        r["burst_bin"]: (r["n_users"], r["n_gaps"], r["total_gap_s"])
+        for r in interarrival_burstiness(
+            events, key="user_id", time_col="ts", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got.get(-10) == (1, 4, 240)          # the periodic user
+    # the bursty user: gaps (1,1,3598) ⇒ μ=1200, σ≈2076.7,
+    # B≈0.2676 ⇒ bin 2
+    assert got.get(2) == (1, 3, 3600)
+    assert sum(v[0] for v in got.values()) == 2  # user 3 excluded

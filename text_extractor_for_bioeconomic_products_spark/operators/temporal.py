@@ -227,7 +227,222 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def markov_transitions(events: DataFrame, *, key: str, time_col: str,
+                       tiebreak_col: str, state: str) -> DataFrame:
+    """First-order Markov transition census over per-key event
+    sequences: for every (from_state, to_state) pair, the transition
+    count and the conditional probability P(to | from).  The sequence
+    order is (time, tiebreak) within each key — total and deterministic.
+
+    Scale shape: ONE shuffle (the per-key window that pairs each event
+    with its successor — partitioned by key, so a 10^9-user table
+    parallelizes on users); the transition matrix itself is |states|²
+    rows, and the per-from totals broadcast back onto it.  No state
+    crosses user boundaries — lead() returns null at the end of each
+    key group and those rows drop.
+
+    Reference analog: none — the reference processes documents as
+    independent rows; sequence structure is what the transcript/event
+    axis adds, and the transition matrix is the standard summary a
+    behavioral-cloning or next-event-prediction pipeline trains against.
+    """
+    w = Window.partitionBy(key).orderBy(time_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(state).alias("from_state"),
+            F.lead(state).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("_from_total")
+    )
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        # counts are exact longs, so the probability double is the same
+        # IEEE division in both engines; the decimal round is belt and
+        # braces (the repo-wide cross-engine idiom)
+        F.round(
+            (F.col("n_transitions") / F.col("_from_total")).cast(
+                "decimal(28,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("prob"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-behavior Markov matrix: P(next event type | this event
+    type) across every user's time-ordered event stream — |types|² rows
+    with exact counts and hash-checked probabilities."""
+    events = load(spark, sf_dir, "events")
+    return markov_transitions(
+        events,
+        key="user_id",
+        time_col="ts",
+        tiebreak_col="event_id",
+        state="event_type",
+    ).orderBy("from_state", "to_state")
+
+
+def interarrival_burstiness(events: DataFrame, *, key: str, time_col: str,
+                            tiebreak_col: str) -> DataFrame:
+    """Per-key inter-arrival burstiness census (Goh & Barabási 2008):
+    B = (σ−μ)/(σ+μ) of the whole-second gaps between a key's
+    consecutive events — B→−1 periodic, B≈0 Poisson, B→1 bursty.
+    Returns one histogram row per burstiness decile bin: (burst_bin,
+    n_users, n_gaps, total_gap_s, avg_gap_s).
+
+    Determinism discipline: gaps are EXACT integers (truncated epoch
+    seconds), so per-key moments (n, Σg, Σg²) are exact bigint sums —
+    order-free.  μ, σ, B then derive from those ints through one fixed
+    IEEE expression tree written identically in the SQL twin, so even
+    the float path is bit-identical and the bin edges cannot drift.
+    The histogram aggregates COUNTS and integer sums only — no
+    order-dependent double summation anywhere.
+
+    Scale shape: one per-key window shuffle (gaps), one groupBy(key)
+    with map-side partial moment sums, then a |bins|-row reduce.  Keys
+    with < 2 gaps are excluded (sample σ undefined).
+    """
+    w = Window.partitionBy(key).orderBy(time_col, tiebreak_col)
+    epoch = F.unix_timestamp(F.col(time_col))
+    gaps = (
+        events.select(
+            F.col(key).alias("_k"),
+            (epoch - F.lag(epoch).over(w)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    moments = (
+        gaps.groupBy("_k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("g").alias("s1"),
+            F.sum(F.col("g") * F.col("g")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = (sd - mean) / (sd + mean)
+    binned = moments.select(
+        "n",
+        "s1",
+        F.floor(
+            F.round(b.cast("decimal(28,12)"), 9) * 10
+        ).cast("int").alias("burst_bin"),
+    )
+    return (
+        binned.groupBy("burst_bin")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n").cast("long").alias("n_gaps"),
+            F.sum("s1").cast("long").alias("total_gap_s"),
+        )
+        .select(
+            "burst_bin",
+            "n_users",
+            "n_gaps",
+            "total_gap_s",
+            F.round(
+                (F.col("total_gap_s") / F.col("n_gaps")).cast("decimal(28,12)"),
+                4,
+            ).cast("double").alias("avg_gap_s"),
+        )
+        .orderBy("burst_bin")
+    )
+
+
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness-decile histogram of user inter-event gaps — the
+    temporal texture census a rate-limiter or session-synthesizer
+    calibrates against."""
+    events = load(spark, sf_dir, "events")
+    return interarrival_burstiness(
+        events, key="user_id", time_col="ts", tiebreak_col="event_id"
+    )
+
+
 ORACLE_SQL = {
+    "event_transitions": """
+        WITH seq AS (
+            SELECT event_type AS from_state,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_state
+            FROM events
+        ),
+        pairs AS (
+            SELECT from_state, to_state,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE to_state IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT from_state, sum(n_transitions) AS from_total
+            FROM pairs GROUP BY 1
+        )
+        SELECT p.from_state, p.to_state, p.n_transitions,
+               CAST(round(CAST(CAST(p.n_transitions AS DOUBLE) / t.from_total
+                               AS DECIMAL(28,12)), 6) AS DOUBLE) AS prob
+        FROM pairs p JOIN totals t USING (from_state)
+        ORDER BY from_state, to_state
+    """,
+    "user_burstiness": """
+        WITH gaps AS (
+            SELECT user_id AS k,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS g
+            FROM events
+        ),
+        moments AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(g) AS BIGINT) AS s1,
+                   CAST(sum(g * g) AS BIGINT) AS s2
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY k HAVING count(*) >= 2
+        ),
+        binned AS (
+            SELECT n, s1,
+                   CAST(floor(round(CAST(
+                       (sqrt(greatest(
+                            (CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                        - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (sqrt(greatest(
+                            (CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                          + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS DECIMAL(28,12)), 9) * 10) AS INT) AS burst_bin
+            FROM moments
+        )
+        SELECT burst_bin,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_gaps,
+               CAST(sum(s1) AS BIGINT) AS total_gap_s,
+               CAST(round(CAST(CAST(sum(s1) AS DOUBLE) / sum(n)
+                               AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_gap_s
+        FROM binned
+        GROUP BY burst_bin
+        ORDER BY burst_bin
+    """,
     # Naive formulation (equi-join + range filter) — correct at oracle
     # scale; the Spark side must match it while bucketing.
     "purchase_followups": """
@@ -291,4 +506,6 @@ ORACLE_SQL = {
 QUERIES = {
     "purchase_attribution": q_purchase_attribution,
     "purchase_followups": q_purchase_followups,
+    "event_transitions": q_event_transitions,
+    "user_burstiness": q_user_burstiness,
 }
