@@ -12,7 +12,7 @@ LSH buckets, never as a global cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
@@ -1898,6 +1898,238 @@ ORACLE_CONTAINMENT_CENSUS = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source passage-overlap matrix: which SOURCES share content —
+# the corpus-level contamination census.  duplicate_passage_stats asks
+# "how much of each DOC is duplicated somewhere"; this asks the question
+# a mixing-weight decision needs: "which source PAIRS overlap, and by
+# how much" (mirror sites, syndicated feeds, re-crawls).  Reference
+# analog: none — the reference's seen-hash set is global and source-
+# blind (src/core/text_extractor.py's batch loop).
+# ---------------------------------------------------------------------------
+
+
+def source_overlap_matrix(docs: DataFrame, text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Pairwise source-overlap census over distinct passage grams: for
+    every source pair sharing ≥ 1 gram, the shared-distinct-gram count
+    and the gram-set Jaccard.
+
+    Scale shape: grams dedupe in-row, then (source, xxhash64(gram))
+    dedupes in one shuffle — the matrix join runs on DISTINCT
+    (source, gram_h) pairs keyed by the 8-byte hash.  Per-gram pair
+    fan-out is bounded by C(|sources|, 2), not corpus size; a
+    deployment with thousands of sources additionally caps universal
+    boilerplate grams by document frequency before pairing (the same
+    hot-band cap as the LSH path).  Per-source set sizes broadcast back
+    onto the |sources|²-bounded matrix.
+    """
+    sg = (
+        docs.select(
+            F.col(source_col).alias("s"),
+            F.explode(_passage_grams(F.col(text_col))).alias("gram"),
+        )
+        .select("s", F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    sizes = sg.groupBy("s").agg(F.count("*").alias("n_grams"))
+    shared = (
+        sg.select(F.col("s").alias("sa"), "gh")
+        .join(sg.select(F.col("s").alias("sb"), "gh"), "gh")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("s").alias("sa"),
+                                     F.col("n_grams").alias("grams_a"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("s").alias("sb"),
+                                     F.col("n_grams").alias("grams_b"))),
+            "sb",
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                (
+                    F.col("n_shared")
+                    / (F.col("grams_a") + F.col("grams_b") - F.col("n_shared"))
+                ).cast("decimal(18,10)"),
+                6,
+            ).cast("double").alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs)
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+    WITH per_doc AS (
+        SELECT source AS s,
+               list_distinct(
+                   CASE WHEN len(words) >= {PASSAGE_N}
+                        THEN list_transform(
+                            range(1, len(words) - {PASSAGE_N} + 2),
+                            i -> array_to_string(
+                                list_slice(words, i, i + {PASSAGE_N} - 1), ' ')
+                        )
+                        ELSE [] END
+               ) AS grams
+        FROM (
+            SELECT source,
+                   list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       w -> len(w) > 0
+                   ) AS words
+            FROM documents
+        )
+    ),
+    sg AS (
+        SELECT DISTINCT s, unnest(grams) AS gram FROM per_doc
+    ),
+    sizes AS (SELECT s, count(*) AS n_grams FROM sg GROUP BY s),
+    shared AS (
+        SELECT a.s AS sa, b.s AS sb, count(*) AS n_shared
+        FROM sg a JOIN sg b ON a.gram = b.gram AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(za.n_grams AS BIGINT) AS grams_a,
+           CAST(zb.n_grams AS BIGINT) AS grams_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(round(CAST(CAST(n_shared AS DOUBLE)
+                           / (za.n_grams + zb.n_grams - n_shared)
+                           AS DECIMAL(18,10)), 6) AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes za ON za.s = sa
+    JOIN sizes zb ON zb.s = sb
+    ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood near-dup candidates (Hernández & Stolfo 1995, the
+# "sorted blocks" variant of Draisbach & Naumann): sort by a content
+# prefix key, compare each row only to its next W-1 neighbors in sort
+# order.  The THIRD blocking geometry in this module — minhash/LSH
+# buckets by set similarity, simhash bands by bit similarity; SNM
+# catches the near-dups both can under-weigh (shared long prefixes with
+# a divergent tail) at strictly linear candidate volume: ≤ (W-1)·n
+# pairs by construction, no hot-bucket blowup possible.
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 4       # compare each doc to its next 3 sort neighbors
+SNM_KEY_CHARS = 32   # sort key: normalized-text prefix
+SNM_BLOCK_CHARS = 4  # sorted-blocks partition prefix (parallelism unit)
+SNM_CMP_CHARS = 64   # edit-distance comparison prefix
+SNM_LEV_MAX = 16     # integer threshold — no float surface at all
+
+
+def snm_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sorted-neighborhood candidate pairs: (doc_a, doc_b, lev) for
+    every pair within SNM_WINDOW in (sort_key, doc_id) order whose
+    SNM_CMP_CHARS-char normalized prefixes are within SNM_LEV_MAX edits.
+
+    Scale shape: ONE shuffle — the per-block window sort.  Blocks are
+    the SNM_BLOCK_CHARS-char key prefix, so the global sort the classic
+    algorithm demands becomes |blocks| independent sorted runs (the
+    published "sorted blocks" tradeoff: pairs straddling a block
+    boundary are lost; at 100 TB block granularity is tuned so blocks
+    hold thousands of docs each, and a boundary-overlap pass of W rows
+    per block edge recovers the seam pairs at negligible cost).
+    Candidate volume is hard-bounded at (W-1)·n — the property that
+    makes SNM the safe first pass on corpora whose LSH band
+    distribution is unknown.  The levenshtein guard runs on fixed-width
+    prefixes, so per-pair cost is O(SNM_CMP_CHARS²) constant.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    keyed = docs.select(
+        "doc_id",
+        F.substring(norm, 1, SNM_KEY_CHARS).alias("sk"),
+        F.substring(norm, 1, SNM_CMP_CHARS).alias("cmp"),
+    ).withColumn("blk", F.substring("sk", 1, SNM_BLOCK_CHARS))
+    w = Window.partitionBy("blk").orderBy("sk", "doc_id")
+    with_next = keyed.select(
+        "doc_id",
+        "cmp",
+        F.array(
+            *[
+                F.lead(F.struct(F.col("doc_id").alias("d"),
+                                F.col("cmp").alias("c")), i).over(w)
+                for i in range(1, SNM_WINDOW)
+            ]
+        ).alias("nbrs"),
+    )
+    pairs = with_next.select(
+        F.col("doc_id").alias("doc_a"),
+        "cmp",
+        F.explode("nbrs").alias("nb"),
+    ).filter(F.col("nb").isNotNull())
+    return (
+        pairs.select(
+            "doc_a",
+            F.col("nb.d").alias("doc_b"),
+            F.levenshtein("cmp", F.col("nb.c")).alias("lev"),
+        )
+        .filter(F.col("lev") <= SNM_LEV_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return snm_candidate_pairs(docs)
+
+
+_SNM_LEADS = ",\n               ".join(
+    f"lead(doc_id, {i}) OVER w AS d{i}, lead(cmp, {i}) OVER w AS c{i}"
+    for i in range(1, SNM_WINDOW)
+)
+_SNM_ARMS = "\n            UNION ALL\n".join(
+    f"""            SELECT doc_id AS doc_a, d{i} AS doc_b,
+                   levenshtein(cmp, c{i}) AS lev
+            FROM leads WHERE d{i} IS NOT NULL"""
+    for i in range(1, SNM_WINDOW)
+)
+ORACLE_SNM_CANDIDATES = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               substr(n, 1, {SNM_KEY_CHARS}) AS sk,
+               substr(n, 1, {SNM_CMP_CHARS}) AS cmp,
+               substr(n, 1, {SNM_BLOCK_CHARS}) AS blk
+        FROM (
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                       text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS n
+            FROM documents
+        )
+    ),
+    leads AS (
+        SELECT doc_id, cmp,
+               {_SNM_LEADS}
+        FROM keyed
+        WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)
+    ),
+    arms AS (
+{_SNM_ARMS}
+    )
+    SELECT doc_a, doc_b, CAST(lev AS INT) AS lev
+    FROM arms WHERE lev <= {SNM_LEV_MAX}
+    ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -1914,6 +2146,8 @@ QUERIES = {
     "gram_novelty": q_gram_novelty,
     "set_similarity_join": q_set_similarity_join,
     "containment_census": q_containment_census,
+    "source_overlap": q_source_overlap,
+    "snm_candidates": q_snm_candidates,
 }
 
 ORACLE_SQL = {
@@ -1932,4 +2166,6 @@ ORACLE_SQL = {
     "gram_novelty": ORACLE_GRAM_NOVELTY,
     "set_similarity_join": ORACLE_SET_SIMILARITY_JOIN,
     "containment_census": ORACLE_CONTAINMENT_CENSUS,
+    "source_overlap": ORACLE_SOURCE_OVERLAP,
+    "snm_candidates": ORACLE_SNM_CANDIDATES,
 }
