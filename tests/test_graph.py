@@ -183,3 +183,38 @@ def test_graph_communities_census_contract(spark, sf001_dir):
     rows = q_graph_communities(spark, sf001_dir).collect()
     assert rows
     assert all(r["community_size"] >= 1 and r["n_communities"] >= 1 for r in rows)
+
+
+def test_triangle_census_hand_graph(spark):
+    """K4 minus one edge: 5 edges, 2 triangles, wedges Σ C(deg,2) =
+    C(3,2)+C(3,2)+C(2,2)+C(2,2) = 8, clustering = 6/8.  Duplicate and
+    reversed input edges must not change anything."""
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        triangle_census,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4),
+             (2, 1),        # reversed duplicate
+             (1, 2)]        # exact duplicate
+    df = spark.createDataFrame(edges, "u long, v long")
+    r = triangle_census(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (4, 5)
+    assert r["n_wedges"] == 8
+    assert r["n_triangles"] == 2
+    assert r["clustering"] == 0.75
+
+
+def test_triangle_census_triangle_free_graph(spark):
+    """A star graph has wedges but zero triangles — the orientation
+    must not fabricate closures."""
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        triangle_census,
+    )
+
+    star = [(0, i) for i in range(1, 6)]
+    r = triangle_census(
+        spark.createDataFrame(star, "u long, v long")
+    ).collect()[0]
+    assert r["n_triangles"] == 0
+    assert r["n_wedges"] == 10  # C(5,2) at the hub
+    assert r["clustering"] == 0.0

@@ -426,7 +426,154 @@ def _lpa_sql_duckdb(rounds: int = LPA_ROUNDS) -> str:
 """
 
 
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph — the fourth graph-family member (PageRank ranks,
+    BFS measures reach, LPA groups; triangles measure local cohesion,
+    the standard signal for community quality and spam-farm detection).
+
+    Scale shape — the Schank-Wagner / Cohen degree-ordered orientation,
+    THE shape that survives power-law graphs:
+
+    * Edges orient from lower to higher (degree, id) rank.  Every node's
+      oriented OUT-degree is then O(√m) regardless of its raw degree —
+      a 10^8-degree hub emits wedges only toward its few higher-ranked
+      peers, so the wedge join's per-key fan-out is bounded by
+      orientation, not by the degree distribution.
+    * Wedge generation is one self-join on the oriented source; the
+      closing-edge check is a semi-join against the same oriented edge
+      table.  Three shuffles total, all on node keys, AQE-splittable.
+    * Each triangle materializes exactly once (at its lowest-ranked
+      apex), so the count needs no division by 3/6.
+
+    Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering) where clustering = 3·triangles / wedges (wedges counted
+    on the UNORIENTED graph: Σ C(deg, 2)).
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    # canonical undirected edge list (dedupe either orientation)
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("x"),
+            F.greatest(F.col(a), F.col(b)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("x"),
+                          F.col("deg").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"),
+                         F.col("deg").alias("dy")), "y")
+    )
+    lower_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    lhs = o.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    rhs = o.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = lhs.join(rhs, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "left_semi",
+    ).agg(F.count("*").alias("n_triangles"))
+    # integer `div`, not float /2: wedge totals pass 2^53 on big graphs
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("sum(deg * (deg - 1)) div 2").cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    # three single-row frames — the broadcast-single-row-aggregate
+    # crossJoin idiom used throughout this package
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(
+                (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"))
+                .cast("decimal(28,12)"),
+                6,
+            ).cast("double").alias("clustering"),
+        )
+    )
+
+
+def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-order graph (parts appearing on
+    the same order share an edge): cohesion of the product catalog's
+    co-purchase structure.  Pair generation is per-order — bounded by
+    order size, never by part popularity."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    pairs = (
+        lineitem.alias("i")
+        .join(lineitem.alias("j"), "l_orderkey")
+        .filter(F.col("i.l_partkey") < F.col("j.l_partkey"))
+        .select(
+            F.col("i.l_partkey").alias("u"),
+            F.col("j.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    return triangle_census(pairs)
+
+
+_TRIANGLE_SQL = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT i.l_partkey AS x, j.l_partkey AS y
+        FROM li i JOIN li j
+          ON i.l_orderkey = j.l_orderkey AND i.l_partkey < j.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT x AS node FROM e UNION ALL SELECT y FROM e
+        ) GROUP BY node
+    ),
+    tri AS (
+        -- id-canonical closure: each triangle p<q<r counted once; the
+        -- count is orientation-invariant, so this independently checks
+        -- the Spark side's degree-ordered plan
+        SELECT count(*) AS n_triangles
+        FROM e xy JOIN e xz ON xz.x = xy.x AND xz.y > xy.y
+                  JOIN e yz ON yz.x = xy.y AND yz.y = xz.y
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT)
+            FROM deg) AS n_wedges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           CAST(round(CAST(3.0 * t.n_triangles /
+                           (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT)
+                            FROM deg)
+                           AS DECIMAL(28,12)), 6) AS DOUBLE) AS clustering
+    FROM tri t
+"""
+
+
 ORACLE_SQL = {
+    "triangle_census": _TRIANGLE_SQL,
     "pagerank_suppliers": _pagerank_sql_duckdb(),
     "graph_distances": _bfs_sql_duckdb(),
     "graph_communities": _lpa_sql_duckdb(),
@@ -436,4 +583,5 @@ QUERIES = {
     "pagerank_suppliers": q_pagerank_suppliers,
     "graph_distances": q_graph_distances,
     "graph_communities": q_graph_communities,
+    "triangle_census": q_triangle_census,
 }
