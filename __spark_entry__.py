@@ -83,6 +83,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    # deferred final-session rotation (batch 7): all six are r4
+    # driver-green (CORRECTNESS_r04) and their implementing functions
+    # are byte-untouched this session (the round-5 additions are
+    # appended to relational.py / temporal.py / dedup.py without
+    # modifying them); their slots go to the six session-born queries
+    # kmv_type_overlap (Theta-sketch set ops), event_transitions
+    # (Markov matrix), user_burstiness (inter-arrival census),
+    # source_overlap (cross-source contamination matrix),
+    # snm_candidates (sorted-neighborhood dedup), triangle_census
+    # (degree-ordered triangle count) so the final driver gate covers
+    # every new family
+    "heavy_keys_sketch",
+    "events_hourly_gapfilled",
+    "user_retention_cohorts",
+    "fulfillment_latency",
+    "fuzzy_dedup_apply",
+    "incremental_dedup",
     # deferred final-session rotation (batch 5): both r3 AND r4
     # driver-green and their implementing functions (key_skew_census,
     # salted-join) are byte-untouched this session (part_skyline was
