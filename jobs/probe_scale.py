@@ -10,6 +10,9 @@ the sf0.1 tier, measuring the property each op's SCALE.md row claims.
     python jobs/probe_scale.py cc       # star-CC per-round edge contraction, 9.1M edges
     python jobs/probe_scale.py pagerank # per-iteration rank shuffle on 2M nodes / 8M edges
     python jobs/probe_scale.py ssjoin   # prefix-filter candidate collapse, 1M docs
+    python jobs/probe_scale.py triangle # degree-ordered wedge fan-out bound, 3M edges
+    python jobs/probe_scale.py snm      # SNM (W-1)·n candidate bound, 4M docs
+    python jobs/probe_scale.py kmv      # KMV set-op accuracy at 20M keys/group
 
 Deterministic inputs built from spark.range — no external data.
 """
@@ -564,8 +567,169 @@ def probe_edjoin(spark):
     }
 
 
+def probe_triangle(spark):
+    """Degree-ordered triangle counting under a hub-heavy graph: the
+    claim is that orientation bounds the wedge join's per-key fan-out
+    by the oriented OUT-degree, not the raw degree — a 40k-degree hub
+    must not emit C(40k, 2) wedges.
+
+    Graph: 50 hubs, each wired to 40k spokes, plus a million-node ring
+    (closes no hub triangles), plus hub-hub clique edges (the actual
+    triangles).  ~3M edges, max raw degree ≈ 40k."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.graph import (
+        triangle_census,
+    )
+
+    n_spokes, n_hubs, n_ring = 2_000_000, 50, 1_000_000
+    spokes = spark.range(n_spokes).select(
+        (F.col("id") % n_hubs).alias("u"),            # hub 0..49
+        (F.col("id") + n_hubs).alias("v"),            # unique spoke
+    )
+    ring = spark.range(n_ring).select(
+        (F.col("id") + n_hubs + n_spokes).alias("u"),
+        (
+            (F.col("id") + 1) % n_ring + n_hubs + n_spokes
+        ).alias("v"),
+    )
+    hub_clique = spark.range(n_hubs * n_hubs).select(
+        (F.col("id") % n_hubs).alias("u"),
+        (F.floor(F.col("id") / n_hubs)).alias("v"),
+    ).filter(F.col("u") < F.col("v"))
+    edges = spokes.union(ring).union(hub_clique)
+
+    t0 = time.monotonic()
+    row = triangle_census(edges).collect()[0]
+    census_sec = round(time.monotonic() - t0, 1)
+
+    # re-derive the orientation to measure the fan-out bound directly
+    e = edges.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    ).filter(F.col("x") != F.col("y")).distinct()
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("x"), F.col("deg").alias("dx")), "x"
+    ).join(
+        deg.select(F.col("node").alias("y"), F.col("deg").alias("dy")), "y"
+    )
+    lower_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u")
+    )
+    outdeg = o.groupBy("u").agg(F.count("*").alias("od"))
+    max_raw = deg.agg(F.max("deg")).collect()[0][0]
+    max_oriented = outdeg.agg(F.max("od")).collect()[0][0]
+    # wedges the join actually materializes = Σ C(outdeg, 2)
+    wedge_rows = outdeg.agg(
+        F.expr("sum(od * (od - 1)) div 2")
+    ).collect()[0][0]
+    return {
+        "probe": "triangle_orientation",
+        "n_edges": row["n_edges"],
+        "n_triangles": row["n_triangles"],
+        "expected_triangles": n_hubs * (n_hubs - 1) * (n_hubs - 2) // 6,
+        "census_sec": census_sec,
+        "max_raw_degree": max_raw,
+        "max_oriented_outdegree": max_oriented,
+        "naive_wedges_at_hub": max_raw * (max_raw - 1) // 2,
+        "oriented_wedge_rows": wedge_rows,
+    }
+
+
+def probe_snm(spark):
+    """Sorted-neighborhood at 4M docs: candidate volume must sit under
+    the hard (W-1)·n bound whatever the data does — the property that
+    makes SNM safe on corpora whose LSH band distribution is unknown."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        SNM_WINDOW,
+        snm_candidate_pairs,
+    )
+
+    n = 4_000_000
+    # every doc shares its 'family' prefix with ~40 siblings; odd ids
+    # get a one-char tail mutation — dense near-dup neighborhoods, the
+    # worst case for quadratic blockers
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lpad((F.col("id") % 100_000).cast("string"), 10, "0"),
+            F.lit(" shared family body text segment "),
+            F.when(F.col("id") % 2 == 1, F.lit("x")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t0 = time.monotonic()
+    n_pairs = snm_candidate_pairs(docs).count()
+    sec = round(time.monotonic() - t0, 1)
+    return {
+        "probe": "snm_candidates",
+        "n_docs": n,
+        "n_candidate_pairs": n_pairs,
+        "hard_bound": (SNM_WINDOW - 1) * n,
+        "bound_held": n_pairs <= (SNM_WINDOW - 1) * n,
+        "sec": sec,
+        "docs_per_sec": round(n / sec, 0) if sec else None,
+    }
+
+
+def probe_kmv(spark):
+    """KMV at 20M distinct keys per group: the pair comparison runs on
+    k-row sketches (constant), and the union estimate lands within the
+    ~1/√(k−2) KMV error envelope of the 30M-key truth."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        KMV_K,
+        kmv_set_estimates,
+        kmv_sketches,
+    )
+
+    n = 20_000_000
+    # group a: keys 0..20M; group b: keys 10M..30M → union 30M,
+    # intersection 10M, jaccard 1/3
+    keyed = spark.range(n).select(
+        F.lit("a").alias("g"), F.col("id").alias("k")
+    ).union(
+        spark.range(n).select(
+            F.lit("b").alias("g"), (F.col("id") + n // 2).alias("k")
+        )
+    )
+    t0 = time.monotonic()
+    sk = kmv_sketches(keyed, group="g", key="k")
+    sketch_rows = sk.count()
+    est = kmv_set_estimates(sk, group="g").collect()[0]
+    sec = round(time.monotonic() - t0, 1)
+    true_union = n + n // 2
+    return {
+        "probe": "kmv_set_ops",
+        "n_keys_per_group": n,
+        "sketch_rows_total": sketch_rows,
+        "sketch_rows_bound": 2 * KMV_K,
+        "union_est": est["union_est"],
+        "true_union": true_union,
+        "union_rel_err": round(abs(est["union_est"] - true_union) / true_union, 4),
+        "jaccard_est": est["jaccard_est"],
+        "true_jaccard": round(1 / 3, 4),
+        "inter_est": est["inter_est"],
+        "true_inter": n // 2,
+        "error_envelope_3sigma": round(3 / (KMV_K - 2) ** 0.5, 4),
+        "sec": sec,
+    }
+
+
 PROBES = {
     "mg": probe_mg,
+    "triangle": probe_triangle,
+    "snm": probe_snm,
+    "kmv": probe_kmv,
     "pack": probe_pack,
     "salt": probe_salt,
     "bpe": probe_bpe,
