@@ -162,6 +162,26 @@ def main() -> None:
          "literal stack unpivots the one aggregate row — never one scan per\n"
          "column.  Pinned by `test_table_profile_single_scan_plan`.",
          qs["table_profile"](spark, SF)),
+        ("snm_candidates (sorted-neighborhood dedup)",
+         "One block-partitioned Window generates every candidate — no\n"
+         "self-join, no cartesian anywhere; the (W-1)·n bound is structural\n"
+         "(each row emits at most W-1 lead() neighbors).  Pinned by\n"
+         "`test_snm_plan_single_window_no_cartesian`.",
+         qs["snm_candidates"](spark, SF)),
+        ("triangle_census (degree-ordered wedge join)",
+         "Wedges form in a self-join on the ORIENTED source node and close\n"
+         "via a left-semi join — all plain hash/sort-merge joins on node\n"
+         "keys, no nested loop; the single-row census frames combine via\n"
+         "broadcast nested loop at the very top (three one-row tables).\n"
+         "Orientation bounds the join fan-out at O(√m) per key (measured:\n"
+         "40,049-degree hub → out-degree 49, `jobs/probe_scale.py triangle`).",
+         qs["triangle_census"](spark, SF)),
+        ("kmv_type_overlap (Theta-sketch set operations)",
+         "The only full-data exchange is the distinct(group, md5) — the\n"
+         "same shuffle ANY exact distinct pays; everything after runs on\n"
+         "k-row-per-group sketches, with the per-group size table\n"
+         "broadcast back onto the |groups|²-bounded pair frame.",
+         qs["kmv_type_overlap"](spark, SF)),
     ]
     # Bucketed co-located join: rendered eagerly under no-broadcast so the
     # SortMergeJoin-with-zero-Exchange shape (the layout's whole point) is
