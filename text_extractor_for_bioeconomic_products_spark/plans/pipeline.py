@@ -73,13 +73,19 @@ def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def _processed_buckets(spark: SparkSession, manifest_dir: str) -> List[int]:
+    # existence pre-check: probing a fresh dir via read.parquet would be
+    # caught below anyway, but the JVM logs the AnalysisException stack
+    # to stderr — needless alarm on every first run (local paths only;
+    # an object-store deployment swaps in its own listing call)
+    if not os.path.isdir(manifest_dir):
+        return []
     try:
         return [
             r["bucket"]
             for r in spark.read.parquet(manifest_dir).select("bucket").distinct().collect()
         ]
     except Exception:
-        return []  # no manifest yet — fresh run
+        return []  # manifest unreadable/partial — treat as fresh run
 
 
 def merge_turns(
@@ -127,27 +133,33 @@ def merge_turns(
 
     meta_dir = turns_dir.rstrip("/") + "_meta"
     stored = None
-    try:
-        stored = int(spark.read.json(meta_dir).collect()[0]["n_buckets"])
-    except Exception as ex:
-        if not _missing_path(ex):
-            new_b.unpersist()
-            raise
+    # pre-check local existence so the fresh-target path never fires an
+    # AnalysisException (the JVM logs its stack to stderr on every first
+    # micro-batch otherwise); the _missing_path fallback stays for
+    # non-local URIs where isdir() can't see the store
+    if os.path.isdir(meta_dir) or "://" in meta_dir:
+        try:
+            stored = int(spark.read.json(meta_dir).collect()[0]["n_buckets"])
+        except Exception as ex:
+            if not _missing_path(ex):
+                new_b.unpersist()
+                raise
     if stored is not None and stored != n_buckets:
         new_b.unpersist()
         raise ValueError(
             f"merge_turns: dataset written with n_buckets={stored}, "
             f"merge called with {n_buckets}"
         )
-    try:
-        existing = spark.read.parquet(turns_dir).filter(
-            F.col("bucket").isin(affected)
-        )
-    except Exception as ex:
-        if not _missing_path(ex):
-            new_b.unpersist()
-            raise
-        existing = None  # first write — plain insert
+    existing = None  # first write — plain insert
+    if os.path.isdir(turns_dir) or "://" in turns_dir:
+        try:
+            existing = spark.read.parquet(turns_dir).filter(
+                F.col("bucket").isin(affected)
+            )
+        except Exception as ex:
+            if not _missing_path(ex):
+                new_b.unpersist()
+                raise
     if existing is not None:
         keys = new_b.select("conv_id", "turn_idx").distinct()
         kept = existing.join(keys, ["conv_id", "turn_idx"], "left_anti")
