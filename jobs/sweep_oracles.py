@@ -3,7 +3,9 @@
 on row count, column names, and order-insensitive normalized values —
 the driver gate's exact comparison, runnable at any SF tier.
 
-Usage: python jobs/sweep_oracles.py [sf_dir] [master]
+Usage: python jobs/sweep_oracles.py [sf_dir] [master] [only]
+``only`` is an optional comma-separated query-name filter (sweep a
+subset while iterating on a new oracle).
 Exit code = number of mismatching queries.
 """
 
@@ -55,6 +57,9 @@ def main() -> int:
 
     oracles = entry_mod.oracle_sql()
     queries = entry_mod.queries()
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        queries = {k: v for k, v in queries.items() if k in only}
     n_bad = 0
     t_all = time.monotonic()
     for name, fn in queries.items():

@@ -2106,3 +2106,70 @@ def test_burstiness_periodic_user_hits_minus_one_bin(spark):
     # B≈0.2676 ⇒ bin 2
     assert got.get(2) == (1, 3, 3600)
     assert sum(v[0] for v in got.values()) == 2  # user 3 excluded
+
+
+def test_ams_f2_matches_hashlib_recomputation(spark):
+    """The AMS F2 estimate equals a pure-hashlib recomputation of the
+    identical md5-signed counters (sum → square → group mean → exact
+    5-way median), and the exact F2 column is the true self-join size."""
+    import hashlib
+    import statistics
+    from collections import Counter
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        AMS_GROUPS,
+        AMS_PER_GROUP,
+        ams_f2_estimate,
+    )
+
+    # zipf-ish stream over 30 keys: key i occurs (31 - i) times
+    keys = list(range(1, 31))
+    stream_rows = [(k,) for k in keys for _ in range(31 - k)]
+    true_f2 = sum(c * c for c in Counter(k for (k,) in stream_rows).values())
+
+    def sign(k, j):
+        nib = hashlib.md5(f"ams{j}:{k}".encode()).hexdigest()[0]
+        return 1 if nib in "01234567" else -1
+
+    n = AMS_GROUPS * AMS_PER_GROUP
+    sums = [
+        sum(sign(k, j) for (k,) in stream_rows) for j in range(n)
+    ]
+    gmeans = [
+        statistics.mean(
+            float(sums[j] * sums[j])
+            for j in range(n)
+            if j % AMS_GROUPS == g
+        )
+        for g in range(AMS_GROUPS)
+    ]
+    expected = statistics.median(gmeans)
+
+    stream = spark.createDataFrame(stream_rows, "user_id long")
+    got = ams_f2_estimate(stream, key="user_id").collect()[0]["ams_est"]
+    assert got == expected
+    # estimator sanity: within the ~2σ envelope of the truth
+    # (σ ≈ F2·√(2/AMS_PER_GROUP) per group mean)
+    import math
+    assert abs(got - true_f2) <= 2.5 * true_f2 * math.sqrt(2 / AMS_PER_GROUP)
+
+
+def test_ams_query_plan_is_constant_width(spark, sf001_dir):
+    """The AMS census never hash-partitions the key space: the only
+    aggregates are over the 80 counter ids (partial map-side), the
+    single-row estimate broadcasts, and no window or cartesian product
+    appears anywhere in the physical plan."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["ams_selfjoin_size"](spark, sf001_dir)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["exact_f2"] > 0 and r["ams_est"] > 0 and r["n_counters"] == 80
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "partial_sum" in final, final
+    assert "CartesianProduct" not in final, final
+    assert "Window" not in final, final

@@ -1626,6 +1626,134 @@ def q_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- AMS F2 sketch: self-join size estimation ------------------------------
+
+AMS_GROUPS = 5       # odd, so the cross-group median is exact (no midpoint)
+AMS_PER_GROUP = 16   # counters averaged within a group (std ≈ F2·√(2/16);
+#                      measured sf0.1 rel_err 0.12 vs 0.48 at 8-per-group)
+
+
+def _ams_sign(key_col, j: int):
+    """Deterministic ±1 sign for counter ``j``: +1 when the first hex
+    nibble of md5('ams<j>:' || key) is 0-7 (its high bit clear), else
+    -1 — the same string function in Spark and DuckDB, so the whole
+    sketch is byte-identical across engines (the `_cms_cell` idiom
+    applied to signed counting)."""
+    nibble = F.substring(
+        F.md5(F.concat(F.lit(f"ams{j}:"), key_col.cast("string"))), 1, 1
+    )
+    return F.when(nibble.isin(*"01234567"), F.lit(1)).otherwise(F.lit(-1))
+
+
+def ams_f2_estimate(stream: DataFrame, key: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996):
+    estimate F2 = Σ_k count(k)² — the size of the stream's SELF-JOIN on
+    ``key`` — from AMS_GROUPS × AMS_PER_GROUP signed counters, without
+    ever shuffling the key space.  F2 is what a join planner needs to
+    size the output of `events ⋈ events ON user_id` before running it;
+    the exact answer costs a groupBy over every key, the sketch costs a
+    constant-width exchange.
+
+    Scale shape: each stream row expands to the 80 (j, ±1) counter
+    increments, which partial-aggregate map-side to at most 80 running
+    sums per task — the exchange carries 80 rows TOTAL regardless of
+    stream size (the Misra-Gries/CMS mergeable-summary discipline).
+    Each counter's square is an unbiased F2 estimate; means of 16 cut
+    the variance 16×, the median across 5 group-means cuts outlier
+    probability exponentially (standard AMS analysis).  Deterministic
+    given the md5 signs, so the estimate itself hash-checks against
+    the SQL oracle.  Returns one row: (ams_est double).
+    """
+    n = AMS_GROUPS * AMS_PER_GROUP
+    sums = (
+        stream.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _ams_sign(F.col(key), j).alias("s"),
+                        )
+                        for j in range(n)
+                    ]
+                )
+            ).alias("o")
+        )
+        .groupBy(F.col("o.j").alias("j"))
+        .agg(F.sum("o.s").alias("S"))
+    )
+    group_means = sums.groupBy(
+        (F.col("j") % AMS_GROUPS).alias("g")
+    ).agg(F.avg(F.col("S") * F.col("S")).alias("gmean"))
+    return group_means.agg(F.median("gmean").alias("ams_est"))
+
+
+def q_ams_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size of events on user_id — exact F2 vs the 40-counter
+    AMS estimate, relative error in-band (the sketch-ships-its-error
+    discipline).  Exact F2 here is the row count `events ⋈ events ON
+    user_id` would produce; the sketch answers it from a constant-size
+    exchange.  Hash-checked: the md5 sign construction is
+    engine-identical, so the estimate (not just a bound) must match."""
+    events = load(spark, sf_dir, "events")
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
+    )
+    est = ams_f2_estimate(events.select("user_id"), key="user_id")
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_f2",
+            F.round(F.col("ams_est").cast("decimal(28,10)"), 2)
+            .cast("double")
+            .alias("ams_est"),
+            F.round(
+                (
+                    F.abs(F.col("ams_est") - F.col("exact_f2"))
+                    / F.col("exact_f2")
+                ).cast("decimal(18,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("rel_err"),
+            F.lit(AMS_GROUPS * AMS_PER_GROUP).cast("int").alias("n_counters"),
+        )
+    )
+
+
+_AMS_SQL = f"""
+    WITH counters AS (
+        SELECT j FROM range({AMS_GROUPS * AMS_PER_GROUP}) t(j)
+    ), sums AS (
+        SELECT c.j,
+               CAST(sum(CASE WHEN substr(md5('ams' || c.j || ':'
+                                          || CAST(e.user_id AS VARCHAR)),
+                                   1, 1) IN ('0','1','2','3','4','5','6','7')
+                             THEN 1 ELSE -1 END) AS BIGINT) AS S
+        FROM events e CROSS JOIN counters c
+        GROUP BY c.j
+    ), gmeans AS (
+        SELECT j % {AMS_GROUPS} AS g, avg(CAST(S AS DOUBLE) * S) AS gmean
+        FROM sums GROUP BY 1
+    ), est AS (
+        SELECT median(gmean) AS ams_est FROM gmeans
+    ), exact AS (
+        SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id)
+    )
+    SELECT exact_f2,
+           CAST(round(CAST(ams_est AS DECIMAL(28,10)), 2) AS DOUBLE)
+               AS ams_est,
+           CAST(round(CAST(abs(ams_est - exact_f2) / exact_f2
+                           AS DECIMAL(18,10)), 4) AS DOUBLE) AS rel_err,
+           CAST({AMS_GROUPS * AMS_PER_GROUP} AS INTEGER) AS n_counters
+    FROM exact, est
+"""
+
+
 _KMV_SQL = f"""
     WITH keyed AS (
         SELECT DISTINCT event_type AS g,
@@ -1720,6 +1848,9 @@ ORACLE_SQL = {
     # the md5 hash + exact power-of-two normalizer are engine-identical,
     # so the Theta-sketch union/intersection ESTIMATES hash-check too
     "kmv_type_overlap": _KMV_SQL,
+    # the md5 sign construction is engine-identical, so the AMS estimate
+    # itself (not just an error bound) is hash-checked
+    "ams_selfjoin_size": _AMS_SQL,
     # the md5 cell construction is engine-identical, so the whole sketch
     # (and therefore every estimate and overcount) is hash-checked, not
     # just bounded — the bloom_membership idiom applied to counting
@@ -2374,6 +2505,7 @@ QUERIES = {
     "part_skyline": q_part_skyline,
     "cms_user_frequency": q_cms_user_frequency,
     "kmv_type_overlap": q_kmv_type_overlap,
+    "ams_selfjoin_size": q_ams_selfjoin_size,
     "order_price_deciles": q_order_price_deciles,
     "topk_urgent_orders": q_topk_urgent_orders,
     "recent_orders": q_recent_orders,
