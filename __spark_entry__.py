@@ -83,6 +83,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # windows, tf-idf, source mixing, near-dup recall ledger) inside the
 # checked window.  Membership and semantics are unchanged.
 _DEFERRED_STAPLES = [
+    # deferred final-session rotation (batch 8): both are r4
+    # driver-green (doc_relevance oracled, span_validation rows-only
+    # err-free) and their implementing module (normalize.py, rules.py
+    # relevance/validation paths) is byte-untouched in round 5; their
+    # slots pull the two session-born queries table_profile (one-scan
+    # column census) and versioned_table_history (the commit-protocol
+    # query VERDICT r4 asked to expose to the driver gate) back inside
+    # the 50-query window after ams_selfjoin_size + winnowing_census
+    # displaced them
+    "doc_relevance",
+    "span_validation",
     # deferred final-session rotation (batch 7): all six are r4
     # driver-green (CORRECTNESS_r04) and their implementing functions
     # are byte-untouched this session (the round-5 additions are

@@ -2185,3 +2185,94 @@ def test_source_overlap_hand_computed(spark):
     # epsilon zeta'? no — s2 ends at epsilon, so exactly 1 shared gram
     assert (r["grams_a"], r["grams_b"], r["n_shared"]) == (2, 4, 1)
     assert r["jaccard"] == round(1 / (2 + 4 - 1), 6)
+
+
+def _winnow_ref(text, k, w):
+    """Pure-Python robust winnowing (Schleimer et al. 2003, Fig. 5
+    semantics): windowed rightmost-minimum over md5-prefix gram hashes
+    of the normalized text — the independent oracle for the in-row
+    lambda-fold implementation."""
+    import hashlib
+    import re as _re
+
+    s = _re.sub(r"[^a-z0-9]", "", text.lower())
+    n = len(s) - k + 1
+    if n < 1:
+        return set()
+    hs = [
+        hashlib.md5(s[i : i + k].encode()).hexdigest()[:8] for i in range(n)
+    ]
+    out = set()
+    for wi in range(max(n - w + 1, 1)):
+        lo, hi = wi, min(wi + w, n)
+        best = lo
+        for j in range(lo + 1, hi):
+            if hs[j] <= hs[best]:          # rightmost on ties (robust)
+                best = j
+        out.add((hs[best], best + 1))       # engine positions are 1-based
+    return out
+
+
+def test_winnowing_matches_pure_python_reference(spark):
+    """Engine fingerprints byte-equal the pure-Python robust-winnowing
+    reference on mixed-case/punctuated text, a doc shorter than one
+    window (still yields ≥1 fingerprint), a doc shorter than k (zero),
+    and a run of identical grams (the robust-variant tie case: one
+    fingerprint for the run, not w)."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (1, "The Quick, Brown Fox -- jumps over 2 lazy dogs!"),
+        (2, "abcdefghij"),                  # 3 grams < w windows
+        (3, "abcdefg"),                     # len 7 < k=8 → no grams
+        (4, "a" * 40),                      # all grams identical
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_grams"],
+            {(f["h"], f["p"]) for f in r["fingerprints"]},
+        )
+        for r in winnow_fingerprints(docs).collect()
+    }
+    for doc_id, text in rows:
+        want = _winnow_ref(text, WINNOW_K, WINNOW_W)
+        assert got[doc_id][1] == want, doc_id
+    assert got[3] == (0, set()) and got[5] == (0, set())
+    assert got[2][1] != set()
+    # robust tie-break: the 33 identical grams of doc 4 select exactly
+    # one distinct (hash, pos) per *rightmost* window position change —
+    # far fewer than one per window; the reference set pins exact count
+    assert len(got[4][1]) == len(_winnow_ref("a" * 40, WINNOW_K, WINNOW_W))
+
+
+def test_winnowing_guarantee_and_plan(spark):
+    """The t = k+w-1 guarantee: two documents sharing a normalized
+    substring of ≥ 11 chars share at least one fingerprint HASH —
+    winnowing's whole point vs sampling sketches.  And the plan is one
+    narrow projection: no Exchange, no Generate (selection is in-row)."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    core = "photosynthesis"                 # 14 normalized chars ≥ 11
+    rows = [
+        (1, "left filler text " + core + " right filler"),
+        (2, "completely different framing: " + core + "?!"),
+        (3, "no shared content here at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(docs)
+    sets = {
+        r["doc_id"]: {f["h"] for f in r["fingerprints"]}
+        for r in fp.collect()
+    }
+    assert sets[1] & sets[2], "guarantee violated: shared 14-char substring"
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan

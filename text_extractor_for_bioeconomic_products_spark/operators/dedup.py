@@ -2130,6 +2130,276 @@ ORACLE_SNM_CANDIDATES = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — local document fingerprinting
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8   # char k-gram length over the normalized text
+WINNOW_W = 4   # window of consecutive k-gram hashes per selection
+# ⇒ guarantee threshold t = K + W - 1 = 11: any shared normalized
+#   substring of ≥ 11 chars shares at least one selected fingerprint
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): normalize (lowercase, strip
+    non-alphanumerics), hash every char k-gram, slide a window of ``w``
+    consecutive hashes, and select each window's minimum (RIGHTMOST
+    position on ties — the robust variant, so a long run of equal
+    hashes yields one fingerprint, not ``w``).  Selected (hash, pos)
+    pairs dedupe into the document's fingerprint set, which is LOCAL:
+    unlike MinHash (a global random sample of the gram set), winnowing
+    guarantees any two documents sharing a normalized substring of
+    length ≥ k + w - 1 share a fingerprint — the property plagiarism /
+    near-verbatim-contamination detection needs and sampling sketches
+    cannot give.  Expected density is 2/(w+1) of grams.
+
+    Scale shape: the whole selection is IN-ROW (nested higher-order
+    functions over the gram-hash array — one narrow projection, no
+    explode, no shuffle); only the deduped fingerprint set leaves the
+    row, ~2n/(w+1) entries per doc.  The reference's fingerprint slot
+    is the per-document content hash (src/core/text_extractor.py's
+    seen-hash dedup) — an exact-match-only signal this operator
+    strictly generalizes.
+
+    Docs with at least one gram but fewer than ``w`` windows get one
+    window spanning all grams (every gram-bearing doc yields ≥ 1
+    fingerprint).  Hashes are the first 8 hex chars of md5 — the
+    engine-identical construction, compared lexicographically, so the
+    fingerprint sets hash-check against the SQL oracle.
+
+    Returns the input columns + ``n_grams`` (int) + ``fingerprints``
+    (array<struct<h:string, p:int>>).
+
+    Expression-shape constraint (load-bearing): NO lambda body below
+    references a COLUMN — only its own lambda variables.  Catalyst's
+    filter pushdown (PushPredicateThroughNonJoin) substitutes project
+    aliases into pushed predicates unconditionally; an alias referenced
+    inside a higher-order-function lambda is then re-evaluated PER
+    ELEMENT, turning any consumer ``.filter()`` over a derived column
+    into an O(n²)+ plan (measured: an `element_at(_hs, j)`-style fold
+    hung at 3k-char docs once a filter pushed through it).  With
+    column references only at top level, full inlining costs a bounded
+    constant factor.  The same discipline avoids two other measured
+    cliffs: ``substring(_s, i, k)`` positional gram extraction (UTF8
+    char lookup is a byte walk → Σi = O(n²); a zero-width-lookahead
+    regexp extracts all overlapping grams in one O(n·k) pass) and
+    ``array_distinct`` over struct arrays (O(n²) pairwise equality;
+    rightmost-tie-break selections are non-decreasing in position, so
+    duplicates are adjacent runs and a keep-if-changed zip equals the
+    distinct set in O(n)).
+    """
+    H = 8  # md5-prefix width in hex chars (fixed; grams hash to this)
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    d = docs.withColumn("_s", norm).withColumn(
+        "_n", F.length("_s") - F.lit(k) + 1
+    )
+    # every overlapping char k-gram in ONE regex pass (zero-width
+    # lookahead advances a single char per match), hashed to 8 hex
+    # chars and concatenated: gram i lives at _hstr[H·i+1 .. H·i+H]
+    d = d.withColumn(
+        "_hstr",
+        F.expr(
+            f"array_join(transform("
+            f"regexp_extract_all(_s, '(?=(.{{{k}}}))', 1), "
+            f"g -> substr(md5(g), 1, {H})), '')"
+        ),
+    )
+    # Sliding windows of w consecutive hashes = the (H·w)-char
+    # substrings of _hstr at H-aligned offsets: the lookahead CAPTURES
+    # H·w chars while the match CONSUMES H, so find() strides one hash
+    # per match and the match index IS the 0-based gram index (no
+    # over-extraction at unaligned offsets, no stride filter).  Each
+    # window's rightmost-min is unrolled over its w fixed-position
+    # chunks (w² short string compares, no fold state).
+    chunks = [f"substr(s.win, {H * j + 1}, {H})" for j in range(w)]
+    m = f"least({', '.join(chunks)})"
+    idx = (
+        "CASE "
+        + " ".join(
+            f"WHEN {chunks[j]} = {m} THEN {j}" for j in range(w - 1, 0, -1)
+        )
+        + " ELSE 0 END"
+    )
+    main = (
+        f"transform(transform("
+        f"regexp_extract_all(_hstr, '(?=(.{{{H * w}}})).{{{H}}}', 1), "
+        f"(x, i) -> named_struct('win', x, 'off', i)), "
+        f"s -> named_struct('h', {m}, "
+        f"'p', CAST(s.off + ({idx}) + 1 AS INT)))"
+    )
+    # fewer grams than one window: a single window spanning all grams
+    # (nullif guards the missing chunks; least/CASE skip nulls)
+    schunks = [
+        f"nullif(substr(_hstr, {H * j + 1}, {H}), '')" for j in range(w)
+    ]
+    sm = f"least({', '.join(schunks)})"
+    sidx = (
+        "CASE "
+        + " ".join(
+            f"WHEN {schunks[j]} = {sm} THEN {j}" for j in range(w - 1, 0, -1)
+        )
+        + " ELSE 0 END"
+    )
+    small = f"array(named_struct('h', {sm}, 'p', CAST(({sidx}) + 1 AS INT)))"
+    sel = (
+        f"CASE WHEN _n >= {w} THEN {main} "
+        f"WHEN _n >= 1 THEN {small} ELSE array() END"
+    )
+    # keep-if-changed dedupe: zip each selection with its predecessor
+    # (top-level refs only), keep position changes, drop the null gaps
+    dedup = (
+        "CASE WHEN size(_sa) <= 1 THEN _sa ELSE "
+        "filter(zip_with(_sa, "
+        "concat(array(named_struct('h', '', 'p', 0)), "
+        "slice(_sa, 1, size(_sa) - 1)), "
+        "(cur, prev) -> CASE WHEN cur.p != prev.p THEN cur END), "
+        "x -> x IS NOT NULL) END"
+    )
+    return (
+        d.withColumn("_sa", F.expr(sel))
+        .withColumn("fingerprints", F.expr(dedup))
+        .withColumn("n_grams", F.greatest("_n", F.lit(0)))
+        .drop("_s", "_n", "_hstr", "_sa")
+    )
+
+
+def q_winnowing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winnowing census: gram volume, selected-fingerprint
+    volume (the ~2/(w+1) density check is the in-band invariant), the
+    source's distinct fingerprint vocabulary, and how much of that
+    vocabulary also appears in OTHER sources — the near-verbatim
+    cross-source contamination signal `source_overlap` measures with
+    passages, here at fingerprint (≥ 11-char match) granularity."""
+    docs = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs)
+    per_doc = fp.select(
+        "source", "doc_id", "n_grams", F.explode_outer("fingerprints").alias("f")
+    )
+    grams = fp.groupBy("source").agg(
+        F.sum("n_grams").cast("long").alias("total_grams")
+    )
+    flat = per_doc.filter(F.col("f").isNotNull()).select(
+        "source", "doc_id", F.col("f.h").alias("h")
+    )
+    src_h = flat.select("source", "h").distinct()
+    shared = (
+        src_h.groupBy("h")
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("h")
+    )
+    shared_per_src = (
+        src_h.join(F.broadcast(shared), "h")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_shared_fp"))
+    )
+    census = flat.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_fingerprints"),
+        F.countDistinct("h").alias("n_distinct_fp"),
+    )
+    return (
+        census.join(grams, "source")
+        .join(shared_per_src, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "total_grams",
+            F.col("n_fingerprints").cast("long").alias("n_fingerprints"),
+            F.col("n_distinct_fp").cast("long").alias("n_distinct_fp"),
+            F.coalesce("n_shared_fp", F.lit(0)).cast("long").alias("n_shared_fp"),
+            F.round(
+                (F.col("n_fingerprints") / F.col("total_grams")).cast(
+                    "decimal(18,10)"
+                ),
+                4,
+            ).cast("double").alias("density"),
+        )
+        .orderBy("source")
+    )
+
+
+# independent formulation: the oracle derives the same fingerprints via
+# unnest + a windowed min + a rightmost-argmin join — positional SQL,
+# not the in-row lambda fold — so a hash match proves the selection
+ORACLE_WINNOWING_CENSUS = f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s,
+               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   - {WINNOW_K} + 1 AS n
+        FROM documents
+    ),
+    gpos AS (
+        SELECT doc_id, source, s, n,
+               unnest(generate_series(1, greatest(n, 0))) AS pos
+        FROM sized
+    ),
+    grams AS (
+        SELECT doc_id, source, n, pos,
+               substr(md5(substring(s, pos, {WINNOW_K})), 1, 8) AS h
+        FROM gpos
+    ),
+    wins AS (
+        SELECT doc_id, source, n,
+               unnest(generate_series(1, greatest(n - {WINNOW_W} + 1, 1)))
+                   AS wi
+        FROM (SELECT DISTINCT doc_id, source, n FROM grams)
+    ),
+    wmin AS (
+        SELECT w.doc_id, w.source, w.n, w.wi, min(g.h) AS mh
+        FROM wins w
+        JOIN grams g ON g.doc_id = w.doc_id
+                    AND g.pos BETWEEN w.wi
+                                  AND least(w.wi + {WINNOW_W} - 1, w.n)
+        GROUP BY 1, 2, 3, 4
+    ),
+    sel AS (
+        SELECT w.doc_id, w.source, w.mh AS h, max(g.pos) AS p
+        FROM wmin w
+        JOIN grams g ON g.doc_id = w.doc_id AND g.h = w.mh
+                    AND g.pos BETWEEN w.wi
+                                  AND least(w.wi + {WINNOW_W} - 1, w.n)
+        GROUP BY w.doc_id, w.source, w.wi, w.mh
+    ),
+    fp AS (SELECT DISTINCT doc_id, source, h, p FROM sel),
+    grams_per_src AS (
+        SELECT source, CAST(sum(greatest(n, 0)) AS BIGINT) AS total_grams
+        FROM sized GROUP BY source
+    ),
+    src_h AS (SELECT DISTINCT source, h FROM fp),
+    shared AS (
+        SELECT h FROM src_h GROUP BY h HAVING count(*) >= 2
+    ),
+    shared_per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_shared_fp
+        FROM src_h JOIN shared USING (h) GROUP BY source
+    ),
+    census AS (
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_fp
+        FROM fp GROUP BY source
+    )
+    SELECT c.source, c.n_docs, g.total_grams, c.n_fingerprints,
+           c.n_distinct_fp,
+           COALESCE(s.n_shared_fp, 0) AS n_shared_fp,
+           CAST(round(CAST(c.n_fingerprints::DOUBLE / g.total_grams
+                      AS DECIMAL(18,10)), 4) AS DOUBLE) AS density
+    FROM census c
+    JOIN grams_per_src g USING (source)
+    LEFT JOIN shared_per_src s USING (source)
+    ORDER BY c.source
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -2148,6 +2418,7 @@ QUERIES = {
     "containment_census": q_containment_census,
     "source_overlap": q_source_overlap,
     "snm_candidates": q_snm_candidates,
+    "winnowing_census": q_winnowing_census,
 }
 
 ORACLE_SQL = {
@@ -2168,4 +2439,5 @@ ORACLE_SQL = {
     "containment_census": ORACLE_CONTAINMENT_CENSUS,
     "source_overlap": ORACLE_SOURCE_OVERLAP,
     "snm_candidates": ORACLE_SNM_CANDIDATES,
+    "winnowing_census": ORACLE_WINNOWING_CENSUS,
 }
