@@ -94,6 +94,12 @@ _DEFERRED_STAPLES = [
     # displaced them
     "doc_relevance",
     "span_validation",
+    # deferred final-session rotation (batch 9): r4 driver-green
+    # (A-ES weighted top-k, CORRECTNESS_r04) and curation.py is
+    # append-only since r4 with q_weighted_sample_topk byte-untouched
+    # (git-diff-verified); its slot goes to the session-born
+    # winnowing_pairs (fingerprint-bucket near-verbatim candidate join)
+    "weighted_sample_topk",
     # deferred final-session rotation (batch 7): all six are r4
     # driver-green (CORRECTNESS_r04) and their implementing functions
     # are byte-untouched this session (the round-5 additions are

@@ -725,8 +725,104 @@ def probe_kmv(spark):
     }
 
 
+def probe_winnow(spark):
+    """Winnowing pair join under 100%-boilerplate skew, 200k docs.
+
+    Every doc carries the same boilerplate sentence, so its fingerprints
+    form mega-buckets of 200k docs each; 1,000 planted near-dup pairs
+    share a unique 40-char passage.  Claims under test: (1) the
+    WINNOW_MAX_BUCKET cap removes the boilerplate buckets BEFORE the
+    self-join — the measured join input volume Σ nd² collapses by
+    orders of magnitude vs the uncapped analytic volume; (2) every
+    planted pair still surfaces (recall 1.0 — the planted buckets are
+    size 2, untouched by the cap); (3) the fingerprint stage itself is
+    one narrow shuffle-free projection over 38M chars."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        WINNOW_MAX_BUCKET,
+        winnow_fingerprints,
+        winnowing_candidate_pairs,
+    )
+
+    n_docs, n_planted, offset = 200_000, 1_000, 100_000
+    boiler = "subscribe to our newsletter for weekly updates and offers "
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler),
+            F.md5(F.concat(F.lit("u"), F.col("id").cast("string"))),
+            F.md5(F.concat(F.lit("v"), F.col("id").cast("string"))),
+            F.md5(F.concat(F.lit("w"), F.col("id").cast("string"))),
+            F.when(
+                F.col("id") < n_planted,
+                F.md5(F.concat(F.lit("p"), F.col("id").cast("string"))),
+            )
+            .when(
+                (F.col("id") >= offset) & (F.col("id") < offset + n_planted),
+                F.md5(
+                    F.concat(
+                        F.lit("p"), (F.col("id") - offset).cast("string")
+                    )
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    ).repartition(64).persist()
+    n_chars = docs.select(F.sum(F.length("text"))).collect()[0][0]
+
+    t0 = time.monotonic()
+    fp = winnow_fingerprints(docs)
+    n_fp = fp.select(F.sum(F.size("fingerprints"))).collect()[0][0]
+    t_fp = time.monotonic() - t0
+
+    dfp = (
+        fp.select("doc_id", F.explode("fingerprints").alias("f"))
+        .select("doc_id", F.col("f.h").alias("h"))
+        .distinct()
+        .persist()
+    )
+    sizes = dfp.groupBy("h").agg(F.count("*").alias("nd")).persist()
+    vol = sizes.select(
+        F.sum(F.col("nd") * F.col("nd")).alias("uncapped"),
+        F.sum(
+            F.when(
+                (F.col("nd") >= 2) & (F.col("nd") <= WINNOW_MAX_BUCKET),
+                F.col("nd") * F.col("nd"),
+            ).otherwise(F.lit(0))
+        ).alias("capped"),
+    ).collect()[0]
+
+    t1 = time.monotonic()
+    pairs = winnowing_candidate_pairs(docs).persist()
+    n_pairs = pairs.count()
+    t_pairs = time.monotonic() - t1
+    planted_found = pairs.filter(
+        (F.col("doc_b") - F.col("doc_a") == offset)
+        & (F.col("doc_a") < n_planted)
+    ).count()
+
+    docs.unpersist(); dfp.unpersist(); sizes.unpersist(); pairs.unpersist()
+    return {
+        "probe": "winnow_pairs_skew",
+        "n_docs": n_docs,
+        "n_chars": int(n_chars),
+        "n_fingerprints": int(n_fp),
+        "fingerprint_stage_sec": round(t_fp, 1),
+        "chars_per_sec_fp_stage": int(n_chars / t_fp),
+        "join_volume_uncapped": int(vol["uncapped"]),
+        "join_volume_capped": int(vol["capped"]),
+        "volume_collapse_ratio": round(vol["uncapped"] / max(vol["capped"], 1), 1),
+        "pairs_found": n_pairs,
+        "planted_pairs": n_planted,
+        "planted_recall": round(planted_found / n_planted, 4),
+        "pair_stage_sec": round(t_pairs, 1),
+    }
+
+
 PROBES = {
     "mg": probe_mg,
+    "winnow": probe_winnow,
     "triangle": probe_triangle,
     "snm": probe_snm,
     "kmv": probe_kmv,

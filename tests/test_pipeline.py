@@ -2276,3 +2276,44 @@ def test_winnowing_guarantee_and_plan(spark):
     plan = fp._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_winnowing_pairs_hand_computed(spark):
+    """Two docs sharing two long verbatim passages pair up with the
+    enumerated shared-fingerprint count and overlap coefficient; a doc
+    sharing nothing produces no pair; and the plan self-joins on the
+    fingerprint bucket (no CartesianProduct)."""
+    from text_extractor_for_bioeconomic_products_spark.operators.dedup import (
+        WINNOW_MIN_SHARED,
+        winnow_fingerprints,
+        winnowing_candidate_pairs,
+    )
+
+    pass1 = "the mitochondria is the powerhouse of the cell"
+    pass2 = "photosynthesis converts light into chemical energy"
+    rows = [
+        (1, pass1 + " and also " + pass2),
+        (2, "intro text. " + pass1 + " outro. " + pass2 + " end."),
+        (3, "entirely unrelated content about orbital mechanics"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in winnowing_candidate_pairs(docs).collect()
+    }
+    assert list(got) == [(1, 2)]
+    r = got[(1, 2)]
+    assert r["n_shared"] >= WINNOW_MIN_SHARED
+    # recompute the expected values from the fingerprint sets directly
+    sets = {
+        row["doc_id"]: {f["h"] for f in row["fingerprints"]}
+        for row in winnow_fingerprints(docs).collect()
+    }
+    shared = sets[1] & sets[2]
+    assert r["n_shared"] == len(shared)
+    assert r["overlap"] == round(len(shared) / min(len(sets[1]), len(sets[2])), 4)
+    plan = (
+        winnowing_candidate_pairs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan

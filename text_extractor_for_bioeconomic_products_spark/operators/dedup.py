@@ -2327,9 +2327,10 @@ def q_winnowing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # independent formulation: the oracle derives the same fingerprints via
 # unnest + a windowed min + a rightmost-argmin join — positional SQL,
-# not the in-row lambda fold — so a hash match proves the selection
-ORACLE_WINNOWING_CENSUS = f"""
-    WITH sized AS (
+# not the in-row lambda fold — so a hash match proves the selection.
+# Shared CTE chain ending in fp(doc_id, source, h, p); both winnowing
+# oracles compose over it.
+_WINNOW_FP_CTES = f"""sized AS (
         SELECT doc_id, source,
                regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s,
                length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
@@ -2368,7 +2369,10 @@ ORACLE_WINNOWING_CENSUS = f"""
                                   AND least(w.wi + {WINNOW_W} - 1, w.n)
         GROUP BY w.doc_id, w.source, w.wi, w.mh
     ),
-    fp AS (SELECT DISTINCT doc_id, source, h, p FROM sel),
+    fp AS (SELECT DISTINCT doc_id, source, h, p FROM sel)"""
+
+ORACLE_WINNOWING_CENSUS = f"""
+    WITH {_WINNOW_FP_CTES},
     grams_per_src AS (
         SELECT source, CAST(sum(greatest(n, 0)) AS BIGINT) AS total_grams
         FROM sized GROUP BY source
@@ -2400,6 +2404,99 @@ ORACLE_WINNOWING_CENSUS = f"""
 """
 
 
+WINNOW_MAX_BUCKET = 64   # fingerprints shared by more docs are stopwords
+WINNOW_MIN_SHARED = 2    # report pairs sharing ≥ 2 distinct fingerprints
+
+
+def winnowing_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Near-verbatim candidate pairs via shared winnowing fingerprints:
+    docs sharing ≥ ``WINNOW_MIN_SHARED`` distinct fingerprint hashes —
+    i.e. at least two independent ≥ (k+w-1)-char verbatim regions —
+    plus the overlap coefficient |shared| / min(|fp_a|, |fp_b|), the
+    containment-style score that stays high when a small doc is
+    embedded in a large one (Jaccard would dilute it).
+
+    Scale shape: the same bucketed discipline as the MinHash band join
+    (`_jaccard_pairs_from`): fingerprints shared by more than
+    ``WINNOW_MAX_BUCKET`` docs are boilerplate stopwords and are
+    excluded BEFORE the self-join, so per-bucket work is bounded by
+    WINNOW_MAX_BUCKET² regardless of corpus skew and the pair exchange
+    never sees the all-pairs cross product.  Per-doc fingerprint counts
+    (the overlap denominator) come from the pre-cap sets, so stopword
+    exclusion lowers recall but never inflates the score — the same
+    conservative accounting as the near-dup recall ledger.
+    """
+    fp = winnow_fingerprints(docs)
+    dfp = fp.select(
+        "doc_id", F.explode("fingerprints").alias("f")
+    ).select("doc_id", F.col("f.h").alias("h")).distinct()
+    per_doc = dfp.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    ok = (
+        dfp.groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= WINNOW_MAX_BUCKET))
+        .select("h")
+    )
+    small = dfp.join(ok, "h", "left_semi")
+    a = small.select(F.col("h"), F.col("doc_id").alias("doc_a"))
+    b = small.select(F.col("h"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    na = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("nf_a"))
+    nb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nf_b"))
+    overlap = F.round(
+        (F.col("n_shared") / F.least("nf_a", "nf_b")).cast("decimal(18,10)"), 4
+    ).cast("double")
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            overlap.alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+ORACLE_WINNOWING_PAIRS = f"""
+    WITH {_WINNOW_FP_CTES},
+    dfp AS (SELECT DISTINCT doc_id, h FROM fp),
+    per_doc AS (SELECT doc_id, count(*) AS nf FROM dfp GROUP BY doc_id),
+    ok AS (
+        SELECT h FROM dfp GROUP BY h
+        HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_BUCKET}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM dfp a
+        JOIN ok USING (h)
+        JOIN dfp b USING (h)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           CAST(round(CAST(p.n_shared::DOUBLE / least(na.nf, nb.nf)
+                      AS DECIMAL(18,10)), 4) AS DOUBLE) AS overlap
+    FROM pairs p
+    JOIN per_doc na ON na.doc_id = p.doc_a
+    JOIN per_doc nb ON nb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -2419,6 +2516,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "snm_candidates": q_snm_candidates,
     "winnowing_census": q_winnowing_census,
+    "winnowing_pairs": q_winnowing_pairs,
 }
 
 ORACLE_SQL = {
@@ -2440,4 +2538,5 @@ ORACLE_SQL = {
     "source_overlap": ORACLE_SOURCE_OVERLAP,
     "snm_candidates": ORACLE_SNM_CANDIDATES,
     "winnowing_census": ORACLE_WINNOWING_CENSUS,
+    "winnowing_pairs": ORACLE_WINNOWING_PAIRS,
 }
