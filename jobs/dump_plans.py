@@ -182,6 +182,19 @@ def main() -> None:
          "k-row-per-group sketches, with the per-group size table\n"
          "broadcast back onto the |groups|²-bounded pair frame.",
          qs["kmv_type_overlap"](spark, SF)),
+        ("winnowing_pairs (local fingerprints → bucket-capped pair join)",
+         "The fingerprint stage is ONE narrow projection — no Exchange, no\n"
+         "Generate: overlapping grams and strided hash windows each come\n"
+         "from a single regex-lookahead pass, and no lambda body references\n"
+         "a column, so a consumer filter pushed through the projection\n"
+         "inlines at constant factor instead of per-element re-evaluation\n"
+         "(the measured O(n²)+ hazard documented in the docstring).  The\n"
+         "pair stage explodes only the deduped fingerprint set, removes\n"
+         ">64-doc buckets BEFORE the self-join (boilerplate stopwords),\n"
+         "and aggregates shared counts with a map-side partial.  Pinned by\n"
+         "`test_winnowing_guarantee_and_plan` (Exchange/Generate-free map)\n"
+         "and `test_winnowing_pairs_hand_computed` (no CartesianProduct).",
+         qs["winnowing_pairs"](spark, SF)),
     ]
     # Bucketed co-located join: rendered eagerly under no-broadcast so the
     # SortMergeJoin-with-zero-Exchange shape (the layout's whole point) is
