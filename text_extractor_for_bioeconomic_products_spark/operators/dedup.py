@@ -1311,9 +1311,11 @@ def bloom_membership_census(
     measured fp_rate is itself oracle-checked, and fp_expected =
     load_factor^k (the classic bound with k independent probes) ships
     alongside for the comparison a deployment tunes cells/k against.
-    Reference analog: the seen-hash duplicate-skip set of the
-    reference's batch scan loop (`src/core/text_extractor.py`), replaced
-    by a fixed-size structure when the seen-set no longer fits.
+    Reference analog: the reference's only duplicate-identity facility
+    is the per-file content hash (`src/utils/helpers.py:83`
+    `get_file_hash`) — this is that identity as an admission census,
+    with the seen-set replaced by a fixed-size structure for when it
+    no longer fits.
     """
     norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
     corpus_h = corpus.filter(F.col(text_col).isNotNull()).select(
@@ -1904,8 +1906,8 @@ ORACLE_CONTAINMENT_CENSUS = f"""
 # "how much of each DOC is duplicated somewhere"; this asks the question
 # a mixing-weight decision needs: "which source PAIRS overlap, and by
 # how much" (mirror sites, syndicated feeds, re-crawls).  Reference
-# analog: none — the reference's seen-hash set is global and source-
-# blind (src/core/text_extractor.py's batch loop).
+# analog: none — the reference's duplicate identity is a single
+# source-blind per-file hash (src/utils/helpers.py:83 get_file_hash).
 # ---------------------------------------------------------------------------
 
 
@@ -2163,9 +2165,9 @@ def winnow_fingerprints(
     functions over the gram-hash array — one narrow projection, no
     explode, no shuffle); only the deduped fingerprint set leaves the
     row, ~2n/(w+1) entries per doc.  The reference's fingerprint slot
-    is the per-document content hash (src/core/text_extractor.py's
-    seen-hash dedup) — an exact-match-only signal this operator
-    strictly generalizes.
+    is the per-file content hash (src/utils/helpers.py:83
+    get_file_hash) — an exact-match-only signal this operator strictly
+    generalizes.
 
     Docs with at least one gram but fewer than ``w`` windows get one
     window spanning all grams (every gram-bearing doc yields ≥ 1

@@ -1590,9 +1590,10 @@ def q_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL census answers "how many distinct per group"; this one answers
     the question HLL structurally cannot — "how many distinct are
     SHARED between groups" — from summaries that never grow with the
-    data.  Reference analog: the reference dedupes per-run via one
-    global seen-set (src/core/text_extractor.py's seen hashes) and has
-    no cross-corpus overlap facility at all."""
+    data.  Reference analog: the reference's duplicate identity is a
+    single per-file content hash (src/utils/helpers.py:83
+    get_file_hash) and it has no cross-corpus overlap facility at
+    all."""
     events = load(spark, sf_dir, "events")
     keyed = events.select(
         "event_type",

@@ -1419,9 +1419,10 @@ ORACLE_LM_QUALITY_BUCKETS = f"""
 # Catalyst expression, so this is an Arrow-batched pandas UDF — the
 # sanctioned slow path — and the query is rows-only (no DuckDB zlib);
 # byte-exactness vs the same CPython zlib is test-pinned.
-# Reference analog: the repeated-content guards in the reference's
-# cleaning pass (src/core/text_extractor.py quality heuristics) —
-# generalized to a single content-agnostic signal.
+# Reference analog: the run-collapse guards in the reference's
+# cleaning pass (src/utils/text_preprocessing.py:196-203 — ellipsis
+# runs, blank-line runs) — generalized to a single content-agnostic
+# signal.
 # ---------------------------------------------------------------------------
 
 COMPRESS_REPETITIVE_MAX = 0.35  # below this, flag as repetitive

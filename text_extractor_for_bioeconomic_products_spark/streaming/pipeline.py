@@ -227,9 +227,10 @@ def run_streaming_dedup_admission(
     the corpus, not a rescan.  Within-batch keep-first and the
     membership join key on the SAME hash, so the window reuses the
     join's partitioning — one shuffle of the (small) micro-batch.
-    Reference analog: the duplicate-skip branch of the reference's
-    batch scan loop (`src/core/text_extractor.py`), lifted to a
-    continuously-ingested corpus.
+    Reference analog: the reference's batch scan loop
+    (`src/core/pdf_processor.py:90` `process_directory`) paired with
+    its per-file content-hash identity (`src/utils/helpers.py:83`
+    `get_file_hash`), lifted to a continuously-ingested corpus.
     """
     from pyspark.sql import Window
 
