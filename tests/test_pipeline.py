@@ -141,9 +141,10 @@ def test_multimodal_plumbing(spark):
     assert all(f["width"] >= 8000 and f["height"] >= 500
                for f in by_kind["audio"])
     assert all(0.0 < f["mean_level"] < 1.0 for f in by_kind["audio"])
-    # video is a REAL AVI now, alternating raw and Motion-JPEG streams:
-    # real dims, real pixel means, both codecs must actually appear
-    assert {f["codec"] for f in by_kind["video"]} == {"avi", "mjpeg_avi"}
+    # video is REAL containers now, cycling raw-AVI / MJPEG-AVI /
+    # MJPEG-MP4: real dims, real pixel means, all three must appear
+    assert {f["codec"] for f in by_kind["video"]} == {
+        "avi", "mjpeg_avi", "mjpeg_mp4"}
     assert all(8 <= f["width"] <= 32 and 8 <= f["height"] <= 32
                for f in by_kind["video"])
     assert all(0.0 < f["mean_level"] < 255.0 for f in by_kind["video"])
@@ -1474,6 +1475,60 @@ def test_avi_mjpeg_roundtrip():
     # header frame count now disagrees too — either guard may fire first
     with _pytest.raises(ValueError):
         decode_avi(mixed)
+
+
+def test_mp4_mjpeg_roundtrip_and_probe():
+    """ISO BMFF: encode_mp4 writes a spec-shaped ftyp+mdat+moov tree
+    whose samples are baseline JPEGs; decode_mp4 walks the real box
+    tree (stsd/stts/stsc/stsz/stco), slices samples out of mdat, and
+    the per-frame means equal decoding the same JPEGs directly.
+    probe_mp4 reads container metadata out of ANY codec (avc1 too);
+    only the non-JPEG entropy decode refuses — the honest boundary."""
+    import pytest as _pytest
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_media,
+        decode_mp4,
+        encode_jpeg,
+        encode_mp4,
+        probe_mp4,
+    )
+
+    w, h, n = 16, 8, 4
+    frames = [
+        bytes(((i * 31 + f * 7) % 256) for i in range(w * h * 3))
+        for f in range(n)
+    ]
+    payload = encode_mp4(w, h, frames, fps=12)
+    meta = probe_mp4(payload)
+    assert (meta["codec"], meta["width"], meta["height"],
+            meta["n_samples"], meta["fps"]) == ("jpeg", w, h, n, 12)
+    rw, rh, rn, fps, mean_level, frame_means, codec = decode_mp4(payload)
+    assert (rw, rh, rn, fps, codec) == (w, h, n, 12, "mjpeg")
+    # sample slicing is exact: means equal the direct JPEG decode of
+    # the same frames (byte-identical samples, not merely similar)
+    direct = [decode_jpeg(encode_jpeg(w, h, f))[2] for f in frames]
+    assert frame_means == direct
+    assert decode_media(payload) == ("mjpeg_mp4", w, h, mean_level)
+
+    # avc1: container parses (probe), pixel decode refuses — patch the
+    # stsd sample-entry fourcc (last 'jpeg' occurrence, inside moov)
+    at = payload.rindex(b"jpeg")
+    avc = payload[:at] + b"avc1" + payload[at + 4:]
+    m2 = probe_mp4(avc)
+    assert (m2["codec"], m2["width"], m2["n_samples"]) == ("avc1", w, n)
+    with _pytest.raises(NotImplementedError):
+        decode_mp4(avc)
+
+    # real walk: truncation and a sample-count lie both raise
+    with _pytest.raises(ValueError):
+        probe_mp4(payload[: len(payload) // 2])
+    at = payload.rindex(b"stsz")
+    lied = (payload[:at + 12]
+            + (n + 1).to_bytes(4, "big") + payload[at + 16:])
+    with _pytest.raises(ValueError):
+        probe_mp4(lied)
 
 
 def test_versioned_table_time_travel_and_rollback(spark, transcripts_df, tmp_path):
