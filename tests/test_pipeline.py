@@ -2031,6 +2031,52 @@ def test_jpeg_roundtrip_property():
     roundtrip()
 
 
+def test_mp4_roundtrip_property():
+    """Hypothesis battery for the ISO BMFF walk: arbitrary dims, frame
+    counts, fps, and content always probe back the exact container
+    metadata, and the sample slicing is byte-exact — each frame's
+    decoded mean equals decoding the same JPEG standalone (so mdat
+    offsets/sizes from stsc/stco/stsz are provably correct, not merely
+    plausible)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_mp4,
+        encode_jpeg,
+        encode_mp4,
+        probe_mp4,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=16),
+        n=st.integers(min_value=1, max_value=6),
+        fps=st.integers(min_value=1, max_value=60),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(w, h, n, fps, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+            for _ in range(n)
+        ]
+        payload = encode_mp4(w, h, frames, fps=fps)
+        assert payload == encode_mp4(w, h, frames, fps=fps)  # deterministic
+        meta = probe_mp4(payload)
+        assert (meta["codec"], meta["width"], meta["height"],
+                meta["n_samples"], meta["fps"]) == ("jpeg", w, h, n, fps)
+        rw, rh, rn, rfps, _mean, means, codec = decode_mp4(payload)
+        assert (rw, rh, rn, rfps, codec) == (w, h, n, fps, "mjpeg")
+        direct = [decode_jpeg(encode_jpeg(w, h, f))[2] for f in frames]
+        assert means == direct
+
+    roundtrip()
+
+
 def test_versioned_rebase_ignores_survivor_rows(spark, transcripts_df, tmp_path):
     """Conflict validation is against the keys a concurrent commit
     UPSERTED (the manifest's key_files), not the full rewritten bucket
