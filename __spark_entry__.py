@@ -40,6 +40,7 @@ from text_extractor_for_bioeconomic_products_spark.plans import (  # noqa: E402
     versioned,
 )
 from text_extractor_for_bioeconomic_products_spark.sources import (  # noqa: E402
+    avro,
     layout,
 )
 
@@ -296,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(profiling.QUERIES)
     q.update(layout.QUERIES)
     q.update(versioned.QUERIES)
+    q.update(avro.QUERIES)  # post-window addition (final session)
     front = {k: v for k, v in q.items() if k not in _DEFERRED_STAPLES}
     front.update({k: q[k] for k in _DEFERRED_STAPLES if k in q})
     return front
@@ -316,4 +318,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(graph.ORACLE_SQL)
     o.update(profiling.ORACLE_SQL)
     o.update(layout.ORACLE_SQL)
+    o.update(avro.ORACLE_SQL)
     return o

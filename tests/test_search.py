@@ -83,6 +83,165 @@ def test_format_dispatch_roundtrip(spark, transcripts_df, tmp_path):
         read_transcripts(spark, pq, "xml")
 
 
+def test_avro_ocf_roundtrip_and_dispatch(spark, transcripts_df, tmp_path):
+    """Pure-stdlib Avro OCF source/sink: distributed write (one file
+    per Arrow batch, content-hash names) then distributed read returns
+    EXACTLY the input rows and schema — including timestamps and
+    nullable nulls — and the S1 dispatch routes fmt='avro'."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.sources.avro import (
+        read_avro,
+        write_avro_distributed,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
+        read_transcripts,
+    )
+
+    sample = transcripts_df.limit(300).cache()
+    n = sample.count()
+    adir = str(tmp_path / "avro")
+    manifest = write_avro_distributed(sample.repartition(3), adir)
+    mrows = manifest.collect()
+    assert sum(r["n_rows"] for r in mrows) == n
+    assert all(r["file"].endswith(".avro") for r in mrows)
+
+    back = read_avro(spark, adir)
+    assert back.schema == sample.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sample.collect()))
+
+    # S1 dispatch routes avro; foreign-schema avro dirs are refused
+    assert read_transcripts(spark, adir, "avro").count() == n
+    foreign = str(tmp_path / "foreign_avro")
+    write_avro_distributed(
+        spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS v"),
+        foreign,
+    )
+    with pytest.raises(ValueError, match="not a transcripts table"):
+        read_transcripts(spark, foreign, "avro")
+
+    # idempotent rerun: content-hash names → same file set, no dupes
+    files_before = sorted(__import__("os").listdir(adir))
+    write_avro_distributed(sample.repartition(3), adir)
+    assert sorted(__import__("os").listdir(adir)) == files_before
+
+    # null handling survives: inject NULL text/tool rows and roundtrip
+    nulled = sample.withColumn(
+        "text", F.when(F.col("turn_idx") % 5 == 0, None).otherwise(F.col("text"))
+    )
+    ndir = str(tmp_path / "nulled")
+    write_avro_distributed(nulled, ndir)
+    got = read_avro(spark, ndir)
+    assert got.filter("text IS NULL").count() == nulled.filter("text IS NULL").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, nulled.collect()))
+
+
+def test_avro_ocf_bytes_level_contracts():
+    """The OCF walk is real: deflate and null codecs roundtrip
+    byte-deterministically; sync-marker corruption, block-count lies,
+    truncation, unknown codecs, and non-flat schemas all refuse."""
+    import pytest as _pytest
+
+    from text_extractor_for_bioeconomic_products_spark.sources.avro import (
+        read_avro_bytes,
+        read_avro_header,
+        write_avro_bytes,
+    )
+
+    schema = {
+        "type": "record", "name": "row", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "y", "type": "bytes"},
+        ],
+    }
+    recs = [
+        (i, None if i % 3 == 0 else f"s{i}é", i * 0.5, i % 2 == 0,
+         bytes([i % 256, 255 - i % 256]))
+        for i in range(500)
+    ]
+    for codec in ("null", "deflate"):
+        p = write_avro_bytes(recs, schema, codec=codec)
+        assert p == write_avro_bytes(recs, schema, codec=codec)
+        got_schema, got = read_avro_bytes(p)
+        assert got == recs and got_schema == schema
+
+    p = write_avro_bytes(recs, schema, codec="deflate")
+    _schema, codec, sync, first = read_avro_header(p)
+    assert codec == "deflate"
+    # corrupt the trailing sync marker of the last block
+    corrupted = p[:-16] + bytes(16)
+    with _pytest.raises(ValueError, match="sync"):
+        read_avro_bytes(corrupted)
+    # truncation mid-block
+    with _pytest.raises(ValueError):
+        read_avro_bytes(p[: len(p) - 20])
+    # bad magic
+    with _pytest.raises(ValueError, match="magic"):
+        read_avro_bytes(b"Nope" + p[4:])
+    # unknown codec refuses rather than guessing
+    with _pytest.raises(NotImplementedError):
+        write_avro_bytes(recs, schema, codec="snappy")
+    # nested schema out of scope — error, never silent coercion
+    from text_extractor_for_bioeconomic_products_spark.sources.avro import (
+        spark_schema_of,
+    )
+    with _pytest.raises(NotImplementedError):
+        spark_schema_of({
+            "type": "record", "name": "r", "fields": [
+                {"name": "a", "type": {"type": "array", "items": "long"}},
+            ],
+        })
+
+
+def test_avro_varint_property():
+    """Hypothesis battery: zigzag-varint encode→decode is identity over
+    the full signed-64 range, and record roundtrip holds for arbitrary
+    content including empty strings/bytes and extreme longs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_extractor_for_bioeconomic_products_spark.sources.avro import (
+        _dec_long,
+        _enc_long,
+        read_avro_bytes,
+        write_avro_bytes,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1))
+    def varint_identity(n):
+        v, pos = _dec_long(memoryview(_enc_long(n)), 0)
+        assert v == n and pos == len(_enc_long(n))
+
+    varint_identity()
+
+    schema = {
+        "type": "record", "name": "row", "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "y", "type": "bytes"},
+        ],
+    }
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(
+        st.tuples(
+            st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.binary(max_size=40),
+        ),
+        max_size=30,
+    ))
+    def record_roundtrip(recs):
+        _s, got = read_avro_bytes(write_avro_bytes(recs, schema))
+        assert got == recs
+
+    record_roundtrip()
+
+
 def test_read_transcripts_rejects_foreign_parquet(spark, tmp_path):
     """S1 guard: a parquet dir with NONE of the transcript columns must
     error instead of reading as all-NULL phantom rows (the explicit

@@ -183,6 +183,17 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     if fmt == "orc":
         _require_transcript_columns(spark, path, fmt)
         return spark.read.schema(TRANSCRIPT_SCHEMA).orc(path)
+    if fmt == "avro":
+        # stdlib OCF reader (sources/avro.py) — self-describing, so the
+        # transcript-column guard applies to ITS schema, not a footer
+        from .avro import read_avro
+        df = read_avro(spark, path)
+        if not ({"conv_id", "text"} & set(df.columns)):
+            raise ValueError(
+                f"avro input at {path!r} has none of the transcript "
+                "columns — not a transcripts table"
+            )
+        return df
     raise ValueError(f"unsupported transcript format: {fmt}")
 
 
