@@ -136,6 +136,32 @@ def test_avro_ocf_roundtrip_and_dispatch(spark, transcripts_df, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, nulled.collect()))
 
 
+def test_avro_nested_extraction_output_roundtrip(spark, transcripts_df, tmp_path):
+    """The recursive codec closes the OUTPUT side: the extraction
+    result — spans array<struct<..., array<string>>> — persists to
+    Avro and reads back EXACTLY (schema and every nested value), so a
+    pipeline can hand its extracted spans to Kafka-ecosystem consumers
+    without a lossy flattening step."""
+    from text_extractor_for_bioeconomic_products_spark.operators.extract import (
+        extract_turns,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.avro import (
+        read_avro,
+        write_avro_distributed,
+    )
+
+    out = extract_turns(transcripts_df.limit(400)).cache()
+    n = out.count()
+    adir = str(tmp_path / "x")
+    write_avro_distributed(out.repartition(3), adir)
+    back = read_avro(spark, adir)
+    assert back.schema == out.schema
+    assert sorted(map(str, back.collect())) == sorted(map(str, out.collect()))
+    assert (back.agg({"n_spans": "sum"}).collect()
+            == out.agg({"n_spans": "sum"}).collect())
+    assert n == back.count()
+
+
 def test_avro_ocf_bytes_level_contracts():
     """The OCF walk is real: deflate and null codecs roundtrip
     byte-deterministically; sync-marker corruption, block-count lies,
@@ -184,14 +210,14 @@ def test_avro_ocf_bytes_level_contracts():
     # unknown codec refuses rather than guessing
     with _pytest.raises(NotImplementedError):
         write_avro_bytes(recs, schema, codec="snappy")
-    # nested schema out of scope — error, never silent coercion
+    # maps stay out of scope — error, never silent coercion
     from text_extractor_for_bioeconomic_products_spark.sources.avro import (
         spark_schema_of,
     )
     with _pytest.raises(NotImplementedError):
         spark_schema_of({
             "type": "record", "name": "r", "fields": [
-                {"name": "a", "type": {"type": "array", "items": "long"}},
+                {"name": "a", "type": {"type": "map", "values": "long"}},
             ],
         })
 

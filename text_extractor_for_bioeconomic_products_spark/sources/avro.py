@@ -10,11 +10,13 @@ blocks) and the Avro binary encoding (zigzag-varint longs,
 length-prefixed strings/bytes, union branch indexes, raw-deflate
 blocks) come straight from the Avro 1.11 specification.
 
-Scope: flat records of the primitive types (null, boolean, int, long,
+Scope: records of the primitive types (null, boolean, int, long,
 float, double, string, bytes), nullable fields as ``["null", T]``
-unions, and ``timestamp-micros`` logical longs — exactly the shape of
-the transcript and TPC-H-ish tables here.  Nested records/arrays/maps
-and the snappy codec raise ``NotImplementedError``.
+unions, ``timestamp-micros`` logical longs, and — recursively —
+nested records and arrays, so both the transcript INPUT shape and the
+extraction OUTPUT shape (``spans array<struct<..., array<string>>>``)
+roundtrip.  Maps, other unions, and the snappy codec raise
+``NotImplementedError``.
 
 Scale model (the 100 TB story): files are written one-per-Arrow-batch
 from executors (`write_avro_distributed`), so the sink parallelizes
@@ -104,7 +106,9 @@ def _dec_bytes(buf: memoryview, pos: int) -> Tuple[bytes, int]:
 
 
 # ---------------------------------------------------------------------------
-# Schema mapping: Spark StructType <-> flat Avro record schema
+# Schema mapping: Spark StructType <-> Avro record schema (recursive —
+# nested structs → named records, arrays → avro arrays, so the
+# EXTRACTION OUTPUT (spans array<struct<..., arrays>>) persists too)
 # ---------------------------------------------------------------------------
 
 _SPARK_TO_AVRO = {
@@ -119,24 +123,43 @@ _SPARK_TO_AVRO = {
 
 
 def avro_schema_of(schema: T.StructType, name: str = "row") -> dict:
-    """Spark StructType → Avro record schema (flat; nullable → union;
-    timestamps → long/timestamp-micros).  Unsupported Spark types
-    raise, matching the dispatch discipline (error, never guess)."""
-    fields = []
-    for f in schema.fields:
-        if isinstance(f.dataType, T.TimestampType):
+    """Spark StructType → Avro record schema (nullable → union;
+    timestamps → long/timestamp-micros; StructType → nested record;
+    ArrayType → avro array).  Unsupported Spark types raise, matching
+    the dispatch discipline (error, never guess)."""
+    seq = [0]  # avro named-type uniqueness across the whole schema
+
+    def conv(dt: T.DataType, nullable: bool, hint: str) -> object:
+        if isinstance(dt, T.TimestampType):
             at: object = {"type": "long", "logicalType": "timestamp-micros"}
-        elif f.dataType in _SPARK_TO_AVRO:
-            at = _SPARK_TO_AVRO[f.dataType]
+        elif isinstance(dt, T.StructType):
+            seq[0] += 1
+            at = {
+                "type": "record", "name": f"{hint}_r{seq[0]}",
+                "fields": [
+                    {"name": f.name,
+                     "type": conv(f.dataType, f.nullable, f.name)}
+                    for f in dt.fields
+                ],
+            }
+        elif isinstance(dt, T.ArrayType):
+            at = {"type": "array",
+                  "items": conv(dt.elementType, dt.containsNull, hint)}
+        elif dt in _SPARK_TO_AVRO:
+            at = _SPARK_TO_AVRO[dt]
         else:
             raise NotImplementedError(
-                f"no Avro mapping for Spark type {f.dataType} "
-                f"(field {f.name!r}); flat primitive scope"
+                f"no Avro mapping for Spark type {dt} (field {hint!r})"
             )
-        fields.append({
-            "name": f.name, "type": ["null", at] if f.nullable else at,
-        })
-    return {"type": "record", "name": name, "fields": fields}
+        return ["null", at] if nullable else at
+
+    return {
+        "type": "record", "name": name,
+        "fields": [
+            {"name": f.name, "type": conv(f.dataType, f.nullable, f.name)}
+            for f in schema.fields
+        ],
+    }
 
 
 def spark_schema_of(avro_schema: dict) -> T.StructType:
@@ -162,6 +185,15 @@ def spark_schema_of(avro_schema: dict) -> T.StructType:
         if isinstance(at, dict):
             if at.get("logicalType") == "timestamp-micros":
                 return T.TimestampType(), False
+            if at.get("type") == "record":
+                sfields = []
+                for f in at["fields"]:
+                    fdt, fnull = resolve(f["type"])
+                    sfields.append(T.StructField(f["name"], fdt, fnull))
+                return T.StructType(sfields), False
+            if at.get("type") == "array":
+                idt, inull = resolve(at["items"])
+                return T.ArrayType(idt, inull), False
             at = at.get("type")
         if at in rev:
             return rev[at], False  # type: ignore[index]
@@ -175,64 +207,151 @@ def spark_schema_of(avro_schema: dict) -> T.StructType:
 
 
 # ---------------------------------------------------------------------------
-# Record codec against a parsed Avro schema
+# Recursive value codec against a parsed Avro schema.  Each avro type
+# compiles once to an (enc, dec) closure pair; rows then stream through
+# plain function calls with no per-value schema dispatch.
 # ---------------------------------------------------------------------------
 
 
-def _field_plan(avro_schema: dict) -> List[Tuple[str, str, bool]]:
-    """[(name, base_type, nullable)] with timestamp-micros folded to
-    its own tag so both codec directions branch once per field."""
-    plan = []
-    for f in avro_schema["fields"]:
-        at, nullable = f["type"], False
-        if isinstance(at, list):
-            nullable = True
-            at = [b for b in at if b != "null"][0]
-        if isinstance(at, dict):
-            at = "timestamp-micros" if at.get(
-                "logicalType") == "timestamp-micros" else at.get("type")
-        plan.append((f["name"], at, nullable))
-    return plan
+def _is_null(v: object) -> bool:
+    if v is None or v is pd.NaT:
+        return True
+    # scalar pandas/numpy missing markers; containers are never "na"
+    if isinstance(v, (list, tuple, dict, bytes, str)):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
 
 
-def _enc_value(base: str, v: object) -> bytes:
-    if base in ("long", "int"):
-        return _enc_long(int(v))  # type: ignore[arg-type]
-    if base == "string":
-        return _enc_str(str(v))
-    if base == "bytes":
-        return _enc_bytes(bytes(v))  # type: ignore[arg-type]
-    if base == "double":
-        return struct.pack("<d", float(v))  # type: ignore[arg-type]
-    if base == "float":
-        return struct.pack("<f", float(v))  # type: ignore[arg-type]
-    if base == "boolean":
-        return b"\x01" if v else b"\x00"
-    if base == "timestamp-micros":
-        # pandas Timestamp / datetime → micros since epoch
-        ts = pd.Timestamp(v)  # type: ignore[arg-type]
-        return _enc_long(ts.value // 1000)
-    raise NotImplementedError(f"unsupported Avro type {base!r}")
+def _codec_for(at: object):
+    """avro type (str | dict | ["null", T]) → (enc(v)->bytes,
+    dec(buf, pos)->(value, pos))."""
+    if isinstance(at, list):  # union — only ["null", T]
+        branches = [b for b in at if b != "null"]
+        if len(branches) != 1 or len(at) != 2:
+            raise NotImplementedError(
+                f"only [\"null\", T] unions supported, got {at}"
+            )
+        ienc, idec = _codec_for(branches[0])
 
+        def enc_u(v: object) -> bytes:
+            if _is_null(v):
+                return b"\x00"  # zigzag(0): null branch
+            return b"\x02" + ienc(v)  # zigzag(1): value branch
 
-def _dec_value(base: str, buf: memoryview, pos: int) -> Tuple[object, int]:
-    if base in ("long", "int"):
-        return _dec_long(buf, pos)
-    if base == "string":
-        b, pos = _dec_bytes(buf, pos)
-        return b.decode("utf-8"), pos
-    if base == "bytes":
-        return _dec_bytes(buf, pos)
-    if base == "double":
-        return struct.unpack("<d", buf[pos:pos + 8])[0], pos + 8
-    if base == "float":
-        return struct.unpack("<f", buf[pos:pos + 4])[0], pos + 4
-    if base == "boolean":
-        return buf[pos] == 1, pos + 1
-    if base == "timestamp-micros":
-        n, pos = _dec_long(buf, pos)
-        return pd.Timestamp(n * 1000), pos  # ns resolution
-    raise NotImplementedError(f"unsupported Avro type {base!r}")
+        def dec_u(buf: memoryview, pos: int) -> Tuple[object, int]:
+            branch, pos = _dec_long(buf, pos)
+            if branch == 0:
+                return None, pos
+            if branch != 1:
+                raise ValueError(f"union branch {branch} out of range")
+            return idec(buf, pos)
+
+        return enc_u, dec_u
+
+    if isinstance(at, dict):
+        if at.get("logicalType") == "timestamp-micros":
+
+            def enc_ts(v: object) -> bytes:
+                return _enc_long(pd.Timestamp(v).value // 1000)
+
+            def dec_ts(buf: memoryview, pos: int) -> Tuple[object, int]:
+                n, pos = _dec_long(buf, pos)
+                return pd.Timestamp(n * 1000), pos  # ns resolution
+
+            return enc_ts, dec_ts
+
+        if at.get("type") == "record":
+            names = [f["name"] for f in at["fields"]]
+            codecs = [_codec_for(f["type"]) for f in at["fields"]]
+
+            def enc_rec(v: object) -> bytes:
+                if isinstance(v, dict):
+                    vals = [v.get(n) for n in names]
+                else:  # Row / tuple / list — positional
+                    vals = list(v)  # type: ignore[arg-type]
+                    if len(vals) != len(names):
+                        raise ValueError(
+                            f"record expects {len(names)} fields, "
+                            f"got {len(vals)}"
+                        )
+                return b"".join(e(x) for (e, _d), x in zip(codecs, vals))
+
+            def dec_rec(buf: memoryview, pos: int) -> Tuple[object, int]:
+                out = {}
+                for n, (_e, d) in zip(names, codecs):
+                    out[n], pos = d(buf, pos)
+                return out, pos
+
+            return enc_rec, dec_rec
+
+        if at.get("type") == "array":
+            ienc, idec = _codec_for(at["items"])
+
+            def enc_arr(v: object) -> bytes:
+                items = list(v)  # type: ignore[arg-type]
+                if not items:
+                    return b"\x00"
+                return (_enc_long(len(items))
+                        + b"".join(ienc(x) for x in items) + b"\x00")
+
+            def dec_arr(buf: memoryview, pos: int) -> Tuple[object, int]:
+                out: list = []
+                while True:
+                    n, pos = _dec_long(buf, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:  # negative count prefixes a byte size (spec)
+                        n = -n
+                        _, pos = _dec_long(buf, pos)
+                    for _ in range(n):
+                        x, pos = idec(buf, pos)
+                        out.append(x)
+
+            return enc_arr, dec_arr
+
+        at = at.get("type")  # {"type": "string"} longhand
+
+    if at in ("long", "int"):
+        def enc_i(v: object) -> bytes:
+            return _enc_long(int(v))  # type: ignore[arg-type]
+        return enc_i, _dec_long
+    if at == "string":
+        def enc_s(v: object) -> bytes:
+            return _enc_str(str(v))
+
+        def dec_s(buf: memoryview, pos: int) -> Tuple[object, int]:
+            b, pos = _dec_bytes(buf, pos)
+            return b.decode("utf-8"), pos
+        return enc_s, dec_s
+    if at == "bytes":
+        def enc_b(v: object) -> bytes:
+            return _enc_bytes(bytes(v))  # type: ignore[arg-type]
+        return enc_b, _dec_bytes
+    if at == "double":
+        def enc_d(v: object) -> bytes:
+            return struct.pack("<d", float(v))  # type: ignore[arg-type]
+
+        def dec_d(buf: memoryview, pos: int) -> Tuple[object, int]:
+            return struct.unpack("<d", buf[pos:pos + 8])[0], pos + 8
+        return enc_d, dec_d
+    if at == "float":
+        def enc_f(v: object) -> bytes:
+            return struct.pack("<f", float(v))  # type: ignore[arg-type]
+
+        def dec_f(buf: memoryview, pos: int) -> Tuple[object, int]:
+            return struct.unpack("<f", buf[pos:pos + 4])[0], pos + 4
+        return enc_f, dec_f
+    if at == "boolean":
+        def enc_o(v: object) -> bytes:
+            return b"\x01" if v else b"\x00"
+
+        def dec_o(buf: memoryview, pos: int) -> Tuple[object, int]:
+            return buf[pos] == 1, pos + 1
+        return enc_o, dec_o
+    raise NotImplementedError(f"unsupported Avro type {at!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +371,7 @@ def write_avro_bytes(
     schema_json = json.dumps(avro_schema, sort_keys=True)
     sync = hashlib.md5(
         (schema_json + ":" + codec).encode()).digest()
-    plan = _field_plan(avro_schema)
+    enc_row, _dec = _codec_for(avro_schema)
 
     out = io.BytesIO()
     out.write(_MAGIC)
@@ -268,19 +387,7 @@ def write_avro_bytes(
         chunk = records[start:start + _RECORDS_PER_BLOCK]
         body = io.BytesIO()
         for rec in chunk:
-            for (name, base, nullable), v in zip(plan, rec):
-                is_null = v is None or (
-                    v is pd.NaT or (isinstance(v, float) and v != v)
-                    if base == "timestamp-micros" else False
-                )
-                if nullable:
-                    if is_null or v is None:
-                        body.write(_enc_long(0))  # null branch
-                        continue
-                    body.write(_enc_long(1))
-                elif v is None:
-                    raise ValueError(f"null in non-nullable field {name!r}")
-                body.write(_enc_value(base, v))
+            body.write(enc_row(rec))
         data = body.getvalue()
         if codec == "deflate":
             data = zlib.compress(data, 6)[2:-4]  # raw deflate per spec
@@ -326,7 +433,8 @@ def read_avro_bytes(payload: bytes) -> Tuple[dict, List[tuple]]:
     exactly the declared record count — count lies and truncation
     raise rather than under-read."""
     schema, codec, sync, pos = read_avro_header(payload)
-    plan = _field_plan(schema)
+    _enc, dec_row = _codec_for(schema)
+    names = [f["name"] for f in schema["fields"]]
     buf = memoryview(payload)
     records: List[tuple] = []
     while pos < len(buf):
@@ -343,21 +451,8 @@ def read_avro_bytes(payload: bytes) -> Tuple[dict, List[tuple]]:
             data = zlib.decompress(data, -15)
         dbuf, dpos = memoryview(data), 0
         for _ in range(n_rec):
-            rec = []
-            for name, base, nullable in plan:
-                if nullable:
-                    branch, dpos = _dec_long(dbuf, dpos)
-                    if branch == 0:
-                        rec.append(None)
-                        continue
-                    if branch != 1:
-                        raise ValueError(
-                            f"union branch {branch} out of range "
-                            f"for field {name!r}"
-                        )
-                v, dpos = _dec_value(base, dbuf, dpos)
-                rec.append(v)
-            records.append(tuple(rec))
+            d, dpos = dec_row(dbuf, dpos)
+            records.append(tuple(d[n] for n in names))
         if dpos != len(dbuf):
             raise ValueError(
                 f"Avro block declares {n_rec} records but carries "
@@ -391,11 +486,9 @@ def write_avro_distributed(
         for pdf in batches:
             if not len(pdf):
                 continue
-            recs = [
-                tuple(None if pd.isna(v) and not isinstance(v, bytes) else v
-                      for v in row)
-                for row in pdf[cols].itertuples(index=False, name=None)
-            ]
+            # null normalization happens inside the union codec
+            # (_is_null: None/NaT/scalar-NA; containers never "na")
+            recs = list(pdf[cols].itertuples(index=False, name=None))
             payload = write_avro_bytes(recs, schema, codec=codec)
             name = hashlib.sha256(payload).hexdigest()[:24] + ".avro"
             fpath = os.path.join(path, name)
