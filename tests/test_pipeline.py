@@ -2216,6 +2216,92 @@ def test_versioned_schema_evolution_add_and_missing_columns(spark, tmp_path):
     assert _manifest(table, 3)["columns"] == ["conv_id", "turn_idx", "lang"]
 
 
+def test_iceberg_metadata_export_structure(spark, transcripts_df, tmp_path):
+    """The versioned chain exports in the Iceberg v2 metadata LAYOUT:
+    per-snapshot metadata.json (format-version 2, snapshot list,
+    refs/main), a manifest-list Avro whose single manifest_file row
+    carries spec field-ids, and a manifest Avro whose manifest_entry
+    rows resolve to the real data files with footer-true record counts
+    — the current snapshot's total equals read_version().count().
+    Re-export of an unchanged table is byte-identical."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.plans.iceberg_export import (
+        MANIFEST_ENTRY_SCHEMA,
+        export_iceberg_metadata,
+    )
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        commit_merge,
+        read_version,
+        rollback,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.avro import (
+        read_avro_bytes,
+        read_avro_header,
+    )
+
+    table = str(tmp_path / "vt_ice")
+    turns = extract_turns(transcripts_df.limit(300)).drop("spans").cache()
+    commit_merge(spark, table, turns.filter("turn_idx < 2"), run_id="a")
+    commit_merge(
+        spark, table,
+        turns.filter("turn_idx < 4").withColumn(
+            "n_tokens", F.col("n_tokens") + 1000),
+        run_id="b",
+    )
+    rollback(table, 1)
+
+    census = export_iceberg_metadata(table)
+    md = census["metadata_dir"]
+    assert census["n_snapshots"] == 3 and census["current_snapshot_id"] == 3
+
+    doc = json.load(open(os.path.join(md, "v3.metadata.json")))
+    assert doc["format-version"] == 2
+    assert doc["current-snapshot-id"] == 3
+    assert doc["refs"]["main"]["snapshot-id"] == 3
+    assert [s["snapshot-id"] for s in doc["snapshots"]] == [1, 2, 3]
+    assert doc["snapshots"][1]["parent-snapshot-id"] == 1
+    # the rollback snapshot is metadata-only: summary op 'replace'
+    assert doc["snapshots"][2]["summary"]["operation"] == "replace"
+    # earlier metadata files exist too (one per snapshot)
+    assert {"v1.metadata.json", "v2.metadata.json"} <= set(os.listdir(md))
+    # schema carries ids for every column incl. key cols
+    names = {f["name"] for f in doc["schemas"][0]["fields"]}
+    assert {"conv_id", "turn_idx"} <= names
+
+    # manifest-list → manifest → data files chain resolves with real
+    # counts; the avro schemas embed the spec field-ids
+    ml = open(os.path.join(md, doc["snapshots"][-1]["manifest-list"]), "rb").read()
+    mf_schema, mf_rows = read_avro_bytes(ml)
+    assert {f.get("field-id") for f in mf_schema["fields"]} >= {500, 501, 503}
+    assert len(mf_rows) == 1
+    manifest_path = mf_rows[0][0]
+    mbytes = open(os.path.join(md, manifest_path), "rb").read()
+    assert mf_rows[0][1] == len(mbytes)  # manifest_length is real
+    me_schema, entries = read_avro_bytes(mbytes)
+    assert me_schema == MANIFEST_ENTRY_SCHEMA
+    assert all(e[4]["file_format"] == "PARQUET" for e in entries)
+    total = sum(e[4]["record_count"] for e in entries)
+    assert total == read_version(spark, table).count()
+    # v3 is the rollback: zero ADDED files, all EXISTING
+    assert all(e[0] == 0 for e in entries)
+    # OCF header parses standalone (magic, codec, sync)
+    _s, codec, _sync, _pos = read_avro_header(mbytes)
+    assert codec == "deflate"
+
+    # deterministic re-export
+    h1 = {f: hashlib.md5(open(os.path.join(md, f), "rb").read()).hexdigest()
+          for f in census["files"]}
+    export_iceberg_metadata(table)
+    h2 = {f: hashlib.md5(open(os.path.join(md, f), "rb").read()).hexdigest()
+          for f in census["files"]}
+    assert h1 == h2
+
+
 def test_snm_finds_prefix_neighbors_and_bounds_pairs(spark):
     """Sorted-neighborhood: near-identical docs adjacent in prefix-sort
     order pair up; total candidates never exceed (W-1)·n; and a doc in
