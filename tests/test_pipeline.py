@@ -2301,6 +2301,23 @@ def test_iceberg_metadata_export_structure(spark, transcripts_df, tmp_path):
           for f in census["files"]}
     assert h1 == h2
 
+    # the metadata is COMPLETE, not just well-formed: reading every
+    # snapshot THROUGH the exported chain equals the versioned reader
+    from text_extractor_for_bioeconomic_products_spark.plans.iceberg_export import (
+        read_iceberg_snapshot,
+    )
+    for v in (1, 2, 3):
+        via_ice = read_iceberg_snapshot(spark, md, snapshot_id=v)
+        direct = read_version(spark, table, version=v)
+        assert sorted(map(str, via_ice.collect())) == sorted(
+            map(str, direct.collect()))
+    # default = current snapshot; unknown snapshot refuses
+    assert read_iceberg_snapshot(spark, md).count() == \
+        read_version(spark, table).count()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in the metadata chain"):
+        read_iceberg_snapshot(spark, md, snapshot_id=99)
+
 
 def test_snm_finds_prefix_neighbors_and_bounds_pairs(spark):
     """Sorted-neighborhood: near-identical docs adjacent in prefix-sort

@@ -330,3 +330,46 @@ def export_iceberg_metadata(table_dir: str, out_dir: str | None = None) -> dict:
         "files": sorted(written),
         "metadata_dir": out,
     }
+
+
+def read_iceberg_snapshot(
+    spark, metadata_dir: str, snapshot_id: int | None = None,
+):
+    """Read a snapshot THROUGH the exported Iceberg metadata — the
+    consumer side of the layout: pick the highest v{N}.metadata.json
+    (or the requested snapshot), follow its manifest-list Avro to the
+    manifest Avro, collect the data_file paths, and read exactly those
+    parquet files (mergeSchema, matching the versioned table's
+    schema-evolution contract).  The chain itself is the access path —
+    nothing consults `meta/v{N}.json` — so the test equality
+    `read_iceberg_snapshot(...) == read_version(...)` pins that the
+    exported metadata is complete, not merely well-formed."""
+    from ..sources.avro import read_avro_bytes
+
+    docs = sorted(
+        int(f[1:-14]) for f in os.listdir(metadata_dir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    if not docs:
+        raise ValueError(f"no Iceberg metadata under {metadata_dir!r}")
+    with open(os.path.join(metadata_dir, f"v{docs[-1]}.metadata.json")) as fh:
+        doc = json.load(fh)
+    sid = doc["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = next(
+        (s for s in doc["snapshots"] if s["snapshot-id"] == sid), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {sid} not in the metadata chain")
+    with open(os.path.join(metadata_dir, snap["manifest-list"]), "rb") as fh:
+        _s, manifest_files = read_avro_bytes(fh.read())
+    paths = []
+    for mrow in manifest_files:
+        with open(os.path.join(metadata_dir, mrow[0]), "rb") as fh:
+            _s2, entries = read_avro_bytes(fh.read())
+        for e in entries:
+            if e[0] != 2:  # 2=DELETED (never emitted here, spec value)
+                paths.append(os.path.join(
+                    doc["location"], e[4]["file_path"]))
+    return (
+        spark.read.option("mergeSchema", True).parquet(*sorted(set(paths)))
+    )
