@@ -2289,9 +2289,15 @@ def test_iceberg_metadata_export_structure(spark, transcripts_df, tmp_path):
     assert total == read_version(spark, table).count()
     # v3 is the rollback: zero ADDED files, all EXISTING
     assert all(e[0] == 0 for e in entries)
-    # OCF header parses standalone (magic, codec, sync)
+    # OCF header parses standalone (magic, codec, sync) and carries
+    # the spec's required manifest header keys
     _s, codec, _sync, _pos = read_avro_header(mbytes)
     assert codec == "deflate"
+    raw_head = mbytes[:4096]
+    for key in (b"schema", b"partition-spec", b"format-version", b"content"):
+        assert key in raw_head
+    _s, codec_ml, _sync, _pos = read_avro_header(ml)
+    assert b"snapshot-id" in ml[:4096] and b"sequence-number" in ml[:4096]
 
     # deterministic re-export
     h1 = {f: hashlib.md5(open(os.path.join(md, f), "rb").read()).hexdigest()

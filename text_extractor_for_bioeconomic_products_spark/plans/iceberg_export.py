@@ -202,6 +202,25 @@ def export_iceberg_metadata(table_dir: str, out_dir: str | None = None) -> dict:
     table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(table_dir)))
     location = os.path.abspath(table_dir)
 
+    # table schema (schema-id 0): by-name union over the CURRENT
+    # snapshot's files — needed up front because the spec requires it
+    # in every manifest's OCF header metadata
+    cur = versions[-1]
+    cur_files = [
+        _abs(table_dir, f)
+        for fs in _manifest(table_dir, cur)["buckets"].values() for f in fs
+    ]
+    schema = _iceberg_schema_of(_union_schema(sorted(set(cur_files))))
+    last_col = schema.pop("_last_column_id")
+    bucket_source = next(
+        (f["id"] for f in schema["fields"] if f["name"] == "conv_id"),
+        schema["fields"][0]["id"],
+    )
+    partition_spec_fields = [{
+        "name": "bucket", "transform": "bucket[8]",
+        "source-id": bucket_source, "field-id": 1000,
+    }]
+
     snapshots, snapshot_log, metadata_log, written = [], [], [], []
     for v in versions:
         man = _manifest(table_dir, v)
@@ -239,6 +258,15 @@ def export_iceberg_metadata(table_dir: str, out_dir: str | None = None) -> dict:
                 "status", "snapshot_id", "sequence_number",
                 "file_sequence_number", "data_file")) for e in entries],
             MANIFEST_ENTRY_SCHEMA,
+            extra_meta={  # the spec's required manifest header keys
+                "schema": json.dumps(schema, sort_keys=True),
+                "schema-id": "0",
+                "partition-spec": json.dumps(
+                    partition_spec_fields, sort_keys=True),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
         )
         with open(os.path.join(out, manifest_name), "wb") as fh:
             fh.write(manifest_bytes)
@@ -250,6 +278,12 @@ def export_iceberg_metadata(table_dir: str, out_dir: str | None = None) -> dict:
               min(versions), v, n_added, n_exist, 0,
               rows_added, rows_exist, 0)],
             MANIFEST_FILE_SCHEMA,
+            extra_meta={  # the spec's manifest-list header keys
+                "snapshot-id": str(v),
+                "parent-snapshot-id": str(man.get("parent") or "null"),
+                "sequence-number": str(v),
+                "format-version": "2",
+            },
         )
         with open(os.path.join(out, list_name), "wb") as fh:
             fh.write(list_bytes)
@@ -270,19 +304,6 @@ def export_iceberg_metadata(table_dir: str, out_dir: str | None = None) -> dict:
         })
         snapshot_log.append({"snapshot-id": v, "timestamp-ms": ts_ms})
 
-    # current schema = by-name union over the CURRENT snapshot's files
-    cur = versions[-1]
-    cur_files = [
-        _abs(table_dir, f)
-        for fs in _manifest(table_dir, cur)["buckets"].values() for f in fs
-    ]
-    schema = _iceberg_schema_of(_union_schema(sorted(set(cur_files))))
-    last_col = schema.pop("_last_column_id")
-    bucket_source = next(
-        (f["id"] for f in schema["fields"] if f["name"] == "conv_id"),
-        schema["fields"][0]["id"],
-    )
-
     for v in versions:
         doc = {
             "format-version": 2,
@@ -298,10 +319,7 @@ def export_iceberg_metadata(table_dir: str, out_dir: str | None = None) -> dict:
             "default-spec-id": 0,
             "partition-specs": [{
                 "spec-id": 0,
-                "fields": [{
-                    "name": "bucket", "transform": "bucket[8]",
-                    "source-id": bucket_source, "field-id": 1000,
-                }],
+                "fields": partition_spec_fields,
             }],
             "last-partition-id": 1000,
             "default-sort-order-id": 0,

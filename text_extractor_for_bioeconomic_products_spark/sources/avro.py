@@ -361,21 +361,32 @@ def _codec_for(at: object):
 
 def write_avro_bytes(
     records: List[tuple], avro_schema: dict, codec: str = "deflate",
+    extra_meta: dict | None = None,
 ) -> bytes:
     """Serialize records (tuples in schema field order) to one OCF
     payload.  The 16-byte sync marker is derived from the schema+codec
-    hash, so identical inputs produce byte-identical files —
-    determinism is load-bearing for this repo's equality checks."""
+    +extra-metadata hash, so identical inputs produce byte-identical
+    files — determinism is load-bearing for this repo's equality
+    checks.  ``extra_meta`` adds application key-value pairs to the
+    OCF header map (e.g. the Iceberg spec's required manifest header
+    keys); values may be str or bytes."""
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"Avro codec {codec!r} (null/deflate only)")
     schema_json = json.dumps(avro_schema, sort_keys=True)
+    extra = {
+        k: (v.encode() if isinstance(v, str) else bytes(v))
+        for k, v in (extra_meta or {}).items()
+    }
     sync = hashlib.md5(
-        (schema_json + ":" + codec).encode()).digest()
+        (schema_json + ":" + codec + ":"
+         + ",".join(f"{k}={extra[k].hex()}" for k in sorted(extra))).encode()
+    ).digest()
     enc_row, _dec = _codec_for(avro_schema)
 
     out = io.BytesIO()
     out.write(_MAGIC)
     meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    meta.update(extra)
     out.write(_enc_long(len(meta)))
     for k, v in sorted(meta.items()):
         out.write(_enc_str(k))
