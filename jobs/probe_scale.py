@@ -820,7 +820,80 @@ def probe_winnow(spark):
     }
 
 
+def probe_avro(spark):
+    """Distributed Avro OCF sink/scan at 1M turns (~0.6 GB text).  The
+    claims under test: (1) the sink writes one file per ARROW BATCH
+    from executors (no driver funnel; file sizes bounded by the Arrow
+    batch size — the target-sized-files discipline for free), (2) the
+    scan parallelizes on file count and returns EXACTLY the parquet
+    rows (checksum equality), and (3) the pure-Python decode pays a
+    bounded constant over the JVM parquet scan — the honest cost of
+    the dependency-free path, measured not guessed."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.sources.avro import (
+        read_avro,
+        write_avro_distributed,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "probe_avro")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    pq_dir, av_dir = os.path.join(base, "pq"), os.path.join(base, "avro")
+
+    df = synthesize_transcripts(spark, n_convs=22000, seed=42).repartition(32)
+    df.persist().count()
+
+    t0 = time.monotonic()
+    df.write.parquet(pq_dir)
+    t_pq_write = time.monotonic() - t0
+    t1 = time.monotonic()
+    manifest = write_avro_distributed(df, av_dir)
+    t_av_write = time.monotonic() - t1
+    n_files = manifest.count()
+
+    def checksum(frame):
+        return frame.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum(F.xxhash64("conv_id", "turn_idx", "text")
+                  .cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+
+    t2 = time.monotonic()
+    pq_sum = checksum(spark.read.parquet(pq_dir))
+    t_pq_read = time.monotonic() - t2
+    t3 = time.monotonic()
+    av_sum = checksum(read_avro(spark, av_dir))
+    t_av_read = time.monotonic() - t3
+
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "probe": "avro_vs_parquet",
+        "n_rows": int(pq_sum["n"]),
+        "n_partitions": 32,
+        "avro_files": int(n_files),
+        "one_file_per_arrow_batch": int(n_files) >= 32,
+        "checksums_equal": tuple(pq_sum) == tuple(av_sum),
+        "parquet_write_sec": round(t_pq_write, 1),
+        "avro_write_sec": round(t_av_write, 1),
+        "parquet_read_sec": round(t_pq_read, 1),
+        "avro_read_sec": round(t_av_read, 1),
+        "avro_read_rows_per_sec": int(pq_sum["n"] / max(t_av_read, 1e-9)),
+        "python_decode_multiple": round(t_av_read / max(t_pq_read, 1e-9), 1),
+    }
+
+
 PROBES = {
+    "avro": probe_avro,
     "mg": probe_mg,
     "winnow": probe_winnow,
     "triangle": probe_triangle,
