@@ -95,6 +95,13 @@ _DEFERRED_STAPLES = [
     # displaced them
     "doc_relevance",
     "span_validation",
+    # deferred final-session rotation (batch 10): r4 driver-green
+    # (rows-only err-free, CORRECTNESS_r04) and conversation.py is
+    # byte-untouched since r4 (git-log-verified); its slot pulls the
+    # final-session avro_roundtrip_census (the stdlib Avro OCF source's
+    # oracle-checked lossless roundtrip) inside the 50-query window so
+    # the newest source format gets driver-gate evidence in r5
+    "conversation_echo_stats",
     # deferred final-session rotation (batch 9): r4 driver-green
     # (A-ES weighted top-k, CORRECTNESS_r04) and curation.py is
     # append-only since r4 with q_weighted_sample_topk byte-untouched
