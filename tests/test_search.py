@@ -136,6 +136,48 @@ def test_avro_ocf_roundtrip_and_dispatch(spark, transcripts_df, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, nulled.collect()))
 
 
+def test_avro_bad_file_quarantine_and_audit(spark, transcripts_df, tmp_path):
+    """Per-file error tolerance (the S5 discipline applied to the OCF
+    scan): a torn file fails the strict default, bad_files='skip'
+    keeps the scan alive with exactly the intact files' rows, and
+    audit_avro names the quarantined file with its error — skipping
+    without the audit trail would be silent data loss."""
+    import os
+
+    from text_extractor_for_bioeconomic_products_spark.sources.avro import (
+        audit_avro,
+        read_avro,
+        write_avro_distributed,
+    )
+
+    sample = transcripts_df.limit(200).cache()
+    n = sample.count()
+    adir = str(tmp_path / "avro")
+    write_avro_distributed(sample.repartition(2), adir)
+    files = sorted(f for f in os.listdir(adir) if f.endswith(".avro"))
+    assert len(files) >= 2
+    # tear the first file mid-block
+    victim = os.path.join(adir, files[0])
+    blob = open(victim, "rb").read()
+    open(victim, "wb").write(blob[: len(blob) // 2])
+
+    with pytest.raises(Exception):
+        read_avro(spark, adir).count()
+
+    audit = {r["file"]: r for r in audit_avro(spark, adir).collect()}
+    assert not audit[files[0]]["ok"]
+    assert audit[files[0]]["error"] and "Avro" in audit[files[0]]["error"]
+    assert all(audit[f]["ok"] for f in files[1:])
+    survivors = sum(audit[f]["n_rows"] for f in files[1:])
+    assert survivors < n
+
+    got = read_avro(spark, adir, bad_files="skip")
+    assert got.count() == survivors
+
+    with pytest.raises(ValueError, match="bad_files"):
+        read_avro(spark, adir, bad_files="maybe")
+
+
 def test_avro_nested_extraction_output_roundtrip(spark, transcripts_df, tmp_path):
     """The recursive codec closes the OUTPUT side: the extraction
     result — spans array<struct<..., array<string>>> — persists to

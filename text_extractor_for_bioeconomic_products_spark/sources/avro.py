@@ -518,12 +518,24 @@ def write_avro_distributed(
     )
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession, path: str, bad_files: str = "error",
+) -> DataFrame:
     """Distributed OCF scan: driver reads ONE header for the schema
     (bounded metadata read, no data scanned), then ``binaryFile`` +
     ``mapInPandas`` decodes whole files in executors — one task per
     file, the `read_text_corpus` parallelism model.  Mixed-schema
-    directories error per file rather than silently coercing."""
+    directories error per file rather than silently coercing.
+
+    ``bad_files``: "error" (default) fails the job on the first
+    corrupt/truncated/foreign-schema file — the right default for a
+    correctness-gated pipeline; "skip" drops such files and keeps the
+    scan alive — the per-file quarantine discipline (S5) for a
+    100 TB ingest where one torn file must not kill the fleet.  Use
+    ``audit_avro`` to enumerate exactly which files were dropped and
+    why (skipping without an audit trail would be silent data loss)."""
+    if bad_files not in ("error", "skip"):
+        raise ValueError(f"bad_files must be 'error' or 'skip', got {bad_files!r}")
     files = sorted(
         f for f in os.listdir(path) if f.endswith(".avro")
     )
@@ -548,18 +560,57 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for payload in pdf["content"]:
-                schema, records = read_avro_bytes(bytes(payload))
-                if json.dumps(schema, sort_keys=True) != expect:
-                    raise ValueError(
-                        "Avro file schema differs from the directory's "
-                        "first file — refusing to coerce"
-                    )
+                try:
+                    schema, records = read_avro_bytes(bytes(payload))
+                    if json.dumps(schema, sort_keys=True) != expect:
+                        raise ValueError(
+                            "Avro file schema differs from the directory's "
+                            "first file — refusing to coerce"
+                        )
+                except Exception:
+                    if bad_files == "skip":
+                        continue
+                    raise
                 out = pd.DataFrame(records, columns=cols)
                 for c in ts_cols:  # object Timestamps → datetime64 for Arrow
                     out[c] = pd.to_datetime(out[c])
                 yield out
 
     return binary.mapInPandas(op, schema=out_schema)
+
+
+def audit_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file scan health: (file, ok, n_rows, error) for every .avro
+    under ``path`` — the audit trail that makes ``bad_files='skip'``
+    honest.  Decodes in executors (same parallelism as the scan); the
+    error column carries the exception class and message for the
+    quarantined files."""
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, payload in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(fpath)
+                try:
+                    _schema, records = read_avro_bytes(bytes(payload))
+                    rows.append((name, True, len(records), None))
+                except Exception as exc:  # quarantine row, job survives
+                    rows.append(
+                        (name, False, 0, f"{type(exc).__name__}: {exc}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=["file", "ok", "n_rows", "error"]
+            )
+
+    return binary.mapInPandas(
+        op, schema="file string, ok boolean, n_rows long, error string"
+    ).orderBy("file")
 
 
 # ---------------------------------------------------------------------------
