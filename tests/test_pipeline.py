@@ -2216,6 +2216,75 @@ def test_versioned_schema_evolution_add_and_missing_columns(spark, tmp_path):
     assert _manifest(table, 3)["columns"] == ["conv_id", "turn_idx", "lang"]
 
 
+def test_version_changes_cdc_and_as_of_timestamp(spark, transcripts_df, tmp_path):
+    """Snapshot changelog (Delta-CDF analog): the keyed diff between
+    snapshots classifies inserts / update-postimages / deletes exactly
+    against hand-derivable expectations, a rollback surfaces as the
+    inverse change set, and version_at resolves AS-OF timestamps to the
+    manifest commit clock."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        commit_merge,
+        read_version,
+        rollback,
+        version_at,
+        version_changes,
+    )
+
+    table = str(tmp_path / "vt_cdc")
+    turns = extract_turns(transcripts_df.limit(400)).drop("spans").cache()
+    first = turns.filter("turn_idx < 2").cache()
+    commit_merge(spark, table, first, run_id="a")
+    second = turns.filter("turn_idx < 4").withColumn(
+        "n_tokens", F.col("n_tokens") + 1000).cache()
+    commit_merge(spark, table, second, run_id="b")
+
+    # v1 -> v2: every turn_idx<2 key updated (+1000 tokens), every
+    # 2<=turn_idx<4 key inserted, nothing deleted
+    ch = version_changes(spark, table, 1, 2).cache()
+    census = {r["change_type"]: r["n"] for r in
+              ch.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    n_upd = first.count()
+    n_ins = turns.filter("turn_idx >= 2 AND turn_idx < 4").count()
+    assert census == {"insert": n_ins, "update_postimage": n_upd}
+    # postimages carry the TO-snapshot content
+    assert ch.filter("change_type = 'update_postimage'") \
+             .filter("n_tokens < 1000").count() == 0
+    assert ch.filter("change_type = 'insert'") \
+             .filter("turn_idx < 2").count() == 0
+
+    # rollback to v1 → v3; v2 -> v3 is the exact inverse: the inserted
+    # keys delete, the updated keys update back to pre-1000 values
+    rollback(table, 1)
+    inv = version_changes(spark, table, 2, 3).cache()
+    icensus = {r["change_type"]: r["n"] for r in
+               inv.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    assert icensus == {"delete": n_ins, "update_postimage": n_upd}
+    assert inv.filter("change_type = 'update_postimage'") \
+              .filter("n_tokens >= 1000").count() == 0
+    # v1 -> v3 is a no-op changelog (rollback restored v1's content)
+    assert version_changes(spark, table, 1, 3).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty changelog"):
+        version_changes(spark, table, 2, 2)
+
+    # AS-OF timestamp resolves on the manifest commit clock
+    meta = os.path.join(table, "meta")
+    t_v2 = os.path.getmtime(os.path.join(meta, "v2.json"))
+    assert version_at(table, t_v2) == 2
+    assert version_at(table, time.time() + 60) == 3
+    with _pytest.raises(ValueError, match="no snapshot"):
+        version_at(table, 1.0)
+    # the resolved snapshot reads exactly as that version
+    assert read_version(spark, table, version_at(table, t_v2)).count() == \
+        read_version(spark, table, version=2).count()
+
+
 def test_iceberg_metadata_export_structure(spark, transcripts_df, tmp_path):
     """The versioned chain exports in the Iceberg v2 metadata LAYOUT:
     per-snapshot metadata.json (format-version 2, snapshot list,

@@ -389,6 +389,85 @@ def rollback(table_dir: str, version: int) -> int:
             return v
 
 
+def version_at(table_dir: str, ts: float) -> int:
+    """AS-OF-timestamp time travel: the highest version whose manifest
+    was published at or before ``ts`` (epoch seconds).  Manifest mtimes
+    are the commit clock — the hard-link publish IS the commit, so its
+    mtime is the authoritative commit instant (Iceberg's snapshot-log
+    timestamp semantics).  Raises if the table postdates ``ts``."""
+    md = _meta_dir(table_dir)
+    best = 0
+    for f in os.listdir(md):
+        if f.startswith("v") and f.endswith(".json"):
+            v = int(f[1:-5])
+            if os.path.getmtime(os.path.join(md, f)) <= ts:
+                best = max(best, v)
+    if not best:
+        raise ValueError(
+            f"no snapshot at or before ts={ts} under {table_dir!r}"
+        )
+    return best
+
+
+def version_changes(
+    spark: SparkSession, table_dir: str, from_version: int, to_version: int,
+) -> DataFrame:
+    """Snapshot changelog (the Delta CDF / Iceberg changelog-scan
+    analog): the keyed row-level diff between two snapshots, one row
+    per changed key with ``change_type`` ∈ {insert, update_postimage,
+    delete} — inserts/updates carry the TO-snapshot row, deletes the
+    FROM-snapshot row (rollbacks surface as deletes/updates, since a
+    rollback is a forward commit to older content).
+
+    Shape at scale: both snapshots reduce to (key, row-hash) — the
+    full-outer join shuffles only keys+hashes, never payloads; row
+    content travels once, in the final key-join that materializes each
+    change's row.  Row equality is md5(to_json(struct(sorted value
+    cols))) over the BY-NAME-aligned union schema, so schema evolution
+    between the snapshots compares correctly (a column absent on one
+    side reads as null there, matching the mergeSchema read contract).
+    """
+    if from_version == to_version:
+        raise ValueError("from_version == to_version — empty changelog")
+    old = read_version(spark, table_dir, from_version)
+    new = read_version(spark, table_dir, to_version)
+    key = list(KEY_COLS)
+    all_cols = list(dict.fromkeys(old.columns + new.columns))
+    val_cols = sorted(c for c in all_cols if c not in key)
+
+    def aligned(df: DataFrame) -> DataFrame:
+        src = {f.name: f.dataType.simpleString() for f in
+               (new if df is old else old).schema.fields}
+        for c in all_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(src[c]))
+        return df.select(*key, *val_cols)
+
+    old_a, new_a = aligned(old), aligned(new)
+    row_hash = F.md5(F.to_json(F.struct(*val_cols)))
+    oh = old_a.select(*key, row_hash.alias("_oh"))
+    nh = new_a.select(*key, row_hash.alias("_nh"))
+    j = oh.join(nh, key, "full_outer")
+
+    inserts = (
+        j.filter(F.col("_oh").isNull()).select(*key)
+        .join(new_a, key).withColumn("change_type", F.lit("insert"))
+    )
+    deletes = (
+        j.filter(F.col("_nh").isNull()).select(*key)
+        .join(old_a, key).withColumn("change_type", F.lit("delete"))
+    )
+    updates = (
+        j.filter(
+            F.col("_oh").isNotNull() & F.col("_nh").isNotNull()
+            & (F.col("_oh") != F.col("_nh"))
+        ).select(*key)
+        .join(new_a, key)
+        .withColumn("change_type", F.lit("update_postimage"))
+    )
+    return inserts.unionByName(deletes).unionByName(updates)
+
+
 def vacuum(table_dir: str, min_age_sec: float = 3600.0) -> dict:
     """Retention sweep for ORPHANS: delete data/key files referenced by
     no manifest, plus stranded manifest temp files in meta/ — the debris
