@@ -2216,6 +2216,93 @@ def test_versioned_schema_evolution_add_and_missing_columns(spark, tmp_path):
     assert _manifest(table, 3)["columns"] == ["conv_id", "turn_idx", "lang"]
 
 
+def test_versioned_bucket_count_guard_and_rebucketing_compaction(
+    spark, transcripts_df, tmp_path,
+):
+    """n_buckets is a TABLE property: before the guard, one 8-bucket
+    plus one 3-bucket commit duplicated 67 keys (same key hashed into
+    two bucket numberings).  Now the manifest records it, later commits
+    auto-resolve it, an explicit disagreeing value refuses, and
+    compact(to_buckets=...) is the sanctioned re-bucketing — content-
+    identical, recorded, and terminal for any in-flight stale-keyed
+    rebase."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.plans.versioned import (
+        CommitConflict,
+        _manifest,
+        commit_merge,
+        compact,
+        read_version,
+        version_changes,
+    )
+
+    table = str(tmp_path / "vt_bk")
+    turns = extract_turns(transcripts_df.limit(400)).drop("spans").cache()
+    commit_merge(spark, table, turns.filter("turn_idx < 3"), run_id="a",
+                 n_buckets=8)
+    assert _manifest(table, 1)["n_buckets"] == 8
+
+    # the exact pre-guard corruption recipe now refuses
+    with pytest.raises(ValueError, match="duplicate keys across buckets"):
+        commit_merge(spark, table, turns.limit(50), run_id="bad", n_buckets=3)
+
+    # None auto-resolves to the recorded count; no duplicates ever
+    commit_merge(spark, table, turns, run_id="b")
+    assert _manifest(table, 2)["n_buckets"] == 8
+    v2 = read_version(spark, table)
+    assert v2.count() == turns.count()
+    assert v2.groupBy("conv_id", "turn_idx").count() \
+             .filter("count > 1").count() == 0
+
+    # re-bucketing compaction: 8 -> 2 buckets, content identical
+    out = compact(spark, table, to_buckets=2)
+    assert out["version"] == 3 and out["n_buckets"] == 2
+    assert out["files_after"] <= 2 < out["files_before"]
+    assert _manifest(table, 3)["n_buckets"] == 2
+    v3 = read_version(spark, table)
+    assert sorted(map(str, v3.collect())) == sorted(map(str, v2.collect()))
+    # CDC agrees: compaction is a content no-op
+    assert version_changes(spark, table, 2, 3).count() == 0
+
+    # later merges auto-resolve the NEW count and stay duplicate-free
+    commit_merge(
+        spark, table,
+        turns.limit(100).withColumn("n_tokens", F.col("n_tokens") + 5),
+        run_id="c",
+    )
+    assert _manifest(table, 4)["n_buckets"] == 2
+    v4 = read_version(spark, table)
+    assert v4.count() == turns.count()
+    assert v4.groupBy("conv_id", "turn_idx").count() \
+             .filter("count > 1").count() == 0
+
+    # an in-flight writer keyed under a STALE bucket count must fail its
+    # rebase terminally: simulate by making the writer read base v4
+    # while a concurrent compaction re-buckets to 4
+    import text_extractor_for_bioeconomic_products_spark.plans.versioned as V
+    real_current = V._current_version
+    state = {"n": 0}
+
+    def stale_then_real(d):
+        state["n"] += 1
+        if state["n"] == 1:  # writer resolves base BEFORE the compaction
+            return 4
+        return real_current(d)
+
+    # deterministic sequencing: compact first, then a writer whose base
+    # was resolved before it (stale_then_real returns 4 exactly once)
+    compact(spark, table, to_buckets=4)
+    V._current_version = stale_then_real
+    try:
+        with pytest.raises(CommitConflict, match="re-bucketing"):
+            commit_merge(
+                spark, table, turns.limit(10), run_id="stale", retries=3,
+            )
+    finally:
+        V._current_version = real_current
+
+
 def test_version_changes_cdc_and_as_of_timestamp(spark, transcripts_df, tmp_path):
     """Snapshot changelog (Delta-CDF analog): the keyed diff between
     snapshots classifies inserts / update-postimages / deletes exactly

@@ -202,7 +202,7 @@ def commit_merge(
     table_dir: str,
     new_rows: DataFrame,
     run_id: str,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     retries: int = 0,
 ) -> dict:
     """Keyed MERGE as a snapshot commit.  Reads the base version, writes
@@ -210,14 +210,28 @@ def commit_merge(
     per-attempt unique prefix, then publishes manifest base+1 — the
     atomic hard-link IS the commit.
 
+    ``n_buckets`` is a TABLE property, not a per-commit choice: the
+    manifest records it, an existing table resolves it automatically
+    (pass None), and an explicit value that disagrees with the table's
+    recorded one raises — two commits bucketing the same key space
+    differently would land the same key in two buckets and read back
+    duplicated (reproduced before this guard: 67 duplicate keys from
+    one 8-bucket + one 3-bucket commit).  Legacy tables whose manifests
+    predate the property keep the caller's value (old behavior,
+    caller-audited).  ``compact(..., to_buckets=...)`` is the sanctioned
+    way to change it.
+
     If the link loses (someone committed base+1 first) and ``retries``
     remain, the writer REBASES like an Iceberg commit retry: it
     validates that the concurrent commits touched none of its keys
     (else the conflict is a genuine write-write race and
     ``CommitConflict`` is raised regardless of retries), re-merges only
     the buckets whose backing files changed under it, and retries the
-    link at the new tip.  On a terminal conflict every file this call
-    wrote is deleted — losers leave no orphans."""
+    link at the new tip — unless a concurrent commit CHANGED the bucket
+    count (a compaction re-bucketing), which invalidates this writer's
+    bucket numbering entirely and is a terminal conflict.  On a
+    terminal conflict every file this call wrote is deleted — losers
+    leave no orphans."""
     # absolute from here on: Spark resolves relative write paths against
     # the JVM's launch cwd, not the caller's current Python cwd
     table_dir = os.path.abspath(table_dir)
@@ -225,6 +239,18 @@ def commit_merge(
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     base = _current_version(table_dir)
+
+    recorded = _manifest(table_dir, base).get("n_buckets") if base else None
+    if recorded is not None:
+        if n_buckets is not None and n_buckets != recorded:
+            raise ValueError(
+                f"table at {table_dir!r} is bucketed n_buckets={recorded}; "
+                f"a commit with n_buckets={n_buckets} would duplicate keys "
+                "across buckets (use compact(to_buckets=...) to re-bucket)"
+            )
+        n_buckets = recorded
+    elif n_buckets is None:
+        n_buckets = 8
 
     keyed = new_rows.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
@@ -307,6 +333,7 @@ def commit_merge(
                     "parent": base,
                     "run_id": run_id,
                     "n_upserted": n_upserted,
+                    "n_buckets": n_buckets,
                     "buckets": new_buckets,
                     "new_files": new_files,
                     "key_files": [_rel(table_dir, key_file)],
@@ -331,6 +358,14 @@ def commit_merge(
                         "(retries exhausted)"
                     )
                 retries -= 1
+                tip_buckets = _manifest(table_dir, current).get("n_buckets")
+                if tip_buckets is not None and tip_buckets != n_buckets:
+                    raise CommitConflict(
+                        f"concurrent re-bucketing: table is now "
+                        f"n_buckets={tip_buckets}, this writer keyed "
+                        f"n_buckets={n_buckets} — bucket numbering is "
+                        "stale, not rebasable"
+                    )
                 concurrent = _upserted_key_files_between(
                     table_dir, base, current
                 )
@@ -376,7 +411,7 @@ def rollback(table_dir: str, version: int) -> int:
     while True:
         base = _current_version(table_dir)
         v = base + 1
-        if _publish(table_dir, v, {
+        doc = {
             "version": v,
             "parent": base,
             "run_id": f"rollback-to-{version}",
@@ -385,7 +420,10 @@ def rollback(table_dir: str, version: int) -> int:
             "buckets": old["buckets"],
             "new_files": [],
             "key_files": [],
-        }):
+        }
+        if "n_buckets" in old:  # the restored content's bucketing
+            doc["n_buckets"] = old["n_buckets"]
+        if _publish(table_dir, v, doc):
             return v
 
 
@@ -466,6 +504,93 @@ def version_changes(
         .withColumn("change_type", F.lit("update_postimage"))
     )
     return inserts.unionByName(deletes).unionByName(updates)
+
+
+def compact(
+    spark: SparkSession, table_dir: str, to_buckets: int,
+) -> dict:
+    """RE-BUCKETING compaction as a snapshot commit (Iceberg's
+    rewrite_data_files + a partition-spec change): rewrite the whole
+    current snapshot under ``to_buckets`` hash buckets — fewer, larger
+    files for a table whose bucket count outgrew its data, or more
+    buckets for a table that outgrew its layout.  Content-identical by
+    construction; published through the same CAS commit point as any
+    merge, so readers never see a half-compacted table, time travel to
+    pre-compaction snapshots still reads the old layout, and ``vacuum``
+    reclaims the old files once unreferenced.
+
+    This is also the only sanctioned way to CHANGE a table's bucket
+    count: the new manifest records ``n_buckets: to_buckets`` so later
+    merges auto-resolve it, and any in-flight merge keyed under the old
+    count fails its rebase with a terminal CommitConflict instead of
+    silently splitting keys across bucket numberings.
+
+    Returns {version, n_buckets, files_before, files_after}; raises
+    CommitConflict if a concurrent commit wins the link (re-run against
+    the new tip)."""
+    table_dir = os.path.abspath(table_dir)
+    base = _current_version(table_dir)
+    if not base:
+        raise ValueError(f"no versioned table under {table_dir!r}")
+    if to_buckets < 1:
+        raise ValueError(f"to_buckets must be >= 1, got {to_buckets}")
+    man = _manifest(table_dir, base)
+    files_before = sum(len(fs) for fs in man["buckets"].values())
+    data_dir = os.path.join(table_dir, "data")
+    run_id = f"compact-{uuid.uuid4().hex[:8]}"
+
+    snapshot = read_version(spark, table_dir, base).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(to_buckets)).cast("int")
+    ).persist()
+    new_buckets: dict = {}
+    new_files = []
+    try:
+        present = sorted(
+            r["bucket"] for r in snapshot.select("bucket").distinct().collect()
+        )
+        for b in present:
+            fname = os.path.join(
+                data_dir, f"part-{run_id}-{uuid.uuid4().hex[:8]}-{b}.parquet"
+            )
+            (snapshot.filter(F.col("bucket") == b).drop("bucket")
+             .coalesce(1).write.mode("errorifexists").parquet(fname))
+            rel = _rel(table_dir, fname)
+            new_buckets[str(b)] = [rel]
+            new_files.append(rel)
+
+        version = base + 1
+        if not _publish(table_dir, version, {
+            "version": version,
+            "parent": base,
+            "run_id": run_id,
+            "compaction": True,
+            "n_upserted": 0,
+            "n_buckets": to_buckets,
+            "buckets": new_buckets,
+            "new_files": new_files,
+            "key_files": [],  # no keys changed — content identical
+        }):
+            for rel in new_files:  # loser leaves no orphans
+                shutil.rmtree(_abs(table_dir, rel), ignore_errors=True)
+            raise CommitConflict(
+                f"base was v{base}, current is "
+                f"v{_current_version(table_dir)} — re-run compact "
+                "against the new tip"
+            )
+        return {
+            "version": version,
+            "n_buckets": to_buckets,
+            "files_before": files_before,
+            "files_after": len(new_files),
+        }
+    except BaseException:
+        if _current_version(table_dir) < base + 1 or \
+                _manifest(table_dir, base + 1).get("run_id") != run_id:
+            for rel in new_files:
+                shutil.rmtree(_abs(table_dir, rel), ignore_errors=True)
+        raise
+    finally:
+        snapshot.unpersist()
 
 
 def vacuum(table_dir: str, min_age_sec: float = 3600.0) -> dict:
