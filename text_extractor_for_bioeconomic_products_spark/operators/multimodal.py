@@ -139,15 +139,29 @@ def decode_wav(payload: bytes) -> Tuple[int, int, float]:
     """PCM WAV → (sample_rate, n_frames, mean |amplitude| of the real
     samples, normalized to [0,1] for 16-bit)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+    rate, samples = decode_wav_samples(payload)
+    mean_level = (
+        round(float(np.abs(samples).mean()), 4) if len(samples) else 0.0
+    )
+    return rate, n_frames, mean_level
+
+
+def decode_wav_samples(payload: bytes) -> Tuple[int, np.ndarray]:
+    """PCM WAV → (sample_rate, samples) with samples normalized to
+    [-1, 1] float64 (16-bit signed or 8-bit unsigned PCM; multi-channel
+    frames interleave, which is fine for the amplitude statistics the
+    feature extractor computes)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
         rate, n, width = w.getframerate(), w.getnframes(), w.getsampwidth()
         raw = w.readframes(n)
     if width == 2:
-        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-        mean_level = round(float(np.abs(samples).mean()) / 32768.0, 4) if len(samples) else 0.0
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     else:  # 8-bit PCM is unsigned
-        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-        mean_level = round(float(np.abs(samples - 128).mean()) / 128.0, 4) if len(samples) else 0.0
-    return rate, n, mean_level
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    return rate, samples
 
 
 # --- PNG (stdlib zlib) — closes the compressed-IMAGE half of the codec
@@ -1305,6 +1319,64 @@ def _safe_decode(payload: bytes):
     except Exception:
         # quarantine semantics — row kept, flagged, job never fails
         return (None, 0, 0, None, False)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, duration_sec double, "
+    "rms double, zcr double, peak double, valid boolean"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over REAL decoded PCM samples (the
+    audio analog of ``extract_media_features``'s image path): per-row
+    RMS energy, zero-crossing rate, and peak amplitude — the standard
+    silence/clipping curation signals a training-data pipeline filters
+    on before paying for transcription.
+
+    * rms  — sqrt(mean(s²)) of the [-1, 1]-normalized samples
+    * zcr  — zero crossings per SECOND (sign changes × rate / n), the
+      classic voiced/unvoiced + pure-tone discriminator: a sine at f Hz
+      reads ≈ 2f
+    * peak — max |s|; 1.0 flags full-scale (potentially clipped) audio
+
+    Non-WAV payloads and decode failures quarantine as ``valid=false``
+    rows.  Same scale shape as the image path: features are computed in
+    the scan-side ``mapInPandas`` pass, payload bytes never shuffle.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+                    rows.append((mid, 0, 0, None, None, None, None, False))
+                    continue
+                try:
+                    rate, s = decode_wav_samples(payload)
+                except Exception:
+                    rows.append((mid, 0, 0, None, None, None, None, False))
+                    continue
+                n = len(s)
+                if n == 0 or rate <= 0:
+                    rows.append((mid, rate, 0, 0.0, 0.0, 0.0, 0.0, True))
+                    continue
+                rms = float(np.sqrt(np.mean(s * s)))
+                crossings = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                rows.append((
+                    mid, rate, n, round(n / rate, 6),
+                    round(rms, 6),
+                    round(crossings * rate / n, 4),
+                    round(float(np.abs(s).max()), 6),
+                    True,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_samples", "duration_sec",
+                "rms", "zcr", "peak", "valid",
+            ])
+
+    return media.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
