@@ -13,6 +13,7 @@ the sf0.1 tier, measuring the property each op's SCALE.md row claims.
     python jobs/probe_scale.py triangle # degree-ordered wedge fan-out bound, 3M edges
     python jobs/probe_scale.py snm      # SNM (W-1)·n candidate bound, 4M docs
     python jobs/probe_scale.py kmv      # KMV set-op accuracy at 20M keys/group
+    python jobs/probe_scale.py phash    # perceptual-hash banded join, 1.1M hashes
 
 Deterministic inputs built from spark.range — no external data.
 """
@@ -892,7 +893,115 @@ def probe_avro(spark):
     }
 
 
+def probe_phash(spark):
+    """Perceptual-hash banded join at 1.1M hashes + a pathological pile.
+
+    Input: 1M uniform 64-bit 'distinct-image' hashes (xxhash64 of id),
+    1,000 planted near-dup partners (base hash with ≤2 deterministic
+    bit flips, hamming ≤ 2 ≤ the 3-bit threshold), and a 100k-row
+    flat-image pile (every constant-color image dHashes to 0).  Claims
+    under test: (1) candidate volume through the band exchange is
+    bucket-occupancy-bounded — ~4·N²/2¹⁶ instead of the N²/2 naive
+    all-pairs; (2) planted recall 1.0 (the pigeonhole guarantee);
+    (3) the flat pile is excluded by MAX_BAND_MEDIA BEFORE the
+    self-join (uncapped, its 4 bands alone would emit 4·C(100k,2) ≈
+    2·10¹⁰ pairs) and surfaces in the phash_hot_bands census."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.media_dedup import (
+        MAX_BAND_MEDIA,
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        phash_hot_bands,
+        phash_near_dup_pairs,
+    )
+
+    n_base, n_planted, n_flat = 1_000_000, 1_000, 100_000
+    base = spark.range(n_base).select(
+        F.col("id").alias("media_id"),
+        F.xxhash64(F.col("id")).alias("phash"),
+        F.lit(True).alias("valid"),
+    )
+    planted = spark.range(n_planted).select(
+        (F.col("id") + 2_000_000).alias("media_id"),
+        F.xxhash64(F.col("id"))
+        .bitwiseXOR(
+            # SQL |, not Column | (which is boolean OR in pyspark)
+            F.expr(
+                "shiftleft(1L, cast(id % 64 as int)) | "
+                "shiftleft(1L, cast((id * 31 + 7) % 64 as int))"
+            )
+        )
+        .alias("phash"),
+        F.lit(True).alias("valid"),
+    )
+    flat = spark.range(n_flat).select(
+        (F.col("id") + 3_000_000).alias("media_id"),
+        F.lit(0).cast("long").alias("phash"),
+        F.lit(True).alias("valid"),
+    )
+    hashes = base.union(planted).union(flat).repartition(64).persist()
+    n_total = hashes.count()
+
+    # candidate volume through the band exchange (pre-verification),
+    # measured with the operator's own banding shape + cap
+    mask = (1 << PHASH_BAND_BITS) - 1
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftrightunsigned("phash", PHASH_BAND_BITS * i)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for i in range(PHASH_BANDS)
+    ])
+    bands = hashes.select(
+        "media_id", F.explode(band_structs).alias("band")
+    ).select("media_id", "band.band_idx", "band.band_val")
+    sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("n_in_band")
+    )
+    capped = bands.join(
+        sizes.filter(F.col("n_in_band") <= MAX_BAND_MEDIA),
+        ["band_idx", "band_val"],
+    )
+    t0 = time.monotonic()
+    candidates = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .count()
+    )
+    pairs = phash_near_dup_pairs(hashes).persist()
+    planted_found = pairs.filter(
+        (F.col("media_b") == F.col("media_a") + 2_000_000)
+        & (F.col("media_a") < n_planted)
+    ).count()
+    sec = round(time.monotonic() - t0, 1)
+    hot = phash_hot_bands(hashes).collect()
+    pairs.unpersist()
+    hashes.unpersist()
+    naive_pairs = n_total * (n_total - 1) // 2
+    return {
+        "probe": "phash_banded_join",
+        "n_hashes": n_total,
+        "candidate_pairs_banded": candidates,
+        "candidate_pairs_naive": naive_pairs,
+        "collapse_factor": round(naive_pairs / max(candidates, 1), 1),
+        "planted_recall": round(planted_found / n_planted, 4),
+        "hot_bands_reported": len(hot),
+        "hot_band_max_size": max((r["n_in_band"] for r in hot), default=0),
+        "flat_pile_size": n_flat,
+        "sec": sec,
+    }
+
+
 PROBES = {
+    "phash": probe_phash,
     "avro": probe_avro,
     "mg": probe_mg,
     "winnow": probe_winnow,
