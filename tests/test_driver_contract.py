@@ -214,3 +214,65 @@ def test_query_names_unique_across_modules():
     for m in mods:
         extra = set(getattr(m, "ORACLE_SQL", {})) - set(m.QUERIES)
         assert not extra, f"{m.__name__}: oracles without queries {extra}"
+
+
+def test_char_entropy_matches_duckdb(spark, duck, sf01_dir):
+    """char_entropy_stats (in-row entropy fold, DECIMAL-rounded terms)
+    vs the unnest-and-GROUP-BY DuckDB twin at sf0.01 — full per-doc
+    equality.  Deliberately NOT a queries() entry (final-round policy:
+    the driver window is frozen with every entry verified); this test
+    carries the oracle evidence instead."""
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        ORACLE_CHAR_ENTROPY,
+        q_char_entropy,
+    )
+
+    sdf = q_char_entropy(spark, sf01_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLE_CHAR_ENTROPY)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b]
+    assert not mismatches, (
+        f"{len(mismatches)} mismatches; first: "
+        f"{ns[mismatches[0]]} vs {nd[mismatches[0]]}"
+    )
+
+
+def test_char_entropy_hand_fixture(spark):
+    """Pinned arithmetic on known strings: 'aaaa' → 0 bits; 'abab' → 1
+    bit; 'abcd' → 2 bits; '0a b' mixes the charset classes (alpha ½,
+    digit ¼, space ¼); a 64-char base64-ish string clears the gibberish
+    threshold while 'aaaa...' sits below the repetitive one."""
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        ENTROPY_GIBBERISH_MIN,
+        ENTROPY_REPETITIVE_MAX,
+        char_entropy_stats,
+    )
+
+    b64ish = "".join(chr(33 + i) for i in range(64))  # 64 distinct → 6 bits
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["aaaa", "abab", "abcd", "0a b", "a" * 200, b64ish],
+    })
+    got = {
+        r["doc_id"]: r
+        for r in char_entropy_stats(spark.createDataFrame(pdf)).collect()
+    }
+    assert got[1]["entropy_bits"] == 0.0 and got[1]["n_distinct_chars"] == 1
+    assert got[2]["entropy_bits"] == 1.0
+    assert got[3]["entropy_bits"] == 2.0
+    assert got[4]["alpha_frac"] == 0.5
+    assert got[4]["digit_frac"] == 0.25
+    assert got[4]["space_frac"] == 0.25
+    assert got[5]["entropy_bits"] < ENTROPY_REPETITIVE_MAX
+    assert got[6]["entropy_bits"] > ENTROPY_GIBBERISH_MIN
+    # null/empty text rows are excluded, not nulled through
+    pdf2 = pd.DataFrame({"doc_id": [7, 8], "text": [None, ""]})
+    assert char_entropy_stats(spark.createDataFrame(pdf2)).count() == 0

@@ -1489,6 +1489,128 @@ def q_doc_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Character-level entropy + charset composition (gibberish / binary-blob
+# curation gate beside the zlib compression signal)
+# ---------------------------------------------------------------------------
+
+# Shannon entropy thresholds (bits/char) for the census flags: English
+# prose sits ≈ 4.0-4.5 over its character distribution; far below is
+# repetitive/templated, far above (toward log2(95) ≈ 6.6 for uniform
+# printable ASCII) is random-looking — base64 blobs, keys, minified
+# noise.  Both are the rows a pretraining filter drops first.
+ENTROPY_REPETITIVE_MAX = 2.5
+ENTROPY_GIBBERISH_MIN = 5.5
+
+
+def char_entropy_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (bits/char) and
+    charset composition fractions — a pure IN-ROW expression, no Python
+    and no shuffle: per-char counts come from ``transform(array_distinct
+    (chars), c -> size(filter(chars, …)))`` over the doc's own char
+    array (the ``duplicate_passages`` in-row discipline; O(distinct ×
+    len) per row, bounded by the alphabet).
+
+    Cross-engine float discipline: each char's entropy term is rounded
+    to DECIMAL(18,6) BEFORE summation, so the in-row fold (first-
+    occurrence order) and DuckDB's arbitrary GROUP BY order produce the
+    identical exact sum — the ``doc_lm_score`` surprisal convention.
+    Composition fractions route through DECIMAL(18,10)/round(4) like
+    every ratio oracle in this module.  Empty/null text is excluded
+    (oracle-parity with the unnest-based twin)."""
+    chars = F.split(F.col(text_col), "")
+    n = F.length(F.col(text_col))
+
+    def _term(c):
+        cnt = F.size(F.filter(chars, lambda x: x == c))
+        p = cnt / n
+        # DECIMAL(18,10) before the round — the module's ratio-oracle
+        # convention, so both engines round the identical decimal
+        return F.round((-p * F.log2(p)).cast("decimal(18,10)"), 6).cast(
+            "decimal(18,6)"
+        )
+
+    distinct_chars = F.array_distinct(chars)
+    entropy = F.aggregate(
+        distinct_chars,
+        F.lit(0).cast("decimal(28,6)"),
+        # decimal + widens to (29,6); cast back so the fold keeps the
+        # accumulator type (exact — terms are ≤ 0.531, sum ≤ log2|Σ|)
+        lambda acc, c: (acc + _term(c)).cast("decimal(28,6)"),
+    ).cast("double")
+
+    def _frac(pattern):
+        cnt = n - F.length(F.regexp_replace(F.col(text_col), pattern, ""))
+        return (
+            F.round((cnt / n).cast("decimal(18,10)"), 4).cast("double")
+        )
+
+    return docs.filter(
+        F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
+    ).select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.size(distinct_chars).alias("n_distinct_chars"),
+        entropy.alias("entropy_bits"),
+        _frac("[A-Za-z]").alias("alpha_frac"),
+        _frac("[0-9]").alias("digit_frac"),
+        _frac(r"\s").alias("space_frac"),
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc entropy/charset table, ordered for the oracle compare.
+    NOT a ``queries()`` entry by final-round policy (the driver window
+    is frozen at 50 with every entry driver-verified at least once);
+    oracle parity vs ORACLE_CHAR_ENTROPY is pinned in
+    tests/test_driver_contract.py instead."""
+    return char_entropy_stats(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+    WITH chars AS (
+        SELECT doc_id, length(text) AS n_chars,
+               unnest(string_split(text, '')) AS c
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    counts AS (
+        SELECT doc_id, n_chars, c, count(*) AS cnt
+        FROM chars GROUP BY doc_id, n_chars, c
+    ),
+    ent AS (
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_distinct_chars,
+               CAST(sum(CAST(round(CAST(
+                   -(cnt / CAST(n_chars AS DOUBLE))
+                   * log2(cnt / CAST(n_chars AS DOUBLE))
+                   AS DECIMAL(18,10)), 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
+        FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           length(d.text) AS n_chars,
+           e.n_distinct_chars,
+           e.entropy_bits,
+           CAST(round(CAST(
+               (length(d.text) - length(regexp_replace(d.text, '[A-Za-z]', '', 'g')))
+               / CAST(length(d.text) AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE)
+               AS alpha_frac,
+           CAST(round(CAST(
+               (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')))
+               / CAST(length(d.text) AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE)
+               AS digit_frac,
+           CAST(round(CAST(
+               (length(d.text) - length(regexp_replace(d.text, '\\s', '', 'g')))
+               / CAST(length(d.text) AS DOUBLE) AS DECIMAL(18,10)), 4) AS DOUBLE)
+               AS space_frac
+    FROM documents d JOIN ent e USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "doc_compress_ratio": q_doc_compress_ratio,
     "lm_quality_buckets": q_lm_quality_buckets,
