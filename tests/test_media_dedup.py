@@ -219,3 +219,36 @@ def test_audio_features_known_signals(spark):
     assert abs(square["zcr"] - 200) < 10
     assert feats[3]["valid"] is False  # corrupt WAV quarantined
     assert feats[4]["valid"] is False  # non-audio payload quarantined
+
+
+def test_media_dedup_apply_end_to_end(spark):
+    """Full flow on a planted family: base image 0 + two perturbed
+    re-encodes (a transitive chain across codecs) collapse to the ONE
+    minimum-id keeper; every distinct image survives; the undecodable
+    row is kept (quarantine, never silent drop)."""
+    from text_extractor_for_bioeconomic_products_spark.operators.media_dedup import (
+        media_dedup_apply,
+    )
+
+    base_px = _block_pixels(100)
+    h, w, _ = base_px.shape
+    rows = []
+    # family: 0 (bmp), 200 (png, perturbed seed 1), 201 (jpeg, seed 2)
+    rows.append((0, "image", encode_bmp(w, h, base_px.tobytes()), ("s", "m")))
+    rows.append(
+        (200, "image",
+         encode_png(w, h, _perturb(base_px, seed=1).tobytes()), ("s", "m"))
+    )
+    rows.append(
+        (201, "image",
+         encode_jpeg(w, h, _perturb(base_px, seed=2).tobytes()), ("s", "m"))
+    )
+    for i in range(5):  # distinct singletons
+        px = _block_pixels(300 + i)
+        rows.append((10 + i, "image", encode_bmp(w, h, px.tobytes()), ("s", "m")))
+    rows.append((999, "image", b"\x00junk", ("s", "bad")))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    kept = sorted(
+        r["media_id"] for r in media_dedup_apply(media).select("media_id").collect()
+    )
+    assert kept == [0, 10, 11, 12, 13, 14, 999]

@@ -243,3 +243,55 @@ def phash_brute_force_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Census → ACTION: end-to-end media dedup (pairs → clusters → keep-first)
+# ---------------------------------------------------------------------------
+
+
+def media_dedup_victims(
+    hashes: DataFrame,
+    max_hamming: int = PHASH_HAMMING_MAX,
+    max_band_media: int = MAX_BAND_MEDIA,
+) -> DataFrame:
+    """media_ids to DROP under the perceptual near-dup decision: every
+    duplicate-cluster member except the canonical (minimum id) — the
+    ``fuzzy_dedup_victims`` flow applied to images.  Clustering runs the
+    same star-contraction CC as the text pipeline over the verified
+    hamming pairs, so transitively-linked variants (a → a′ → a″ where a
+    and a″ are > max_hamming apart) still collapse to ONE keeper.  The
+    victim table is cluster-scale (small by construction); consumers
+    broadcast-anti-join it against the media scan."""
+    from .dedup import connected_components_star
+
+    pairs = phash_near_dup_pairs(hashes, max_hamming, max_band_media)
+    clusters = connected_components_star(
+        pairs.select(
+            F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+        )
+    )
+    return (
+        clusters.select(
+            "component",
+            F.explode(F.split("members", ",")).alias("member"),
+        )
+        .select("component", F.col("member").cast("bigint").alias("media_id"))
+        .filter(F.col("media_id") != F.col("component"))
+        .select("media_id")
+        .distinct()
+    )
+
+
+def media_dedup_apply(
+    media: DataFrame, max_hamming: int = PHASH_HAMMING_MAX
+) -> DataFrame:
+    """Kept media rows after perceptual near-dup removal: decode → hash
+    (inside the scan pass) → banded pairs → CC → broadcast anti-join.
+    Rows that fail to decode are KEPT (quarantine semantics — an
+    undecodable payload is never silently dropped; it carries its own
+    valid=false flag downstream).  At 100 TB this is the clustering cost
+    plus ONE broadcast anti-join on the media scan — payload bytes
+    still never shuffle."""
+    victims = media_dedup_victims(image_phashes(media), max_hamming)
+    return media.join(F.broadcast(victims), "media_id", "left_anti")
