@@ -252,3 +252,40 @@ def test_media_dedup_apply_end_to_end(spark):
         r["media_id"] for r in media_dedup_apply(media).select("media_id").collect()
     )
     assert kept == [0, 10, 11, 12, 13, 14, 999]
+
+
+def test_dhash_hypothesis_invariants():
+    """Property battery over arbitrary images (pure numpy, no Spark):
+    determinism, signed-64 range, channel-permutation invariance (gray
+    is the unweighted channel mean), lossless BMP roundtrip invariance,
+    and row/column monotone-gradient sanity."""
+    from hypothesis import given, settings, strategies as st
+
+    from text_extractor_for_bioeconomic_products_spark.operators.media_dedup import (
+        _decode_pixels,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def prop(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        hv = dhash64(px)
+        assert hv == dhash64(px)                      # deterministic
+        assert -(1 << 63) <= hv < (1 << 63)           # spark long range
+        assert dhash64(px[:, :, ::-1]) == hv          # channel permutation
+        enc = encode_bmp(w, h, px.tobytes())          # lossless roundtrip
+        _codec, back = _decode_pixels(enc)
+        assert dhash64(back) == hv
+
+    prop()
+    # monotone horizontal gradient → every comparison bit set (all-ones);
+    # monotone vertical gradient → no horizontal contrast → zero
+    ramp_x = np.tile(np.linspace(0, 255, 36, dtype=np.uint8), (32, 1))
+    ramp_y = np.tile(np.linspace(0, 255, 32, dtype=np.uint8)[:, None], (1, 36))
+    assert dhash64(np.stack([ramp_x] * 3, axis=2)) == -1  # all 64 bits set
+    assert dhash64(np.stack([ramp_y] * 3, axis=2)) == 0
