@@ -205,3 +205,67 @@ def test_greedy_pack_fold_invariants_hypothesis():
             assert examples[j][1] + tokens[i] > ctx
 
     check()
+
+
+def test_streaming_sessionizer_matches_batch(spark, tmp_path):
+    """Event-time session windows (applyInPandasWithState +
+    EventTimeTimeout) == batch sessionize on the same events, with the
+    input deliberately split across micro-batches so sessions MERGE
+    across batch boundaries and close both ways (in-batch gap and
+    watermark timeout).  Watermark-pusher users drive the final
+    timeouts and are excluded from the comparison."""
+    import datetime as dt
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        sessionize,
+    )
+    from text_extractor_for_bioeconomic_products_spark.streaming.pipeline import (
+        run_streaming_sessionizer,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+
+    def ev(eid, user, sec):
+        return (eid, base + dt.timedelta(seconds=sec), user, "click",
+                eid * 0.125 + 0.0005, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # file1 ≤ 1000 s; file2 (1000, 4000]; file3 (4000, 21000]; sessions
+    # split at gap > 1800 s: u1 → 3 sessions, u2 → 2, u3 → ONE session
+    # whose three events arrive in three different micro-batches
+    files = [
+        [ev(1, 1, 0), ev(2, 1, 60), ev(3, 1, 120), ev(10, 2, 100),
+         ev(20, 3, 900)],
+        [ev(4, 1, 5000), ev(5, 1, 5060), ev(11, 2, 2200), ev(21, 3, 2650)],
+        [ev(6, 1, 20000), ev(22, 3, 4400)],
+        [ev(900, 999, 21000 + 5 * 86400)],   # pusher: fires most timeouts
+        [ev(901, 998, 21000 + 10 * 86400)],  # pusher 2: fires the rest
+    ]
+    in_dir = str(tmp_path / "events_stream_in")
+    for chunk in files:  # sequential writes → increasing file mtimes
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    out_dir = str(tmp_path / "events_stream_out")
+    run_streaming_sessionizer(
+        spark, in_dir, out_dir, gap_sec=1800, timeout_sec=240
+    )
+
+    got = spark.read.parquet(out_dir + "/sessions_stream").filter(
+        "user_id < 900"
+    ).collect()
+    assert len(got) == 6
+    assert {r["closed_by"] for r in got} == {"gap", "timeout"}
+    stream_set = sorted(
+        (r["user_id"], r["n_events"], r["session_value"], r["first_event_id"])
+        for r in got
+    )
+    batch_events = spark.createDataFrame(
+        [e for chunk in files[:3] for e in chunk], schema
+    )
+    batch_set = sorted(
+        (r["user_id"], r["n_events"], r["session_value"], r["first_event_id"])
+        for r in sessionize(batch_events).collect()
+    )
+    assert stream_set == batch_set

@@ -694,3 +694,154 @@ def measure_streaming_rate(
             round(p["processedRowsPerSecond"], 1) for p in steady
         ],
     }
+
+
+def read_event_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over an events parquet directory (the
+    ``events`` table schema)."""
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def run_streaming_sessionizer(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    gap_sec: int = 1800,
+    watermark: str = "10 seconds",
+    timeout_sec: int = 300,
+) -> None:
+    """Event-time SESSION WINDOWS via ``applyInPandasWithState`` +
+    ``EventTimeTimeout`` — the canonical arbitrary-stateful pattern the
+    built-in window functions cannot express incrementally: a session
+    has no fixed width, it closes only when the event-time watermark
+    passes ``last_event + gap``.
+
+    Per user, state is the OPEN session (start/last epoch, count, exact
+    micro-unit value sum, first event id).  Each micro-batch merges its
+    (sorted) events into the open session, emits every session CLOSED
+    by an in-batch gap immediately, keeps the tail open, and arms an
+    event-time timeout at ``last + gap``; when the watermark passes it,
+    the timeout callback emits the final session and drops the state —
+    so state is O(open sessions), never O(history).
+
+    Semantics match the batch ``relational.sessionize`` exactly (strict
+    ``> gap_sec`` split on INTEGER epoch seconds; session_value as a
+    DECIMAL(18,6)-quantized exact sum rounded to 4 — micro-units here,
+    pytest-pinned stream == batch on multi-batch input).  Emitted rows
+    carry ``closed_by`` ∈ {gap, timeout} for observability.
+
+    At 10^12-turn scale this is the shape that matters: per-key state is
+    five numbers regardless of session length, the state store shuffles
+    once on user_id, and late stragglers inside the watermark still
+    extend their session because each batch SORTS the merged view
+    before splitting."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_event_stream(spark, input_dir).withWatermark(
+        "ts", watermark
+    )
+
+    out_schema = (
+        "user_id long, n_events long, session_value double, "
+        "first_event_id long, start_epoch long, end_epoch long, "
+        "closed_by string"
+    )
+    state_schema = (
+        "start_epoch long, last_epoch long, n_events long, "
+        "value_micro long, first_event_id long"
+    )
+
+    def _row(user_id, sess, closed_by):
+        start, last, n, micro, first_eid = sess
+        # DECIMAL(18,6)-exact sum → HALF_UP round to 4 (the batch
+        # sessionize contract: sum(cast(value as decimal(18,6)))→round 4)
+        import decimal
+        val = float(
+            (decimal.Decimal(micro) / decimal.Decimal(1_000_000)).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        return (user_id, n, val, first_eid, start, last, closed_by)
+
+    def track(key, pdfs, state: GroupState):
+        import decimal
+        user_id = key[0]
+        if state.hasTimedOut:
+            sess = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [_row(user_id, sess, "timeout")],
+                columns=["user_id", "n_events", "session_value",
+                         "first_event_id", "start_epoch", "end_epoch",
+                         "closed_by"],
+            )
+            return
+        rows = []
+        for pdf in pdfs:
+            for eid, ts, val in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                # INTEGER epoch seconds — the unix_timestamp contract
+                rows.append((int(ts.timestamp()), int(eid), float(val)))
+        rows.sort()
+        open_sess = tuple(state.get) if state.exists else None
+        closed = []
+        for epoch, eid, val in rows:
+            # null value: counts toward n_events, adds 0 to the sum —
+            # the SQL sum-ignores-nulls contract
+            micro = 0 if val != val else int(
+                decimal.Decimal(str(val)).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                ) * 1_000_000
+            )
+            if open_sess is None:
+                open_sess = (epoch, epoch, 1, micro, eid)
+            elif epoch - open_sess[1] > gap_sec:
+                closed.append(_row(user_id, open_sess, "gap"))
+                open_sess = (epoch, epoch, 1, micro, eid)
+            else:
+                start, _last, n, vm, first_eid = open_sess
+                open_sess = (start, epoch, n + 1, vm + micro,
+                             min(first_eid, eid))
+        state.update(open_sess)
+        # arm the close timer; must stay ahead of the current watermark
+        desired_ms = (open_sess[1] + gap_sec) * 1000 + 1
+        state.setTimeoutTimestamp(
+            max(desired_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "n_events", "session_value",
+                         "first_event_id", "start_epoch", "end_epoch",
+                         "closed_by"],
+            )
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        track, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(
+            os.path.join(out_dir, "sessions_stream")
+        )
+
+    q = (
+        sessions.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation",
+                os.path.join(out_dir, "_sessionizer_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
