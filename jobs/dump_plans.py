@@ -270,6 +270,26 @@ def main() -> None:
          "`test_bucketed_join_no_shuffle`.",
          bucketed_plan),
     )
+    from text_extractor_for_bioeconomic_products_spark.operators.media_dedup import (
+        image_phashes,
+        phash_near_dup_pairs,
+    )
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        synthesize_media,
+    )
+
+    sections.append(
+        ("perceptual-hash banded near-dup join (media_dedup)",
+         "Image bytes never reach an Exchange: the dHash is computed inside\n"
+         "the decode mapInPandas pass, so the first shuffle is already keyed\n"
+         "by the 16-bit band value; verification is JVM `bit_count(xor)`.\n"
+         "Hot bands are excluded by a tiny bucket-census join before the\n"
+         "self-join (the LSH cap discipline).  Pinned by\n"
+         "`test_image_phash_near_dup_pipeline` (banded == brute force).",
+         phash_near_dup_pairs(
+             image_phashes(synthesize_media(spark, n=60, seed=42))
+         )),
+    )
     out = [
         "# PLANS — formatted physical plans of flagship operators\n",
         "Captured with `.explain('formatted')` at sf0.01 (regenerate with\n"
