@@ -276,3 +276,57 @@ def test_char_entropy_hand_fixture(spark):
     # null/empty text rows are excluded, not nulled through
     pdf2 = pd.DataFrame({"doc_id": [7, 8], "text": [None, ""]})
     assert char_entropy_stats(spark.createDataFrame(pdf2)).count() == 0
+
+
+def test_doc_readability_matches_duckdb(spark, duck, sf01_dir):
+    """doc_readability (native regexp counting + double-chain score) vs
+    the DuckDB twin at sf0.01 — full per-doc equality.  Outside
+    queries() by the same frozen-window policy as char entropy."""
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        ORACLE_DOC_READABILITY,
+        q_doc_readability,
+    )
+
+    sdf = q_doc_readability(spark, sf01_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLE_DOC_READABILITY)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b]
+    assert not mismatches, (
+        f"{len(mismatches)} mismatches; first: "
+        f"{ns[mismatches[0]]} vs {nd[mismatches[0]]}"
+    )
+
+
+def test_doc_readability_hand_fixture(spark):
+    """Pinned arithmetic: 'The cat sat.' → 3 words / 1 sentence / 3
+    vowel groups → FRE = 206.835 − 1.015·3 − 84.6·1 = 119.19;
+    a no-vowel fragment exercises the syllable floor; a multi-sentence
+    doc exercises the terminator-group count ('?!' is ONE group)."""
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.textstats import (
+        doc_readability,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["The cat sat.", "hmm pfft", "Go now?! Yes. Stop", None],
+    })
+    got = {
+        r["doc_id"]: r
+        for r in doc_readability(spark.createDataFrame(pdf)).collect()
+    }
+    assert set(got) == {1, 2, 3}  # null text excluded
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (3, 1, 3)
+    assert r1["flesch_reading_ease"] == 119.19
+    r2 = got[2]  # zero vowel groups → floored at word count
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (2, 1, 2)
+    r3 = got[3]  # '?!' is one terminator group; trailing fragment
+    assert (r3["n_words"], r3["n_sentences"]) == (4, 2)

@@ -1611,6 +1611,113 @@ ORACLE_CHAR_ENTROPY = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Flesch readability (deterministic vowel-group syllable heuristic)
+# ---------------------------------------------------------------------------
+
+
+def doc_readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Flesch Reading Ease + Flesch-Kincaid grade — the classic
+    prose-complexity curation signal, as pure native regexp counting
+    (zero Python, fuses into the scan's map stage):
+
+    * words      — whitespace-delimited non-empty tokens
+    * sentences  — ``[.!?]+`` terminator groups, floored at 1 (a
+      fragment is one sentence)
+    * syllables  — vowel groups ``[aeiouyAEIOUY]+``, floored at the
+      word count (the standard every-word-has-a-syllable correction)
+
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
+    FK grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+    This is the heuristic variant every large-scale pipeline uses (true
+    syllabification needs a dictionary); deterministic and identically
+    computable in DuckDB, so the whole score is oracle-checked — both
+    ratios route through DECIMAL(18,10)/round(4) like every ratio
+    oracle in this module.  Zero-word docs are excluded."""
+    t = F.col(text_col)
+    n_words = F.size(
+        F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    )
+    n_sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    n_syll = F.greatest(
+        F.regexp_count(t, F.lit("[aeiouyAEIOUY]+")), n_words
+    )
+    wps = (n_words / n_sents).cast("decimal(18,10)")
+    spw = (n_syll / n_words).cast("decimal(18,10)")
+    fre = F.round(
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).cast(
+            "decimal(18,10)"
+        ),
+        4,
+    ).cast("double")
+    fk = F.round(
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).cast(
+            "decimal(18,10)"
+        ),
+        4,
+    ).cast("double")
+    return docs.filter(t.isNotNull()).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        fre.alias("flesch_reading_ease"),
+        fk.alias("fk_grade"),
+    ).filter(F.col("n_words") > 0)
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc readability table (oracle compare order).  NOT a
+    ``queries()`` entry — final-round frozen-window policy, same as
+    ``q_char_entropy``; parity is pinned in
+    tests/test_driver_contract.py."""
+    return doc_readability(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_DOC_READABILITY = r"""
+    WITH counts AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                               w -> length(w) > 0)) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS raw_syll
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    base AS (
+        SELECT doc_id, n_words, n_sentences,
+               greatest(raw_syll, n_words) AS n_syllables,
+               CAST(n_words / CAST(n_sentences AS DOUBLE)
+                    AS DECIMAL(18,10)) AS wps,
+               CAST(greatest(raw_syll, n_words) / CAST(n_words AS DOUBLE)
+                    AS DECIMAL(18,10)) AS spw
+        FROM counts WHERE n_words > 0
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_sentences AS INT) AS n_sentences,
+           CAST(n_syllables AS INT) AS n_syllables,
+           -- constants cast to DOUBLE: DuckDB parses bare 1.015 as
+           -- DECIMAL and would do exact-decimal math where Spark's
+           -- double literals do IEEE math — the chain must be double
+           -- on both engines for the round-4 to agree
+           CAST(round(CAST(CAST(206.835 AS DOUBLE)
+                           - CAST(1.015 AS DOUBLE) * wps
+                           - CAST(84.6 AS DOUBLE) * spw
+                           AS DECIMAL(18,10)), 4) AS DOUBLE)
+               AS flesch_reading_ease,
+           CAST(round(CAST(CAST(0.39 AS DOUBLE) * wps
+                           + CAST(11.8 AS DOUBLE) * spw
+                           - CAST(15.59 AS DOUBLE)
+                           AS DECIMAL(18,10)), 4) AS DOUBLE) AS fk_grade
+    FROM base
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_compress_ratio": q_doc_compress_ratio,
     "lm_quality_buckets": q_lm_quality_buckets,
