@@ -289,3 +289,88 @@ def test_dhash_hypothesis_invariants():
     ramp_y = np.tile(np.linspace(0, 255, 32, dtype=np.uint8)[:, None], (1, 36))
     assert dhash64(np.stack([ramp_x] * 3, axis=2)) == -1  # all 64 bits set
     assert dhash64(np.stack([ramp_y] * 3, axis=2)) == 0
+
+
+def _am_signal(seed: int, n: int = 13000) -> np.ndarray:
+    """Amplitude-modulated test signal with DECISIVE envelope gradients:
+    65 windows each at a distinct deterministic gain level (≥0.05 gap),
+    carrier = 440 Hz sine — re-quantization noise cannot flip a window
+    comparison (the blocky-image construction, for audio)."""
+    digest = hashlib.sha256(f"am:{seed}".encode()).digest() * 3
+    levels = np.array(
+        [0.1 + 0.9 * (digest[i] % 16) / 16 + (i % 2) * 0.028
+         for i in range(65)]
+    )
+    t = np.arange(n) / 8000.0
+    carrier = np.sin(2 * np.pi * 440 * t)
+    gain = np.repeat(levels, n // 65 + 1)[:n]
+    return carrier * gain
+
+
+def test_audio_ahash_requantization_invariance():
+    """The same signal encoded 16-bit and 8-bit hashes identically
+    (envelope gradients decisive); distinct AM patterns are far."""
+    from text_extractor_for_bioeconomic_products_spark.operators.media_dedup import (
+        audio_ahash64,
+    )
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    sig = _am_signal(1)
+    pcm16 = encode_wav(8000, (sig * 32000).astype("<i2").tobytes())
+    pcm8 = encode_wav(
+        8000, (sig * 120 + 128).astype(np.uint8).tobytes(), sampwidth=1
+    )
+    h16 = audio_ahash64(decode_wav_samples(pcm16)[1])
+    h8 = audio_ahash64(decode_wav_samples(pcm8)[1])
+    assert h16 == h8
+    # uniform gain invariance
+    quieter = encode_wav(8000, (sig * 16000).astype("<i2").tobytes())
+    assert audio_ahash64(decode_wav_samples(quieter)[1]) == h16
+    other = audio_ahash64(_am_signal(2))
+    assert bin((h16 ^ other) & ((1 << 64) - 1)).count("1") > 10
+    assert audio_ahash64(np.array([])) == 0
+
+
+def test_audio_near_dup_pipeline_reuses_band_join(spark):
+    """audio_hashes emits PHASH_SCHEMA, so phash_near_dup_pairs runs
+    UNCHANGED over audio: planted 16-vs-8-bit re-encodes of the same
+    signals surface as near-dup pairs; distinct signals don't; images
+    and junk quarantine out."""
+    from text_extractor_for_bioeconomic_products_spark.operators.media_dedup import (
+        audio_hashes,
+        phash_brute_force_pairs,
+        phash_near_dup_pairs,
+    )
+
+    rows = []
+    for i in range(8):  # distinct signals
+        sig = _am_signal(10 + i)
+        rows.append(
+            (i, "audio",
+             encode_wav(8000, (sig * 32000).astype("<i2").tobytes()),
+             ("s", "audio/wav"))
+        )
+    for base in (0, 3):  # 8-bit re-encodes of two of them
+        sig = _am_signal(10 + base)
+        rows.append(
+            (100 + base, "audio",
+             encode_wav(8000, (sig * 120 + 128).astype(np.uint8).tobytes(),
+                        sampwidth=1),
+             ("s", "audio/wav"))
+        )
+    rows.append((999, "image", encode_bmp(2, 2, bytes(12)), ("s", "i")))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = audio_hashes(media).cache()
+    got = {r["media_id"]: r for r in hashes.collect()}
+    assert got[999]["valid"] is False
+    pairs = phash_near_dup_pairs(hashes)
+    found = {(r["media_a"], r["media_b"]) for r in pairs.collect()}
+    assert {(0, 100), (3, 103)} <= found
+    brute = {
+        (r["media_a"], r["media_b"])
+        for r in phash_brute_force_pairs(hashes).collect()
+    }
+    assert found == brute
+    hashes.unpersist()
