@@ -330,3 +330,64 @@ def test_doc_readability_hand_fixture(spark):
     assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (2, 1, 2)
     r3 = got[3]  # '?!' is one terminator group; trailing fragment
     assert (r3["n_words"], r3["n_sentences"]) == (4, 2)
+
+
+def test_user_value_trend_matches_duckdb(spark, duck, sf01_dir):
+    """user_value_trend (exact decimal moments → one fixed IEEE chain)
+    vs the DuckDB twin at sf0.01 — per-user equality.  Outside
+    queries() by the frozen-window policy."""
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        ORACLE_USER_VALUE_TREND,
+        q_user_value_trend,
+    )
+
+    sdf = q_user_value_trend(spark, sf01_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLE_USER_VALUE_TREND)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b]
+    assert not mismatches, (
+        f"{len(mismatches)} mismatches; first: "
+        f"{ns[mismatches[0]]} vs {nd[mismatches[0]]}"
+    )
+
+
+def test_user_value_trend_hand_fixture(spark):
+    """Planted exact lines: user 1 rises 2.5 per hour (y = 2.5/3600·x),
+    user 2 is flat (slope 0), user 3 has one event (excluded), user 4
+    has two events at the SAME second (zero x-variance — excluded),
+    null values ignored."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        user_value_trend,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def row(eid, user, sec, val):
+        return (eid, base + dt.timedelta(seconds=sec), user, "e", val, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    rows = [
+        row(1, 1, 0, 10.0), row(2, 1, 3600, 12.5), row(3, 1, 7200, 15.0),
+        row(4, 2, 0, 7.0), row(5, 2, 5000, 7.0),
+        row(6, 3, 0, 1.0),
+        row(7, 4, 100, 1.0), row(8, 4, 100, 9.0),
+        row(9, 1, 1800, None),  # null value ignored
+    ]
+    got = {
+        r["user_id"]: r
+        for r in user_value_trend(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["n_events"] == 3 and got[1]["slope_per_hour"] == 2.5
+    assert got[2]["slope_per_hour"] == 0.0

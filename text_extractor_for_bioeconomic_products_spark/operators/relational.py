@@ -2475,6 +2475,104 @@ ORACLE_SQL = {
     """,
 }
 
+# ---------------------------------------------------------------------------
+# Per-user value trend: exact-moment least squares (regr_slope twin)
+# ---------------------------------------------------------------------------
+
+# fixed x-origin (2020-01-01 UTC): slope is shift-invariant, and
+# centering epoch seconds keeps every exact moment far inside
+# DECIMAL(38) on both engines ((sx)^2 would overflow DuckDB's width
+# rules on raw epochs)
+TREND_X0 = 1_577_836_800
+
+
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Per-user least-squares trend of ``value`` over time — the drift
+    census a metrics pipeline runs per entity (is this user's spend
+    rising?).  Spark ships ``regr_slope``, but its double accumulation
+    is partition-order-dependent; this computes the five moments
+    (n, Σx, Σy, Σxy, Σx²) as EXACT decimal sums (x = centered integer
+    epoch seconds, y quantized DECIMAL(18,6)) so the shuffle order
+    cannot move a bit, then derives the slope through one fixed IEEE
+    expression both engines evaluate identically — the
+    ``user_burstiness`` discipline applied to regression.
+
+    Output: (user_id, n_events, slope_per_hour) for users with ≥ 2
+    distinct-time events (a degenerate x-variance has no slope);
+    slope_per_hour = slope·3600, DECIMAL(18,10)-routed round 6."""
+    x = (F.unix_timestamp("ts") - F.lit(TREND_X0)).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,6)")
+    m = (
+        events.filter(F.col("value").isNotNull())
+        .select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    return (
+        m.filter((F.col("n") >= 2) & (denom != 0))
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.round((slope * F.lit(3600.0)).cast("decimal(18,10)"), 6)
+            .cast("double")
+            .alias("slope_per_hour"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a ``queries()`` entry (final-round frozen-window policy);
+    DuckDB parity is pinned in tests/test_driver_contract.py."""
+    return user_value_trend(load(spark, sf_dir, "events"))
+
+
+ORACLE_USER_VALUE_TREND = f"""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(CAST(floor(epoch(ts)) AS BIGINT) - {TREND_X0}
+                    AS DECIMAL(18,0)) AS x,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT user_id, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts GROUP BY user_id
+    ),
+    d AS (
+        SELECT user_id, n,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+               CAST(sxx AS DOUBLE) AS sxxd
+        FROM m
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(round(CAST(
+               ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+               * CAST(3600.0 AS DOUBLE)
+               AS DECIMAL(18,10)), 6) AS DOUBLE) AS slope_per_hour
+    FROM d
+    WHERE n >= 2 AND (nd * sxxd - sxd * sxd) <> 0
+    ORDER BY user_id
+"""
+
+
 QUERIES = {
     "order_price_percentiles": q_order_price_percentiles,
     "key_skew_profile": q_key_skew_profile,
