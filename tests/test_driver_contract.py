@@ -391,3 +391,56 @@ def test_user_value_trend_hand_fixture(spark):
     assert set(got) == {1, 2}
     assert got[1]["n_events"] == 3 and got[1]["slope_per_hour"] == 2.5
     assert got[2]["slope_per_hour"] == 0.0
+
+
+def test_numeric_corr_matches_duckdb(spark, duck, sf01_dir):
+    """numeric_corr_matrix (exact decimal moments, one table pass) vs
+    the DuckDB twin at sf0.01.  Outside queries() by the frozen-window
+    policy."""
+    from text_extractor_for_bioeconomic_products_spark.operators.profiling import (
+        ORACLE_NUMERIC_CORR,
+        q_numeric_corr,
+    )
+
+    sdf = q_numeric_corr(spark, sf01_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLE_NUMERIC_CORR)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) == 6  # C(4,2) pairs
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    assert ns == nd
+
+
+def test_numeric_corr_hand_fixture(spark):
+    """Planted exact geometry: y = 2x → corr 1; z = −x → corr(x,z) −1;
+    w constant → zero variance → NULL corr for every w pair; and a
+    null-bearing row is excluded globally (consistent n across pairs)."""
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.profiling import (
+        numeric_corr_matrix,
+    )
+
+    pdf = pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, 4.0, None],
+        "y": [2.0, 4.0, 6.0, 8.0, 1.0],
+        "z": [-1.0, -2.0, -3.0, -4.0, 1.0],
+        "w": [5.0, 5.0, 5.0, 5.0, 5.0],
+    })
+    rows = {
+        (r["col_x"], r["col_y"]): r
+        for r in numeric_corr_matrix(
+            spark.createDataFrame(pdf), cols=("x", "y", "z", "w")
+        ).collect()
+    }
+    assert len(rows) == 6
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert rows[("x", "y")]["corr"] == 1.0
+    assert rows[("x", "z")]["corr"] == -1.0
+    assert rows[("y", "z")]["corr"] == -1.0
+    assert rows[("x", "w")]["corr"] is None
+    assert rows[("y", "w")]["corr"] is None
+    assert rows[("z", "w")]["corr"] is None

@@ -132,6 +132,127 @@ def _profile_sql_duckdb() -> str:
     return f'{body}\n    ORDER BY "column"'
 
 
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix (exact-moment, order-free)
+# ---------------------------------------------------------------------------
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def numeric_corr_matrix(df: DataFrame, cols=CORR_COLS) -> DataFrame:
+    """Pairwise Pearson correlations between numeric columns in ONE
+    table pass — the profiling companion to ``profile_table``: which
+    measures actually co-vary before anyone fits on them.
+
+    Spark's ``corr``/``regr_*`` aggregates fold doubles in partition
+    order, so their low bits drift run to run; here every moment
+    (n, Σx, Σx², Σxy per pair) is an EXACT decimal sum over
+    DECIMAL(18,6)-quantized values (the ``user_value_trend``
+    discipline), reduced map-side to a single row, and the correlation
+    derives through one fixed IEEE chain identical in the DuckDB twin.
+    Output: one row per unordered column pair (col_x, col_y, n, corr),
+    corr DECIMAL(18,10)-routed round 6.  NULL-row policy: rows with a
+    null in ANY profiled column are excluded once, globally — moments
+    for every pair then share one consistent n."""
+    q = [F.col(c).cast("decimal(18,6)").alias(c) for c in cols]
+    base = df.select(*q).na.drop(subset=list(cols))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = base.agg(*aggs)
+
+    def corr_expr(a, b):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = (
+            F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        )
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        num = n * sab - sa * sb
+        den = F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb))
+        return (
+            F.when(den == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round((num / den).cast("decimal(18,10)"), 6).cast("double")
+            )
+        )
+
+    pair_rows = [
+        m.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col("n").alias("n_rows"),
+            corr_expr(a, b).alias("corr"),
+        )
+        for i, a in enumerate(cols)
+        for b in cols[i + 1:]
+    ]
+    out = pair_rows[0]
+    for p in pair_rows[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_x", "col_y")
+
+
+def q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a ``queries()`` entry (frozen-window policy); DuckDB parity
+    pinned in tests/test_driver_contract.py."""
+    return numeric_corr_matrix(load(spark, sf_dir, "lineitem"))
+
+
+def _corr_sql_duckdb(cols=CORR_COLS) -> str:
+    # quantization is (18,6) — identical to Spark — but the MULTIPLY
+    # operands widen to (19,6): DuckDB executes width-18 products in
+    # int64 and overflows, while 19+19 forces the int128 path with
+    # result width exactly 38 (the legal maximum); the values are
+    # unchanged, so the exact sums still match Spark's (37,12) products
+    moments = ["count(*) AS n"]
+    q6 = "CAST(CAST({c} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
+    for c in cols:
+        moments.append(f"sum(CAST({c} AS DECIMAL(18,6))) AS s_{c}")
+        moments.append(
+            f"sum({q6.format(c=c)} * {q6.format(c=c)}) AS ss_{c}"
+        )
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            moments.append(
+                f"sum({q6.format(c=a)} * {q6.format(c=b)}) AS sp_{a}_{b}"
+            )
+            pairs.append((a, b))
+    nn = "CAST(n AS DOUBLE)"
+    selects = []
+    for a, b in pairs:
+        sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+        ssa, ssb = f"CAST(ss_{a} AS DOUBLE)", f"CAST(ss_{b} AS DOUBLE)"
+        sab = f"CAST(sp_{a}_{b} AS DOUBLE)"
+        den = f"sqrt(({nn}*{ssa} - {sa}*{sa}) * ({nn}*{ssb} - {sb}*{sb}))"
+        selects.append(f"""
+            SELECT '{a}' AS col_x, '{b}' AS col_y,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN {den} = 0 THEN NULL
+                        ELSE CAST(round(CAST(({nn}*{sab} - {sa}*{sb}) / {den}
+                                   AS DECIMAL(18,10)), 6) AS DOUBLE)
+                   END AS corr
+            FROM m""")
+    where = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    body = "\n            UNION ALL".join(selects)
+    return f"""
+        WITH m AS (
+            SELECT {", ".join(moments)}
+            FROM lineitem WHERE {where}
+        )
+        {body}
+        ORDER BY col_x, col_y
+    """
+
+
+ORACLE_NUMERIC_CORR = _corr_sql_duckdb()
+
+
 ORACLE_SQL = {
     "table_profile": _profile_sql_duckdb(),
 }
