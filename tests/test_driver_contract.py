@@ -444,3 +444,62 @@ def test_numeric_corr_hand_fixture(spark):
     assert rows[("x", "w")]["corr"] is None
     assert rows[("y", "w")]["corr"] is None
     assert rows[("z", "w")]["corr"] is None
+
+
+def test_chi_square_matches_duckdb(spark, duck, sf01_dir):
+    """chi_square_cells (full grid incl. zero-observed cells, fixed
+    IEEE chains over exact counts) vs the DuckDB twin at sf0.01.
+    Outside queries() by the frozen-window policy."""
+    from text_extractor_for_bioeconomic_products_spark.operators.profiling import (
+        ORACLE_CHI_SQUARE,
+        q_chi_square_source_lang,
+    )
+
+    sdf = q_chi_square_source_lang(spark, sf01_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLE_CHI_SQUARE)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b]
+    assert not mismatches, (
+        f"{len(mismatches)} mismatches; first: "
+        f"{ns[mismatches[0]]} vs {nd[mismatches[0]]}"
+    )
+
+
+def test_chi_square_hand_fixture(spark):
+    """Pinned arithmetic: a planted dependent 2×2 (30/10 vs 10/30 →
+    every cell E=20, contribution 5.0), plus a source whose only lang
+    is absent elsewhere — the zero-observed grid cells must appear
+    with E>0 (chi-square without them understates dependence)."""
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.profiling import (
+        chi_square_cells,
+    )
+
+    rows = (
+        [("A", "en")] * 30 + [("A", "fr")] * 10
+        + [("B", "en")] * 10 + [("B", "fr")] * 30
+        + [("C", "de")] * 20
+    )
+    pdf = pd.DataFrame(rows, columns=["source", "lang"])
+    got = {
+        (r["source"], r["lang"]): r
+        for r in chi_square_cells(spark.createDataFrame(pdf)).collect()
+    }
+    assert len(got) == 9  # 3 sources × 3 langs, zero cells included
+    # dependent 2×2 block: E = 40*40/100 = 16 → (30-16)²/16 = 12.25
+    assert got[("A", "en")]["expected"] == 16.0
+    assert got[("A", "en")]["contribution"] == 12.25
+    assert got[("B", "fr")]["contribution"] == 12.25
+    # zero-observed grid cell with E > 0
+    c_en = got[("C", "en")]
+    assert c_en["observed"] == 0 and c_en["expected"] == 8.0
+    assert c_en["contribution"] == 8.0  # (0-8)²/8
+    # C is the only 'de' source: E = 20*20/100 = 4, O = 20 → 64
+    assert got[("C", "de")]["contribution"] == 64.0

@@ -253,6 +253,104 @@ def _corr_sql_duckdb(cols=CORR_COLS) -> str:
 ORACLE_NUMERIC_CORR = _corr_sql_duckdb()
 
 
+# ---------------------------------------------------------------------------
+# Chi-square independence census (source x lang)
+# ---------------------------------------------------------------------------
+
+
+def chi_square_cells(
+    df: DataFrame, row_col: str = "source", col_col: str = "lang"
+) -> DataFrame:
+    """Per-cell chi-square contributions for the independence of two
+    categorical columns — the drift diagnostic a curation run reads
+    before trusting a per-source language mix ("is lang independent of
+    source, and if not, WHICH cells carry the dependence?").
+
+    One corpus-scale pass (the groupBy count); everything after runs on
+    the |rows|x|cols| cell table: marginals re-aggregate it, the FULL
+    cross product (zero-observed cells included — chi-square needs
+    them) comes from crossing the two tiny marginal frames, and N joins
+    in as a broadcast single-row aggregate (the module's crossJoin
+    discipline).  expected = row_total*col_total/N and the contribution
+    (O-E)^2/E are fixed IEEE chains over exact integer counts, rounded
+    through DECIMAL(18,10) — deterministic on both engines.  The total
+    statistic is the exact sum of the DECIMAL-rounded contributions,
+    left to the consumer (order-free by construction)."""
+    cells = df.groupBy(row_col, col_col).agg(F.count("*").alias("observed"))
+    row_t = cells.groupBy(row_col).agg(F.sum("observed").alias("row_total"))
+    col_t = cells.groupBy(col_col).agg(F.sum("observed").alias("col_total"))
+    tot = cells.agg(F.sum("observed").alias("n_total"))
+    full = (
+        row_t.crossJoin(col_t)
+        .join(cells, [row_col, col_col], "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    obs = F.col("observed").cast("double")
+    contrib = (obs - expected) * (obs - expected) / expected
+    return full.select(
+        row_col,
+        col_col,
+        "observed",
+        F.round(expected.cast("decimal(18,10)"), 4).cast("double")
+        .alias("expected"),
+        F.round(contrib.cast("decimal(18,10)"), 6).cast("double")
+        .alias("contribution"),
+    ).orderBy(row_col, col_col)
+
+
+def q_chi_square_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a ``queries()`` entry (frozen-window policy); DuckDB parity
+    pinned in tests/test_driver_contract.py."""
+    return chi_square_cells(load(spark, sf_dir, "documents"))
+
+
+ORACLE_CHI_SQUARE = """
+    WITH cells AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS observed
+        FROM documents GROUP BY source, lang
+    ),
+    row_t AS (
+        SELECT source, CAST(sum(observed) AS BIGINT) AS row_total
+        FROM cells GROUP BY source
+    ),
+    col_t AS (
+        SELECT lang, CAST(sum(observed) AS BIGINT) AS col_total
+        FROM cells GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM cells),
+    full_grid AS (
+        SELECT r.source, c.lang, r.row_total, c.col_total,
+               COALESCE(x.observed, 0) AS observed, t.n_total
+        FROM row_t r CROSS JOIN col_t c
+        LEFT JOIN cells x ON x.source = r.source AND x.lang = c.lang
+        CROSS JOIN tot t
+    )
+    SELECT source, lang, observed,
+           CAST(round(CAST(
+               CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+               / CAST(n_total AS DOUBLE)
+               AS DECIMAL(18,10)), 4) AS DOUBLE) AS expected,
+           CAST(round(CAST(
+               (CAST(observed AS DOUBLE)
+                - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                  / CAST(n_total AS DOUBLE))
+               * (CAST(observed AS DOUBLE)
+                  - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                    / CAST(n_total AS DOUBLE))
+               / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                  / CAST(n_total AS DOUBLE))
+               AS DECIMAL(18,10)), 6) AS DOUBLE) AS contribution
+    FROM full_grid
+    ORDER BY source, lang
+"""
+
+
 ORACLE_SQL = {
     "table_profile": _profile_sql_duckdb(),
 }
