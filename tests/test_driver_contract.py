@@ -503,3 +503,49 @@ def test_chi_square_hand_fixture(spark):
     assert c_en["contribution"] == 8.0  # (0-8)²/8
     # C is the only 'de' source: E = 20*20/100 = 4, O = 20 → 64
     assert got[("C", "de")]["contribution"] == 64.0
+
+
+def test_benford_matches_duckdb(spark, duck, sf01_dir):
+    """benford_digit_census (decimal-string digit extraction — the only
+    engine-portable route; double-to-string formats differ) vs the
+    DuckDB twin at sf0.01.  Outside queries() by the frozen-window
+    policy."""
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        ORACLE_BENFORD,
+        q_benford_order_totals,
+    )
+
+    sdf = q_benford_order_totals(spark, sf01_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLE_BENFORD)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    assert ns == nd
+
+
+def test_benford_hand_fixture(spark):
+    """Planted exact distribution: 30×'1xx', 20×'2x', 10×'9xxx' →
+    shares 0.5/0.333333/0.166667; Benford expectation for digit 1 is
+    log10(2); amounts < 1 and NULL excluded; a 9.5 amount rounds to
+    DECIMAL(18,2) '9.50' → digit 9 (not banker's-rounded away)."""
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        benford_digit_census,
+    )
+
+    amounts = [150.0] * 30 + [25.0] * 20 + [9000.0] * 9 + [9.5] + [0.5, None]
+    pdf = pd.DataFrame({"o_totalprice": amounts})
+    got = {
+        r["digit"]: r
+        for r in benford_digit_census(spark.createDataFrame(pdf)).collect()
+    }
+    assert set(got) == {1, 2, 9}
+    assert got[1]["n_rows"] == 30 and got[1]["observed_share"] == 0.5
+    assert got[2]["observed_share"] == 0.333333
+    assert got[9]["n_rows"] == 10  # 9 big + the 9.5 edge
+    assert got[1]["benford_share"] == 0.30103  # log10(2) to 6dp

@@ -2573,6 +2573,88 @@ ORACLE_USER_VALUE_TREND = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit census
+# ---------------------------------------------------------------------------
+
+
+def benford_digit_census(
+    df: DataFrame, amount_col: str = "o_totalprice"
+) -> DataFrame:
+    """First-significant-digit distribution of an amount column vs the
+    Benford expectation log10(1+1/d) — the classic fabricated-data /
+    unit-mixing audit (naturally-grown multiplicative amounts follow
+    Benford; synthetic uniforms and copy-pastes don't).
+
+    Engine-portable digit extraction: the value is quantized to
+    DECIMAL(18,2) and cast to STRING — decimal-to-string is exact and
+    renders identically on both engines, where double-to-string
+    formatting does NOT (Spark '1.0E5' vs DuckDB '100000.0'); the first
+    character of the non-fractional part is the digit.  Shares and the
+    expectation are fixed IEEE chains over exact counts, rounded
+    through DECIMAL(18,10).  Rows with NULL or < 1 amounts are excluded
+    (no first significant digit in this simple extraction)."""
+    amt = F.col(amount_col)
+    digit = F.substring(
+        amt.cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    per_digit = (
+        df.filter(amt.isNotNull() & (amt >= 1))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    tot = per_digit.agg(F.sum("n_rows").alias("n_total"))
+    observed = F.col("n_rows").cast("double") / F.col("n_total").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return (
+        per_digit.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_rows",
+            F.round(observed.cast("decimal(18,10)"), 6).cast("double")
+            .alias("observed_share"),
+            F.round(expected.cast("decimal(18,10)"), 6).cast("double")
+            .alias("benford_share"),
+            F.round(
+                (observed - expected).cast("decimal(18,10)"), 6
+            ).cast("double").alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+def q_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a ``queries()`` entry (frozen-window policy); DuckDB parity
+    pinned in tests/test_driver_contract.py."""
+    return benford_digit_census(load(spark, sf_dir, "orders"))
+
+
+ORACLE_BENFORD = """
+    WITH pd AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM pd)
+    SELECT digit, n_rows,
+           CAST(round(CAST(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS DECIMAL(18,10)), 6) AS DOUBLE) AS observed_share,
+           CAST(round(CAST(log10(CAST(1.0 AS DOUBLE)
+                   + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))
+               AS DECIMAL(18,10)), 6) AS DOUBLE) AS benford_share,
+           CAST(round(CAST(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE)
+                   - log10(CAST(1.0 AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))
+               AS DECIMAL(18,10)), 6) AS DOUBLE) AS deviation
+    FROM pd CROSS JOIN tot
+    ORDER BY digit
+"""
+
+
 QUERIES = {
     "order_price_percentiles": q_order_price_percentiles,
     "key_skew_profile": q_key_skew_profile,
