@@ -14,6 +14,7 @@ the sf0.1 tier, measuring the property each op's SCALE.md row claims.
     python jobs/probe_scale.py snm      # SNM (W-1)·n candidate bound, 4M docs
     python jobs/probe_scale.py kmv      # KMV set-op accuracy at 20M keys/group
     python jobs/probe_scale.py phash    # perceptual-hash banded join, 1.1M hashes
+    python jobs/probe_scale.py sessionizer  # streaming session-window state bound, 1M events
 
 Deterministic inputs built from spark.range — no external data.
 """
@@ -1000,7 +1001,97 @@ def probe_phash(spark):
     }
 
 
+def probe_sessionizer(spark):
+    """Streaming session windows at 1M events / 100k users: the claim
+    under test is STATE BOUNDEDNESS — the applyInPandasWithState store
+    holds one row per OPEN session (<= n_users at every micro-batch),
+    never event history, while sessions spanning micro-batch boundaries
+    still close exactly.
+
+    Input: every user emits 10 events in 2 sessions (intra-gap 600 s,
+    inter-gap 4800 s > the 1800 s threshold), written as 5 time-ordered
+    parquet files (each micro-batch carries 2 events/user) plus a
+    far-future watermark pusher.  Expected: exactly 2 closed sessions
+    per user (200k emitted), state_rows <= 100,001 at every batch."""
+    import datetime as dt
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.streaming.pipeline import (
+        run_streaming_sessionizer,
+    )
+
+    n_users, per_user = 100_000, 10
+    base = "/tmp/spark_graft_probe_sessionizer"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    t0_epoch = 1_700_000_000
+    # event k: session 1 at k*600 (k<5), session 2 offset +4800 (k>=5)
+    for fidx, ks in enumerate([(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)]):
+        df = (
+            spark.range(n_users)
+            .select(
+                F.col("id").alias("user_id"),
+                F.explode(F.array(*[F.lit(k) for k in ks])).alias("k"),
+            )
+            .select(
+                (F.col("user_id") * per_user + F.col("k")).alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(t0_epoch) + F.col("k") * 600
+                    + F.when(F.col("k") >= 5, 4800).otherwise(0)
+                ).alias("ts"),
+                "user_id",
+                F.lit("e").alias("event_type"),
+                (F.col("k") * 1.5).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        df.coalesce(4).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)  # file source orders batches by mtime
+    pusher = spark.createDataFrame(
+        [(99_999_999, dt.datetime.fromtimestamp(
+            t0_epoch + 30 * 86400, dt.timezone.utc
+        ).replace(tzinfo=None), 100_000_000, "e", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _time.sleep(1.1)
+    pusher.coalesce(1).write.mode("append").parquet(in_dir)
+
+    t0 = time.monotonic()
+    tel = run_streaming_sessionizer(
+        spark, in_dir, out_dir, gap_sec=1800, timeout_sec=580
+    )
+    sec = round(time.monotonic() - t0, 1)
+    sessions = spark.read.parquet(f"{out_dir}/sessions_stream").filter(
+        F.col("user_id") < n_users
+    )
+    n_sessions = sessions.count()
+    per_user_ok = (
+        sessions.groupBy("user_id").count().filter("count != 2").count()
+    )
+    state_rows = [b["state_rows"] for b in tel["batches"]
+                  if b["state_rows"] is not None]
+    return {
+        "probe": "streaming_sessionizer",
+        "n_events": n_users * per_user + 1,
+        "n_users": n_users,
+        "n_sessions_emitted": n_sessions,
+        "expected_sessions": 2 * n_users,
+        "users_with_wrong_session_count": per_user_ok,
+        "state_rows_by_batch": state_rows,
+        "state_rows_max": max(state_rows, default=None),
+        "state_bound": n_users + 1,
+        "n_batches": len(tel["batches"]),
+        "events_per_sec": round(n_users * per_user / sec, 1),
+        "sec": sec,
+    }
+
+
 PROBES = {
+    "sessionizer": probe_sessionizer,
     "phash": probe_phash,
     "avro": probe_avro,
     "mg": probe_mg,

@@ -716,7 +716,7 @@ def run_streaming_sessionizer(
     gap_sec: int = 1800,
     watermark: str = "10 seconds",
     timeout_sec: int = 300,
-) -> None:
+) -> dict:
     """Event-time SESSION WINDOWS via ``applyInPandasWithState`` +
     ``EventTimeTimeout`` — the canonical arbitrary-stateful pattern the
     built-in window functions cannot express incrementally: a session
@@ -843,5 +843,21 @@ def run_streaming_sessionizer(
         .start()
     )
     q.awaitTermination(timeout_sec)
+    # state-store telemetry per micro-batch (read BEFORE stop — the
+    # progress ring dies with the query): numRowsTotal is the count of
+    # OPEN sessions, the probe's boundedness evidence (state must track
+    # open keys, never event history)
+    import json as _json
+    telemetry = []
+    for p in q.recentProgress:
+        d = _json.loads(p.json)
+        ops = d.get("stateOperators") or [{}]
+        telemetry.append({
+            "batch_id": d["batchId"],
+            "n_input_rows": d["numInputRows"],
+            "state_rows": ops[0].get("numRowsTotal"),
+            "trigger_ms": d["durationMs"].get("triggerExecution"),
+        })
     if q.isActive:
         q.stop()
+    return {"batches": telemetry}
