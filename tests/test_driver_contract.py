@@ -549,3 +549,48 @@ def test_benford_hand_fixture(spark):
     assert got[2]["observed_share"] == 0.333333
     assert got[9]["n_rows"] == 10  # 9 big + the 9.5 edge
     assert got[1]["benford_share"] == 0.30103  # log10(2) to 6dp
+
+
+def test_revenue_gini_matches_duckdb(spark, duck, sf01_dir):
+    """gini_concentration (ranked exact-moment Gini) vs the DuckDB twin
+    at sf0.01.  Outside queries() by the frozen-window policy."""
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        ORACLE_REVENUE_GINI,
+        q_revenue_gini,
+    )
+
+    sdf = q_revenue_gini(spark, sf01_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLE_REVENUE_GINI)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    assert ns == nd
+
+
+def test_revenue_gini_hand_fixture(spark):
+    """Pinned geometry: equal values → Gini exactly 0; one row holding
+    ALL the mass among n=4 → exactly 1 − 1/n = 0.75; negative and NULL
+    rows excluded."""
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        gini_concentration,
+    )
+
+    pdf = pd.DataFrame({
+        "o_orderkey": range(10),
+        "o_orderpriority": ["flat"] * 4 + ["concentrated"] * 4 + ["flat"] * 2,
+        "o_totalprice": [50.0] * 4 + [0.0, 0.0, 0.0, 10.0] + [None, -5.0],
+    })
+    got = {
+        r["o_orderpriority"]: r
+        for r in gini_concentration(spark.createDataFrame(pdf)).collect()
+    }
+    assert got["flat"]["n_rows"] == 4  # null + negative excluded
+    assert got["flat"]["gini"] == 0.0
+    assert got["flat"]["total_value"] == 200.0
+    assert got["concentrated"]["gini"] == 0.75

@@ -2655,6 +2655,109 @@ ORACLE_BENFORD = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Gini concentration census (revenue inequality per group)
+# ---------------------------------------------------------------------------
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str = "o_orderpriority",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Per-group Gini coefficient of a value column — the concentration
+    census behind "is this source/priority dominated by a few huge
+    rows?" (the same question `key_skew_profile` answers for shuffle
+    keys, asked of VALUE mass).
+
+    G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n over values ranked ascending
+    (row_number with a deterministic ``value, natural-key`` tie-break —
+    tied values contribute the same Σ i·x_i under any tie order, so the
+    tie-break only pins the plan, not the answer).  Σx and Σ(i·x_i) are
+    EXACT decimal sums (values quantized DECIMAL(18,2)); the final G is
+    one fixed IEEE chain — deterministic on both engines.  One shuffle
+    on the group key (the rank window), then a group-sized aggregate.
+    NULL and negative values are excluded (Gini is defined on
+    non-negative mass)."""
+    x = F.col(value_col).cast("decimal(18,2)")
+    # rank on the RAW value (the oracle does too): ranking the quantized
+    # x instead could order two rows differing only past 2 decimals
+    # differently between the engines
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_raw"), F.col("o_orderkey")
+    )
+    ranked = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
+        .select(
+            group_col, "o_orderkey", x.alias("x"),
+            F.col(value_col).alias("_raw"),
+        )
+        .withColumn("i", F.row_number().over(w))
+    )
+    m = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("x")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    gini = (
+        F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n
+    )
+    return (
+        m.filter(F.col("sx") > 0)
+        .select(
+            group_col,
+            F.col("n").alias("n_rows"),
+            F.round(F.col("sx"), 2).cast("double").alias("total_value"),
+            F.round(gini.cast("decimal(18,10)"), 6).cast("double")
+            .alias("gini"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a ``queries()`` entry (frozen-window policy); DuckDB parity
+    pinned in tests/test_driver_contract.py."""
+    return gini_concentration(load(spark, sf_dir, "orders"))
+
+
+ORACLE_REVENUE_GINI = """
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+               -- DECIMAL(19,0), not (18,0): DuckDB executes width-18
+               -- decimal products in int64 and overflows (the
+               -- numeric_corr_matrix finding); 19+18 forces int128
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS DECIMAL(19,0)) AS i
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+    ),
+    m AS (
+        SELECT o_orderpriority, count(*) AS n,
+               sum(x) AS sx, sum(i * x) AS six
+        FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(round(sx, 2) AS DOUBLE) AS total_value,
+           CAST(round(CAST(
+               CAST(2.0 AS DOUBLE) * CAST(six AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+               - (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+               AS DECIMAL(18,10)), 6) AS DOUBLE) AS gini
+    FROM m
+    WHERE sx > 0
+    ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "order_price_percentiles": q_order_price_percentiles,
     "key_skew_profile": q_key_skew_profile,
