@@ -594,3 +594,52 @@ def test_revenue_gini_hand_fixture(spark):
     assert got["flat"]["gini"] == 0.0
     assert got["flat"]["total_value"] == 200.0
     assert got["concentrated"]["gini"] == 0.75
+
+
+def test_pareto_cut_matches_duckdb(spark, duck, sf01_dir):
+    """pareto_cut_census (exact-rational thresholds on exact running
+    sums) vs the DuckDB twin at sf0.01.  Outside queries() by the
+    frozen-window policy."""
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        ORACLE_PARETO_REVENUE,
+        q_pareto_revenue,
+    )
+
+    sdf = q_pareto_revenue(spark, sf01_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLE_PARETO_REVENUE)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    assert ns == nd
+
+
+def test_pareto_cut_hand_fixture(spark):
+    """Pinned geometry: values [60, 20, 10, 10] → the top row alone is
+    exactly 60% ≥ half (k50=1), the top two are exactly 80% (k80=2 —
+    the ≥ boundary row INCLUDED, exact-rational compare, no float ulp);
+    a flat group needs half its rows for half the mass."""
+    import pandas as pd
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        pareto_cut_census,
+    )
+
+    pdf = pd.DataFrame({
+        "o_orderkey": range(8),
+        "o_orderpriority": ["skewed"] * 4 + ["flat"] * 4,
+        "o_totalprice": [60.0, 20.0, 10.0, 10.0] + [25.0] * 4,
+    })
+    got = {
+        r["o_orderpriority"]: r
+        for r in pareto_cut_census(spark.createDataFrame(pdf)).collect()
+    }
+    sk = got["skewed"]
+    assert (sk["rows_for_half"], sk["rows_for_80pct"]) == (1, 2)
+    assert sk["row_share_for_half"] == 0.25
+    fl = got["flat"]
+    assert (fl["rows_for_half"], fl["rows_for_80pct"]) == (2, 4)
+    assert fl["row_share_for_half"] == 0.5

@@ -2758,6 +2758,120 @@ ORACLE_REVENUE_GINI = """
 """
 
 
+def pareto_cut_census(
+    df: DataFrame,
+    group_col: str = "o_orderpriority",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Per-group Pareto cuts: the smallest fraction of rows (ranked by
+    value, descending) that carries >= 50% and >= 80% of the value mass
+    — the "do 20% of orders carry 80% of revenue?" census that pairs
+    with :func:`gini_concentration`.
+
+    The thresholds are EXACT RATIONAL comparisons on exact decimal
+    running sums — ``2·cum >= Σ`` and ``5·cum >= 4·Σ`` — never
+    ``cum >= 0.5*Σ`` in floats, so no boundary row can flip between
+    engines on a rounding ulp.  One rank window per group (running sum
+    + total share the partition), then a group-sized aggregate."""
+    x = F.col(value_col).cast("decimal(18,2)")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_raw").desc(), F.col("o_orderkey")
+    )
+    ranked = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
+        .select(
+            group_col, "o_orderkey", x.alias("x"),
+            F.col(value_col).alias("_raw"),
+        )
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "sx",
+            F.sum("x").over(
+                Window.partitionBy(group_col).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    k50 = F.min(
+        F.when(F.col("cum") * 2 >= F.col("sx"), F.col("i"))
+    ).alias("k50")
+    k80 = F.min(
+        F.when(F.col("cum") * 5 >= F.col("sx") * 4, F.col("i"))
+    ).alias("k80")
+    m = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n"), F.max("sx").alias("sx_total"), k50, k80
+    )
+    def share(k):
+        return F.round(
+            (F.col(k).cast("double") / F.col("n").cast("double")).cast(
+                "decimal(18,10)"
+            ),
+            6,
+        ).cast("double")
+    return (
+        m.filter(F.col("sx_total") > 0)
+        .select(
+            group_col,
+            F.col("n").alias("n_rows"),
+            F.col("k50").cast("long").alias("rows_for_half"),
+            share("k50").alias("row_share_for_half"),
+            F.col("k80").cast("long").alias("rows_for_80pct"),
+            share("k80").alias("row_share_for_80pct"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a ``queries()`` entry (frozen-window policy); DuckDB parity
+    pinned in tests/test_driver_contract.py."""
+    return pareto_cut_census(load(spark, sf_dir, "orders"))
+
+
+ORACLE_PARETO_REVENUE = """
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS i,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS DECIMAL(38,2)) AS cum,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_orderpriority
+               ) AS DECIMAL(38,2)) AS sx
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+    ),
+    m AS (
+        SELECT o_orderpriority, count(*) AS n, max(sx) AS sx_total,
+               min(CASE WHEN cum * 2 >= sx THEN i END) AS k50,
+               min(CASE WHEN cum * 5 >= sx * 4 THEN i END) AS k80
+        FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(k50 AS BIGINT) AS rows_for_half,
+           CAST(round(CAST(CAST(k50 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS DECIMAL(18,10)), 6) AS DOUBLE) AS row_share_for_half,
+           CAST(k80 AS BIGINT) AS rows_for_80pct,
+           CAST(round(CAST(CAST(k80 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS DECIMAL(18,10)), 6) AS DOUBLE) AS row_share_for_80pct
+    FROM m
+    WHERE sx_total > 0
+    ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "order_price_percentiles": q_order_price_percentiles,
     "key_skew_profile": q_key_skew_profile,
