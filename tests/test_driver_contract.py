@@ -643,3 +643,50 @@ def test_pareto_cut_hand_fixture(spark):
     fl = got["flat"]
     assert (fl["rows_for_half"], fl["rows_for_80pct"]) == (2, 4)
     assert fl["row_share_for_half"] == 0.5
+
+
+def test_seasonality_matches_duckdb(spark, duck, sf01_dir):
+    """seasonality_census (integer-epoch calendar arithmetic — immune
+    to the engines' conflicting dayofweek conventions) vs the DuckDB
+    twin at sf0.01.  Outside queries() by the frozen-window policy."""
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        ORACLE_EVENT_SEASONALITY,
+        q_event_seasonality,
+    )
+
+    sdf = q_event_seasonality(spark, sf01_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(ORACLE_EVENT_SEASONALITY)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    assert ns == nd
+
+
+def test_seasonality_hand_fixture(spark):
+    """Known instants pin the arithmetic: 1970-01-01 (epoch 0) is a
+    THURSDAY (dow 4 under 0=Sunday) hour 0; 2024-03-03 was a Sunday
+    (dow 0); 23:59:59 lands in hour 23; shares sum to 1."""
+    import datetime as dt
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        seasonality_census,
+    )
+
+    rows = [
+        (1, dt.datetime(1970, 1, 1, 0, 0, 0), 1, "e", 1.0, "{}"),
+        (2, dt.datetime(2024, 3, 3, 12, 30, 0), 1, "e", 1.0, "{}"),
+        (3, dt.datetime(2024, 3, 3, 23, 59, 59), 1, "e", 1.0, "{}"),
+        (4, dt.datetime(2024, 3, 4, 9, 0, 0), 1, "e", 1.0, "{}"),  # Monday
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {
+        (r["dow"], r["hour"]): r
+        for r in seasonality_census(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert set(got) == {(4, 0), (0, 12), (0, 23), (1, 9)}
+    assert all(r["share"] == 0.25 for r in got.values())

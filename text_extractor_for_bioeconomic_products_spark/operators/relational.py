@@ -2872,6 +2872,74 @@ ORACLE_PARETO_REVENUE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Weekday x hour seasonality census
+# ---------------------------------------------------------------------------
+
+
+def seasonality_census(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the load-shape
+    census behind capacity planning and bot detection (human traffic
+    has a diurnal/weekly shape; scripted traffic is flat).
+
+    Calendar fields are PURE INTEGER-EPOCH ARITHMETIC, not calendar
+    functions: Spark's ``dayofweek`` counts 1=Sunday while DuckDB's
+    ``dow`` counts 0=Sunday — a silent off-by-one an oracle would only
+    catch by luck — so both engines compute
+    ``dow = (epoch_days + 4) % 7`` (epoch day 0 = Thursday; +4 ⇒
+    0=Sunday) and ``hour = (epoch % 86400) / 3600`` under the pinned
+    UTC session.  Counts are exact; shares are one fixed IEEE division
+    against a broadcast single-row total.  168-row output."""
+    epoch = F.unix_timestamp("ts")
+    cells = (
+        events.filter(F.col("ts").isNotNull())
+        .select(
+            ((F.floor(epoch / 86400) + 4) % 7).cast("int").alias("dow"),
+            F.floor((epoch % 86400) / 3600).cast("int").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count("*").alias("n_events"))
+    )
+    tot = cells.agg(F.sum("n_events").alias("n_total"))
+    share = F.col("n_events").cast("double") / F.col("n_total").cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(share.cast("decimal(18,10)"), 6).cast("double")
+            .alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+def q_event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a ``queries()`` entry (frozen-window policy); DuckDB parity
+    pinned in tests/test_driver_contract.py."""
+    return seasonality_census(load(spark, sf_dir, "events"))
+
+
+ORACLE_EVENT_SEASONALITY = """
+    WITH cells AS (
+        SELECT CAST((CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) + 4) % 7
+                    AS INT) AS dow,
+               CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 3600)
+                    AS INT) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM cells)
+    SELECT dow, hour, n_events,
+           CAST(round(CAST(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS DECIMAL(18,10)), 6) AS DOUBLE) AS share
+    FROM cells CROSS JOIN tot
+    ORDER BY dow, hour
+"""
+
+
 QUERIES = {
     "order_price_percentiles": q_order_price_percentiles,
     "key_skew_profile": q_key_skew_profile,
