@@ -374,3 +374,53 @@ def test_audio_near_dup_pipeline_reuses_band_join(spark):
     }
     assert found == brute
     hashes.unpersist()
+
+
+def test_audio_features_stereo_and_unsupported_depths(spark):
+    """A 1-second STEREO clip reads duration 1.0 (frame-domain, not
+    interleaved-sample-domain) with zcr of the mono mixdown; a 24-bit
+    WAV quarantines (reinterpreting its frames as 8-bit would produce
+    noise marked valid); a NULL payload quarantines instead of killing
+    the batch."""
+    from text_extractor_for_bioeconomic_products_spark.operators.media_dedup import (
+        audio_hashes,
+    )
+    from text_extractor_for_bioeconomic_products_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t) * 32000).astype("<i2")
+    stereo = np.empty(2 * rate, dtype="<i2")
+    stereo[0::2] = mono  # L
+    stereo[1::2] = mono  # R (identical → mixdown == mono)
+    fake24 = encode_wav(rate, bytes(3 * rate), sampwidth=3)
+    rows = [
+        (0, "audio", encode_wav(rate, stereo.tobytes(), n_channels=2),
+         ("s", "audio/wav")),
+        (1, "audio", encode_wav(rate, mono.tobytes()), ("s", "audio/wav")),
+        (2, "audio", fake24, ("s", "audio/wav")),
+        (3, "audio", None, ("s", "audio/wav")),
+    ]
+    media = spark.createDataFrame(
+        # nullable payload variant: MEDIA_SCHEMA declares payload NOT
+        # NULL, but foreign tables (the run_media_dedup --input path)
+        # may not — the operators must quarantine, not crash
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<source:string,mime:string>",
+    )
+    feats = {
+        r["media_id"]: r for r in extract_audio_features(media).collect()
+    }
+    st, mo = feats[0], feats[1]
+    assert st["valid"] and st["duration_sec"] == 1.0
+    assert st["n_samples"] == rate  # frames, not interleaved samples
+    assert st["zcr"] == mo["zcr"]   # identical channels → mono signal
+    assert abs(st["rms"] - mo["rms"]) < 1e-6
+    assert feats[2]["valid"] is False  # 24-bit refused, not noise
+    assert feats[3]["valid"] is False  # null payload quarantined
+    hashes = {r["media_id"]: r for r in audio_hashes(media).collect()}
+    assert hashes[0]["valid"] and hashes[0]["phash"] == hashes[1]["phash"]
+    assert hashes[2]["valid"] is False and hashes[3]["valid"] is False

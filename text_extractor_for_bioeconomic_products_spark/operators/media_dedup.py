@@ -265,12 +265,21 @@ def media_dedup_victims(
     broadcast-anti-join it against the media scan."""
     from .dedup import connected_components_star
 
-    pairs = phash_near_dup_pairs(hashes, max_hamming, max_band_media)
-    clusters = connected_components_star(
-        pairs.select(
-            F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    # the decode+hash mapInPandas pass is the expensive stage; without a
+    # persist it re-executes for the band-size census and BOTH sides of
+    # the self-join.  CC runs eagerly (driver-loop actions over
+    # localCheckpointed frames), so the cache can drop before returning.
+    hashes = hashes.persist()
+    try:
+        pairs = phash_near_dup_pairs(hashes, max_hamming, max_band_media)
+        clusters = connected_components_star(
+            pairs.select(
+                F.col("media_a").alias("doc_a"),
+                F.col("media_b").alias("doc_b"),
+            )
         )
-    )
+    finally:
+        hashes.unpersist()
     return (
         clusters.select(
             "component",
@@ -338,12 +347,21 @@ def audio_hashes(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+                try:
+                    payload = bytes(payload)  # None payload → quarantine
+                    is_wav = (
+                        payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+                    )
+                except Exception:
+                    is_wav = False
+                if not is_wav:
                     rows.append((mid, None, None, False))
                     continue
                 try:
-                    _rate, s = decode_wav_samples(payload)
+                    _rate, s, ch = decode_wav_samples(payload)
+                    # mono mixdown so the envelope is frame-domain
+                    if ch > 1 and len(s) % ch == 0:
+                        s = s.reshape(-1, ch).mean(axis=1)
                     rows.append((mid, "wav", audio_ahash64(s), True))
                 except Exception:
                     rows.append((mid, None, None, False))

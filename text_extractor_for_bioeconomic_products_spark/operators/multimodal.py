@@ -140,28 +140,36 @@ def decode_wav(payload: bytes) -> Tuple[int, int, float]:
     samples, normalized to [0,1] for 16-bit)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         n_frames = w.getnframes()
-    rate, samples = decode_wav_samples(payload)
+    rate, samples, _ch = decode_wav_samples(payload)
     mean_level = (
         round(float(np.abs(samples).mean()), 4) if len(samples) else 0.0
     )
     return rate, n_frames, mean_level
 
 
-def decode_wav_samples(payload: bytes) -> Tuple[int, np.ndarray]:
-    """PCM WAV → (sample_rate, samples) with samples normalized to
-    [-1, 1] float64 (16-bit signed or 8-bit unsigned PCM; multi-channel
-    frames interleave, which is fine for the amplitude statistics the
-    feature extractor computes)."""
+def decode_wav_samples(payload: bytes) -> Tuple[int, np.ndarray, int]:
+    """PCM WAV → (sample_rate, samples, n_channels) with samples
+    normalized to [-1, 1] float64; multi-channel frames stay
+    INTERLEAVED (len(samples) = n_frames * n_channels — divide by the
+    returned channel count for frame-domain quantities).  Scope: 8-bit
+    unsigned and 16-bit signed PCM; any other sample width raises
+    (24/32-bit frames reinterpreted as 8-bit would silently produce
+    noise marked valid — callers quarantine on the raise instead)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate, n, width = w.getframerate(), w.getnframes(), w.getsampwidth()
+        n_channels = w.getnchannels()
         raw = w.readframes(n)
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    else:  # 8-bit PCM is unsigned
+    elif width == 1:  # 8-bit PCM is unsigned
         samples = (
             np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
         ) / 128.0
-    return rate, samples
+    else:
+        raise NotImplementedError(
+            f"{8 * width}-bit PCM not supported (8/16-bit only)"
+        )
+    return rate, samples, n_channels
 
 
 # --- PNG (stdlib zlib) — closes the compressed-IMAGE half of the codec
@@ -1349,15 +1357,28 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                payload = bytes(payload)
-                if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+                try:
+                    payload = bytes(payload)  # None payload → quarantine
+                    is_wav = (
+                        payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+                    )
+                except Exception:
+                    is_wav = False
+                if not is_wav:
                     rows.append((mid, 0, 0, None, None, None, None, False))
                     continue
                 try:
-                    rate, s = decode_wav_samples(payload)
+                    rate, s, ch = decode_wav_samples(payload)
                 except Exception:
                     rows.append((mid, 0, 0, None, None, None, None, False))
                     continue
+                # frame-domain stats: mix interleaved channels down to
+                # mono so duration and zcr are per FRAME (a 1 s stereo
+                # clip must read 1 s, and zcr over interleaved L/R
+                # samples would count channel alternation, not signal
+                # sign changes)
+                if ch > 1 and len(s) % ch == 0:
+                    s = s.reshape(-1, ch).mean(axis=1)
                 n = len(s)
                 if n == 0 or rate <= 0:
                     rows.append((mid, rate, 0, 0.0, 0.0, 0.0, 0.0, True))

@@ -276,6 +276,11 @@ def chi_square_cells(
     through DECIMAL(18,10) — deterministic on both engines.  The total
     statistic is the exact sum of the DECIMAL-rounded contributions,
     left to the consumer (order-free by construction)."""
+    # NULL categories are excluded UP FRONT: a (source, NULL) cell
+    # survives the groupBy but the grid LEFT JOIN can never match it
+    # (NULL != NULL), so its observations would vanish while still
+    # inflating the marginals and N — skewing every expected value
+    df = df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
     cells = df.groupBy(row_col, col_col).agg(F.count("*").alias("observed"))
     row_t = cells.groupBy(row_col).agg(F.sum("observed").alias("row_total"))
     col_t = cells.groupBy(col_col).agg(F.sum("observed").alias("col_total"))
@@ -313,7 +318,9 @@ def q_chi_square_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CHI_SQUARE = """
     WITH cells AS (
         SELECT source, lang, CAST(count(*) AS BIGINT) AS observed
-        FROM documents GROUP BY source, lang
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY source, lang
     ),
     row_t AS (
         SELECT source, CAST(sum(observed) AS BIGINT) AS row_total

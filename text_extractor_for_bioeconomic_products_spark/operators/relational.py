@@ -2503,7 +2503,10 @@ def user_value_trend(events: DataFrame) -> DataFrame:
     x = (F.unix_timestamp("ts") - F.lit(TREND_X0)).cast("decimal(18,0)")
     y = F.col("value").cast("decimal(18,6)")
     m = (
-        events.filter(F.col("value").isNotNull())
+        # ts AND value both required: a null-ts row would count into n
+        # but vanish from sum(x)/sum(xy)/sum(xx) (SQL sums skip nulls),
+        # mixing a 3-row count with 2-row moments into a wrong slope
+        events.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", x.alias("x"), y.alias("y"))
         .groupBy("user_id")
         .agg(
@@ -2546,7 +2549,7 @@ ORACLE_USER_VALUE_TREND = f"""
                CAST(CAST(floor(epoch(ts)) AS BIGINT) - {TREND_X0}
                     AS DECIMAL(18,0)) AS x,
                CAST(value AS DECIMAL(18,6)) AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     m AS (
         SELECT user_id, count(*) AS n,
@@ -2664,6 +2667,7 @@ def gini_concentration(
     df: DataFrame,
     group_col: str = "o_orderpriority",
     value_col: str = "o_totalprice",
+    key_col: str = "o_orderkey",
 ) -> DataFrame:
     """Per-group Gini coefficient of a value column — the concentration
     census behind "is this source/priority dominated by a few huge
@@ -2684,12 +2688,12 @@ def gini_concentration(
     # x instead could order two rows differing only past 2 decimals
     # differently between the engines
     w = Window.partitionBy(group_col).orderBy(
-        F.col("_raw"), F.col("o_orderkey")
+        F.col("_raw"), F.col(key_col)
     )
     ranked = (
         df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
         .select(
-            group_col, "o_orderkey", x.alias("x"),
+            group_col, key_col, x.alias("x"),
             F.col(value_col).alias("_raw"),
         )
         .withColumn("i", F.row_number().over(w))
@@ -2762,6 +2766,7 @@ def pareto_cut_census(
     df: DataFrame,
     group_col: str = "o_orderpriority",
     value_col: str = "o_totalprice",
+    key_col: str = "o_orderkey",
 ) -> DataFrame:
     """Per-group Pareto cuts: the smallest fraction of rows (ranked by
     value, descending) that carries >= 50% and >= 80% of the value mass
@@ -2775,12 +2780,12 @@ def pareto_cut_census(
     + total share the partition), then a group-sized aggregate."""
     x = F.col(value_col).cast("decimal(18,2)")
     w = Window.partitionBy(group_col).orderBy(
-        F.col("_raw").desc(), F.col("o_orderkey")
+        F.col("_raw").desc(), F.col(key_col)
     )
     ranked = (
         df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
         .select(
-            group_col, "o_orderkey", x.alias("x"),
+            group_col, key_col, x.alias("x"),
             F.col(value_col).alias("_raw"),
         )
         .withColumn("i", F.row_number().over(w))

@@ -739,9 +739,13 @@ def run_streaming_sessionizer(
 
     At 10^12-turn scale this is the shape that matters: per-key state is
     five numbers regardless of session length, the state store shuffles
-    once on user_id, and late stragglers inside the watermark still
-    extend their session because each batch SORTS the merged view
-    before splitting."""
+    once on user_id.  Lateness: each batch sorts ITS OWN events, and a
+    cross-batch late event merges order-aware into the open session
+    (start = min, last = max — never regressing the session clock); a
+    straggler older than an already-CLOSED session necessarily starts a
+    new one (sessions are emitted append-mode and cannot reopen — the
+    standard online-sessionization boundary, same as Spark's built-in
+    session_window)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -787,6 +791,8 @@ def run_streaming_sessionizer(
         rows = []
         for pdf in pdfs:
             for eid, ts, val in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+                if ts is None or ts != ts:  # NaT: batch sessionize's
+                    continue               # window also never sees it
                 # INTEGER epoch seconds — the unix_timestamp contract
                 rows.append((int(ts.timestamp()), int(eid), float(val)))
         rows.sort()
@@ -807,9 +813,15 @@ def run_streaming_sessionizer(
                 closed.append(_row(user_id, open_sess, "gap"))
                 open_sess = (epoch, epoch, 1, micro, eid)
             else:
-                start, _last, n, vm, first_eid = open_sess
-                open_sess = (start, epoch, n + 1, vm + micro,
-                             min(first_eid, eid))
+                # ORDER-AWARE merge: a cross-batch LATE event (epoch <
+                # open last) must extend the session's membership, never
+                # regress its clock — last = max, start = min (the naive
+                # last = epoch would shrink last and make the NEXT gap
+                # check measure against the late straggler, splitting a
+                # session batch mode keeps whole)
+                start, last, n, vm, first_eid = open_sess
+                open_sess = (min(start, epoch), max(last, epoch), n + 1,
+                             vm + micro, min(first_eid, eid))
         state.update(open_sess)
         # arm the close timer; must stay ahead of the current watermark
         desired_ms = (open_sess[1] + gap_sec) * 1000 + 1
@@ -842,7 +854,7 @@ def run_streaming_sessionizer(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
     # state-store telemetry per micro-batch (read BEFORE stop — the
     # progress ring dies with the query): numRowsTotal is the count of
     # OPEN sessions, the probe's boundedness evidence (state must track
@@ -860,4 +872,9 @@ def run_streaming_sessionizer(
         })
     if q.isActive:
         q.stop()
+    if not finished:
+        raise RuntimeError(
+            f"streaming sessionizer did not finish within {timeout_sec}s — "
+            "output and telemetry are truncated, not measurements"
+        )
     return {"batches": telemetry}
