@@ -139,7 +139,62 @@ def build_datacard(spark, sf_dir: str) -> dict:
         "quality": quality,
         "duplication": duplication,
         "concentration": concentration,
+        "events": _events_section(spark, sf_dir),
     }
+
+
+def _events_section(spark, sf_dir: str) -> dict:
+    """Time-series half of the card (the ``events`` table): load shape,
+    audit, and behavior summaries from the same suite-verified census
+    operators."""
+    from pyspark.sql import functions as F
+
+    from text_extractor_for_bioeconomic_products_spark.operators.relational import (
+        benford_digit_census,
+        seasonality_census,
+        user_value_trend,
+    )
+    from text_extractor_for_bioeconomic_products_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events").persist()
+    try:
+        season = seasonality_census(events)
+        peak = season.orderBy(F.col("n_events").desc(), "dow", "hour").first()
+        n_cells = season.count()
+        benford = benford_digit_census(events, amount_col="value")
+        max_dev = benford.agg(
+            F.round(F.max(F.abs(F.col("deviation")).cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("m")
+        ).collect()[0]["m"]
+        trend = user_value_trend(events)
+        trend_summary = trend.agg(
+            F.count("*").alias("n_users_with_trend"),
+            F.sum(F.when(F.col("slope_per_hour") > 0, 1).otherwise(0)).alias(
+                "n_rising"
+            ),
+            F.sum(F.when(F.col("slope_per_hour") < 0, 1).otherwise(0)).alias(
+                "n_falling"
+            ),
+        ).collect()[0].asDict()
+        return {
+            "n_events": int(events.count()),
+            "seasonality": {
+                "n_active_cells": int(n_cells),
+                "peak": {
+                    "dow": int(peak["dow"]),
+                    "hour": int(peak["hour"]),
+                    "n_events": int(peak["n_events"]),
+                    "share": peak["share"],
+                },
+            },
+            "benford_max_abs_deviation": max_dev,
+            "value_trends": {
+                k: int(v) for k, v in trend_summary.items()
+            },
+        }
+    finally:
+        events.unpersist()
 
 
 def main() -> None:
